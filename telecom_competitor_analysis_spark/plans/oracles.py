@@ -1,0 +1,237 @@
+"""DuckDB oracle SQL for every query in plans/queries.py.
+
+Each string is ANSI-ish SQL DuckDB runs over the pre-registered testdata
+views (region nation customer supplier part orders lineitem events
+documents embeddings). Column aliases MUST match the Spark query exactly —
+the driver sorts columns by name before hashing values.
+
+DuckDB/Spark parity conventions (SURVEY.md §7.3): timestamps formatted via
+strftime ↔ date_format; money as integer cents; DuckDB SUM(BIGINT) returns
+HUGEINT so every sum is cast back to BIGINT; rankings carry unique
+tie-breakers in identical directions.
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {
+    # F1 — semantic oracle: the speed string is synthesized from p_size
+    # (odd→gbps ×1000, even→mbps), so the expected Mbps is computable
+    # directly.
+    "q_convert_speed": """
+        SELECT
+            p_partkey,
+            p_size::VARCHAR || (CASE WHEN p_size % 2 = 0 THEN 'mbps' ELSE 'gbps' END)
+                AS speed_str,
+            (CASE WHEN p_size % 2 = 0 THEN p_size ELSE p_size * 1000 END)::DOUBLE
+                AS speed_mbps
+        FROM part
+    """,
+    "q_sentinel_map": """
+        SELECT
+            event_id,
+            event_type,
+            CASE WHEN event_type = 'error' THEN -1.0 ELSE value END AS mapped_value
+        FROM events
+    """,
+    "q_regex_extract": """
+        SELECT
+            event_id,
+            COALESCE(TRY_CAST(NULLIF(regexp_extract(props, '(\\d+)', 1), '') AS DOUBLE), -1.0)
+                AS extracted
+        FROM events
+    """,
+    "q_digits_only": """
+        SELECT
+            p_partkey,
+            TRY_CAST(NULLIF(regexp_replace(p_brand, '[^0-9]', '', 'g'), '') AS BIGINT)
+                AS brand_num
+        FROM part
+    """,
+    "q_ascii_strip": r"""
+        SELECT
+            doc_id,
+            regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS text_ascii
+        FROM documents
+    """,
+    "q_string_clean": """
+        SELECT
+            c_custkey,
+            replace(lower(trim(c_name)), 'customer#', '') AS cleaned_name
+        FROM customer
+    """,
+    "q_concat_key": """
+        SELECT
+            p_partkey,
+            concat_ws('_', p_brand, p_type, p_size::VARCHAR) AS part_key
+        FROM part
+    """,
+    "q_date_stamp": """
+        SELECT
+            o_orderkey,
+            strftime(o_orderdate, '%Y-%m') AS order_month,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM orders
+    """,
+    "q_surrogate_key": """
+        SELECT
+            s_suppkey,
+            sha256(concat_ws('|', s_name, s_nationkey::VARCHAR)) AS skey
+        FROM supplier
+    """,
+    "q_filter_contains": """
+        SELECT p_partkey, p_name
+        FROM part
+        WHERE p_name LIKE '%widget%'
+    """,
+    "q_validate": """
+        SELECT
+            COUNT(*) AS n_rows,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_orderkey,
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_custkey,
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                AS null_orderdate
+        FROM orders
+    """,
+    "q_star_split": """
+        WITH keyed AS (
+            SELECT
+                l_orderkey,
+                l_linenumber,
+                sha256(concat_ws('|',
+                    l_partkey::VARCHAR,
+                    l_suppkey::VARCHAR,
+                    (l_quantity::INT)::VARCHAR)) AS feature_uuid,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+            FROM lineitem
+        )
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            feature_uuid,
+            sha256(concat_ws('|', feature_uuid, price_cents::VARCHAR, ship_day))
+                AS price_uuid,
+            price_cents,
+            ship_day
+        FROM keyed
+    """,
+    "q_pack_cross": """
+        SELECT
+            concat_ws('_', m.s_name, i.r_name) AS pack_name,
+            CAST(round(m.s_acctbal * 100) AS BIGINT)
+                + i.r_regionkey::BIGINT * 1000 - 500 AS price_cents
+        FROM supplier m CROSS JOIN region i
+    """,
+    "q_antijoin_new": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        )
+    """,
+    "q_lookup_join": """
+        SELECT
+            l.l_orderkey,
+            l.l_linenumber,
+            l.l_partkey,
+            COALESCE(p.p_brand, 'unknown') AS brand
+        FROM lineitem l
+        LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    "q_scd_detect": """
+        WITH ranked AS (
+            SELECT
+                user_id,
+                value,
+                row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ) AS rn_first,
+                row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                ) AS rn_last
+            FROM events
+        )
+        SELECT
+            f.user_id,
+            f.value AS baseline_value,
+            l.value AS latest_value,
+            (l.value IS DISTINCT FROM f.value) AS changed
+        FROM (SELECT user_id, value FROM ranked WHERE rn_first = 1) f
+        JOIN (SELECT user_id, value FROM ranked WHERE rn_last = 1) l
+          USING (user_id)
+    """,
+    "q_first_per_key": """
+        WITH ranked AS (
+            SELECT
+                user_id, event_id, ts, event_type, value,
+                row_number() OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ) AS rn
+            FROM events
+        )
+        SELECT
+            user_id,
+            event_id,
+            strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+            event_type,
+            value
+        FROM ranked WHERE rn = 1
+    """,
+    "q_topk": """
+        SELECT
+            o_orderkey,
+            CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+            strftime(o_orderdate, '%Y-%m-%d') AS order_day
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "q_union_all": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "q_agg_latest_price": """
+        WITH latest AS (
+            SELECT
+                l_partkey,
+                CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+                row_number() OVER (
+                    PARTITION BY l_partkey
+                    ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+                ) AS rn
+            FROM lineitem
+        )
+        SELECT
+            p.p_brand,
+            COUNT(*) AS n_parts,
+            CAST(SUM(l.price_cents) AS BIGINT) AS sum_price_cents,
+            MAX(l.price_cents) AS max_price_cents,
+            CAST(SUM(l.price_cents) AS DOUBLE) / COUNT(*) / 100.0 AS avg_price
+        FROM (SELECT l_partkey, price_cents FROM latest WHERE rn = 1) l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    """,
+    "q_tumbling_window": """
+        SELECT
+            strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+            COUNT(*) AS n_events,
+            COUNT(DISTINCT user_id) AS n_users,
+            MIN(value) AS min_value,
+            MAX(value) AS max_value
+        FROM events
+        GROUP BY 1
+    """,
+    "q_json_unwrap": """
+        SELECT
+            event_id,
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    """,
+}

@@ -1,0 +1,450 @@
+"""Declared queries — one per operator in SURVEY.md §2 (bindings per
+FIXTURES.md §B), each a ``(spark, sf_dir) -> DataFrame`` callable over the
+driver testdata tables.
+
+Oracle-parity rules (the driver hashes values order-insensitively,
+column-name-sorted — SURVEY.md §7.3):
+
+- every computed column is aliased identically here and in oracles.py;
+- timestamps leave as ``date_format(...)`` strings (DuckDB ``strftime``);
+- money aggregates go through integer cents (``round(x*100)::bigint``) so
+  sums are exact and order-independent — never sum raw doubles across a
+  shuffle and expect bit-equality;
+- rankings always carry a unique tie-breaker column.
+
+Scale notes inline: each query states why its plan survives 100 TB
+(pushdown, broadcast, single-shuffle, partial aggregation).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.functions.cleaning import (
+    ascii_strip,
+    convert_speed,
+    digits_only,
+    regex_extract_default,
+    string_clean,
+)
+from telecom_competitor_analysis_spark.functions.keys import surrogate_key
+from telecom_competitor_analysis_spark.operators.merge import (
+    anti_join_new,
+    first_per_key,
+    latest_per_key,
+)
+from telecom_competitor_analysis_spark.sources.readers import load_table
+
+
+def _cents(col: F.Column) -> F.Column:
+    """Exact integer cents from a 2-decimal money double."""
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# §2.3 scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_convert_speed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — unit-aware speed parse (reference dags/transform.py:8-29).
+    Speed strings are synthesized deterministically from part.p_size
+    (odd→gbps, even→mbps) then parsed back; narrow map-only plan, fully
+    codegen'd, no shuffle."""
+    part = load_table(spark, sf_dir, "part")
+    speed_str = F.concat(
+        F.col("p_size").cast("string"),
+        F.when(F.col("p_size") % 2 == 0, F.lit("mbps")).otherwise(F.lit("gbps")),
+    )
+    return part.select(
+        F.col("p_partkey"),
+        speed_str.alias("speed_str"),
+        convert_speed(speed_str).alias("speed_mbps"),
+    )
+
+
+def q_sentinel_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F13 — sentinel CASE mapping (reference dags/utils.py:31-32:
+    'unlimited' → -1.0). 'error' events map to the -1.0 sentinel, others
+    pass their value through. Map-only."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") == "error", F.lit(-1.0))
+        .otherwise(F.col("value"))
+        .alias("mapped_value"),
+    )
+
+
+def q_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 — regex group extract with sentinel default (reference
+    dags/viking_class_scraper.py:204-208). First integer in events.props,
+    -1.0 when absent. Map-only."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        regex_extract_default(F.col("props"), r"(\d+)", 1).alias("extracted"),
+    )
+
+
+def q_digits_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 — digit-only strip (reference dags/scarlet_scraper.py:238-244).
+    'Brand#13' → 13. Map-only."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", digits_only(F.col("p_brand")).alias("brand_num")
+    )
+
+
+def q_ascii_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — ASCII normalization (reference dags/viking_scraper.py:164-165).
+    Map-only over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", ascii_strip(F.col("text")).alias("text_ascii"))
+
+
+def q_string_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 — trim/lower/replace chain (reference
+    dags/viking_scraper.py:119-121). Map-only."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        string_clean(F.col("c_name"), {"customer#": ""}).alias("cleaned_name"),
+    )
+
+
+def q_concat_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 — string key synthesis (reference dags/viking_scraper.py:63,130).
+    Map-only."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.concat_ws(
+            "_", F.col("p_brand"), F.col("p_type"), F.col("p_size").cast("string")
+        ).alias("part_key"),
+    )
+
+
+def q_date_stamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — date stamping/bucketing (reference dags/viking_scraper.py:45
+    strftime('%Y-%m-%d')). Map-only; output is a string for oracle parity."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.col("o_orderdate"), "yyyy-MM").alias("order_month"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("order_day"),
+    )
+
+
+def q_surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 — deterministic sha2 surrogate keys replacing the reference's
+    uuid4 (reference dags/bigquery.py:186-188). Map-only; embarrassingly
+    parallel (no key coordination across executors)."""
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.select(
+        "s_suppkey",
+        surrogate_key(F.col("s_name"), F.col("s_nationkey")).alias("skey"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+# ---------------------------------------------------------------------------
+
+
+def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — substring-infix partition filter (reference
+    dags/viking_scraper.py:308-309 'mobile' in name). Predicate pushes to
+    the parquet scan; at 100 TB this is a scan-side row-group skip."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_name"
+    )
+
+
+def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — schema/row validation as an aggregate null-audit over required
+    columns (the pydantic role, reference dags/data_model.py:27-37).
+    Partial aggregation map-side; one row out regardless of input size."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_orderkey"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("null_orderdate"),
+    )
+
+
+def q_star_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1+F12 — star-schema split with FK wiring (reference
+    dags/bigquery.py:175-220). The price-fact branch over lineitem:
+    content-addressed feature/price keys exactly as operators/star.py wires
+    them. Map-only (keys are hashes of row content — no joins needed)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    feature_uuid = surrogate_key(
+        F.col("l_partkey"),
+        F.col("l_suppkey"),
+        F.col("l_quantity").cast("int"),
+    )
+    price_cents = _cents(F.col("l_extendedprice"))
+    return li.select(
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+        feature_uuid.alias("feature_uuid"),
+        surrogate_key(
+            feature_uuid,
+            price_cents,
+            F.date_format(F.col("l_shipdate"), "yyyy-MM-dd"),
+        ).alias("price_uuid"),
+        price_cents.alias("price_cents"),
+        F.date_format(F.col("l_shipdate"), "yyyy-MM-dd").alias("ship_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 joins
+# ---------------------------------------------------------------------------
+
+
+def q_pack_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — cross join with price arithmetic + name synthesis (reference
+    dags/viking_class_scraper.py:389-431 generate_packs). supplier × region
+    (both tiny → BroadcastNestedLoopJoin; a cartesian is only ever valid on
+    dims). Price in exact integer cents."""
+    supp = load_table(spark, sf_dir, "supplier").alias("m")
+    region = load_table(spark, sf_dir, "region").alias("i")
+    price_cents = (
+        _cents(F.col("m.s_acctbal"))
+        + F.col("i.r_regionkey").cast("long") * 1000
+        - 500
+    )
+    return supp.crossJoin(region).select(
+        F.concat_ws("_", F.col("m.s_name"), F.col("i.r_name")).alias("pack_name"),
+        price_cents.alias("price_cents"),
+    )
+
+
+def q_antijoin_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — insert-if-absent anti-join dedup (reference
+    dags/bigquery.py:125-157: per-row existence probes → one left_anti).
+    Customers with no orders. At scale: one hash shuffle on the key, or
+    broadcast if the probe side is small; AQE decides."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return anti_join_new(cust, orders, ["c_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 — broadcast dim-lookup with fallback (reference
+    dags/bigquery.py:243-244,281-292: per-row uuid resolution → broadcast
+    hash join, zero shuffle on the fact side)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_retailprice"
+    )
+    out = li.join(F.broadcast(part), on="l_partkey", how="left")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        F.coalesce(F.col("p_brand"), F.lit("unknown")).alias("brand"),
+    )
+
+
+def q_scd_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5+C1+O1 — change detection (reference dags/bigquery.py:294-326 +
+    is_different_record dags/bigquery.py:53-68): per user_id compare the
+    earliest stored value (the reference's actual ascending-LIMIT-1
+    semantics) against the latest, null-safe. One shuffle on user_id; both
+    window passes share the partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    first = first_per_key(
+        events, ["user_id"], "ts", tie_breakers=["event_id"]
+    ).select("user_id", F.col("value").alias("baseline_value"))
+    latest = latest_per_key(
+        events, ["user_id"], "ts", tie_breakers=["event_id"]
+    ).select("user_id", F.col("value").alias("latest_value"))
+    joined = first.join(latest, on="user_id", how="inner")
+    return joined.select(
+        "user_id",
+        "baseline_value",
+        "latest_value",
+        (~F.col("latest_value").eqNullSafe(F.col("baseline_value"))).alias(
+            "changed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+def q_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — earliest row per key (reference dags/bigquery.py:295,315
+    ascending ORDER BY + LIMIT 1, reference-faithful). Window row_number
+    over one shuffle; partial sort within partitions."""
+    events = load_table(spark, sf_dir, "events")
+    return first_per_key(
+        events, ["user_id"], "ts", tie_breakers=["event_id"]
+    ).select(
+        "user_id",
+        "event_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+        "event_type",
+        "value",
+    )
+
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 top-k — orderBy+limit (Spark executes as TakeOrderedAndProject:
+    per-partition top-k then a k-row merge on the driver — no full sort,
+    scales to any input size). Unique tie-breaker keeps it deterministic."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select(
+            "o_orderkey",
+            _cents(F.col("o_totalprice")).alias("totalprice_cents"),
+            F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("order_day"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 set ops
+# ---------------------------------------------------------------------------
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — UNION ALL of two extractor outputs (reference
+    dags/viking_scraper.py:262-265 list concat → unionByName). No shuffle;
+    the two branches are disjoint filters of one pushed-down scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", _cents(F.col("o_totalprice")).alias(
+            "totalprice_cents"
+        )
+    )
+    done_orders = orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", _cents(F.col("o_totalprice")).alias(
+            "totalprice_cents"
+        )
+    )
+    return open_orders.unionByName(done_orders)
+
+
+# ---------------------------------------------------------------------------
+# §2.6 / §2.12 aggregations & windows (absent in reference; the star schema
+# exists to answer exactly these — SURVEY.md §2.6)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship — latest price per product, aggregated per brand: the
+    question the reference's star schema was built to answer (price
+    evolution per product; reference README.md:5,28).
+
+    Plan: window latest-per-key over lineitem (one shuffle on l_partkey) →
+    broadcast join part → partial-aggregated groupBy brand. Money stays in
+    integer cents until the final division so results are exact and
+    shuffle-order-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    latest = latest_per_key(
+        li, ["l_partkey"], "l_shipdate", tie_breakers=["l_orderkey", "l_linenumber"]
+    ).select("l_partkey", _cents(F.col("l_extendedprice")).alias("price_cents"))
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = latest.join(F.broadcast(part), on="l_partkey", how="inner")
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("price_cents").alias("sum_price_cents"),
+        F.max("price_cents").alias("max_price_cents"),
+        (
+            F.sum("price_cents").cast("double")
+            / F.count(F.lit(1))
+            / F.lit(100.0)
+        ).alias("avg_price"),
+    )
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — tumbling 1-day window agg over events (batch form; identical
+    semantics under Structured Streaming with a watermark — see
+    streaming/). Order-independent aggregates only (count / distinct /
+    min / max), so the result is shuffle-order-stable."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 day")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_users",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+def q_json_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 — JSON document field extraction (reference
+    dags/transform.py:32-49 unwraps wrapped-array docs; testdata binding:
+    events.props JSON string → typed column). Map-only."""
+    events = load_table(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_convert_speed": q_convert_speed,
+    "q_sentinel_map": q_sentinel_map,
+    "q_regex_extract": q_regex_extract,
+    "q_digits_only": q_digits_only,
+    "q_ascii_strip": q_ascii_strip,
+    "q_string_clean": q_string_clean,
+    "q_concat_key": q_concat_key,
+    "q_date_stamp": q_date_stamp,
+    "q_surrogate_key": q_surrogate_key,
+    "q_filter_contains": q_filter_contains,
+    "q_validate": q_validate,
+    "q_star_split": q_star_split,
+    "q_pack_cross": q_pack_cross,
+    "q_antijoin_new": q_antijoin_new,
+    "q_lookup_join": q_lookup_join,
+    "q_scd_detect": q_scd_detect,
+    "q_first_per_key": q_first_per_key,
+    "q_topk": q_topk,
+    "q_union_all": q_union_all,
+    "q_agg_latest_price": q_agg_latest_price,
+    "q_tumbling_window": q_tumbling_window,
+    "q_json_unwrap": q_json_unwrap,
+}

@@ -1,0 +1,74 @@
+"""Readers (SURVEY.md §2.1 S2/S3 + testdata loading).
+
+The reference reads ``{"header": [...]}`` JSON documents
+(reference dags/transform.py:32-49) and NDJSON relations
+(reference dags/utils.py:81-84) with row loops; here both are one
+declarative read each. Explicit ``schema=`` plays the pydantic-validation
+role (reference dags/data_model.py:27-37): FAILFAST aborts on malformed
+rows, PERMISSIVE + corrupt-record column gives the bad-row side channel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from telecom_competitor_analysis_spark.schemas import TESTDATA_TABLES
+
+
+def read_wrapped_json(
+    spark: SparkSession, path: str, header: str, element_schema: T.StructType
+) -> DataFrame:
+    """S2 — read a ``{"<header>": [...]}`` document and unwrap the array
+    (reference dags/transform.py:32-49 ``json_to_list_of_dicts``).
+
+    One ``multiLine`` read + ``explode`` + ``inline`` of the wrapped array;
+    scales to any number of documents per glob (each file one row
+    pre-explode — fine for bronze, which is small by construction; the
+    heavy tables enter as NDJSON/parquet).
+    """
+    wrapper = T.StructType(
+        [T.StructField(header, T.ArrayType(element_schema), True)]
+    )
+    raw = spark.read.schema(wrapper).option("multiLine", True).json(path)
+    return raw.select(F.explode(F.col(header)).alias("rec")).select("rec.*")
+
+
+def read_ndjson(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fail_fast: bool = True,
+) -> DataFrame:
+    """S3 — newline-delimited JSON, Spark's native JSON layout
+    (reference dags/utils.py:81-84 ``load_ndjson``). FAILFAST = the
+    pydantic abort-on-violation semantics (reference
+    dags/data_model.py:27-37)."""
+    mode = "FAILFAST" if fail_fast else "PERMISSIVE"
+    return spark.read.schema(schema).option("mode", mode).json(path)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver testdata table (TESTDATA.md).
+
+    Runtime-settable confs are pinned here too (not only in session.py) so
+    the queries behave identically under a session the driver created:
+    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized parquet reader rejects; read as long and rebuild the
+      timestamp with integer division (ns are ~1.7e18 — far beyond double's
+      2^53 exact range, so never divide through a double).
+    - UTC session timezone: keeps ``date_format`` output identical to the
+      DuckDB oracle regardless of host timezone.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_testdata(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read all driver testdata tables keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}

@@ -1,0 +1,70 @@
+"""Sinks & DDL (SURVEY.md §2.1 S5–S7, S9).
+
+The reference writes pretty-JSON docs (reference dags/utils.py:12-19),
+NDJSON (reference dags/utils.py:22-28) and streams rows into BigQuery
+(reference dags/bigquery.py:100-122) with idempotent DDL
+(reference dags/bigquery.py:9-50). Spark-first equivalents:
+
+- gold tables are **partitioned parquet** (partition by low-cardinality
+  date/competitor columns — at 100 TB partition pruning on
+  ``scraped_at``/``competitor_name`` is the first-order win),
+- append mode replaces streaming inserts; the merge layer (operators/merge)
+  guarantees idempotency so append is safe,
+- BigQuery ships as untested connector glue behind a flag (no GCP here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:
+    """S5/S6 — JSON / NDJSON sink. Spark's JSON writer is NDJSON per part
+    file; ``single_file`` coalesces to 1 (only for tiny bronze docs —
+    never at scale)."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").json(path)
+
+
+def write_gold(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    mode: str = "append",
+) -> None:
+    """S7 — warehouse sink as partitioned parquet.
+
+    ``partition_by=('scraped_at',)`` (or ('competitor_name','scraped_at'))
+    gives partition pruning for the time-series queries the star schema
+    exists for (reference README.md:28: price evolution analysis).
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_bigquery(
+    df: DataFrame, table: str, mode: str = "append", enabled: bool = False
+) -> None:
+    """S7 — BigQuery sink via the public spark-bigquery-connector
+    (replaces reference dags/bigquery.py:100-122 ``insert_rows``).
+    Disabled by default: no GCP credentials in this environment, parquet is
+    the tested gold sink (SURVEY.md §7.3)."""
+    if not enabled:
+        raise RuntimeError(
+            "BigQuery sink disabled in this environment; use write_gold()"
+        )
+    df.write.format("bigquery").option("table", table).mode(mode).save()
+
+
+def create_table_if_not_exists(
+    spark: SparkSession, name: str, ddl_columns: str, location: str | None = None
+) -> None:
+    """S9 — idempotent DDL (reference dags/bigquery.py:29-50
+    ``create_table_if_not_exist``), via the catalog instead of hand-rolled
+    existence checks."""
+    loc = f" LOCATION '{location}'" if location else ""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} ({ddl_columns}) USING parquet{loc}"
+    )
