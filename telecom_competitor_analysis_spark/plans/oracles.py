@@ -234,4 +234,107 @@ ORACLES: dict[str, str] = {
             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         FROM events
     """,
+    "q_window_rank": """
+        SELECT
+            user_id,
+            event_id,
+            row_number() OVER w AS rn,
+            lag(value) OVER w AS prev_value,
+            lead(value) OVER w AS next_value,
+            rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
+            max(value) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS running_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    "q_rollup": """
+        SELECT
+            o_orderstatus,
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_totalprice_cents
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "q_cube": """
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            COUNT(*) AS n_items,
+            CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_pivot": """
+        SELECT
+            user_id,
+            CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+            CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+            CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+            CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "q_except": """
+        SELECT DISTINCT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    "q_distinct_agg": """
+        SELECT
+            o_orderpriority,
+            COUNT(*) AS n_orders,
+            COUNT(DISTINCT o_custkey) AS n_customers
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    "q_asof_join": """
+        WITH purchases AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        clicks_ranked AS (
+            SELECT
+                user_id, ts,
+                event_id AS click_event_id,
+                value AS click_value,
+                row_number() OVER (
+                    PARTITION BY user_id, ts ORDER BY event_id DESC
+                ) AS rn
+            FROM events WHERE event_type = 'click'
+        ),
+        clicks AS (
+            SELECT user_id, ts, click_event_id, click_value
+            FROM clicks_ranked WHERE rn = 1
+        )
+        SELECT
+            p.event_id,
+            p.user_id,
+            strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+            c.click_event_id AS last_click_event_id,
+            c.click_value AS last_click_value
+        FROM purchases p
+        ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    "q_explode": """
+        SELECT word, COUNT(*) AS n_occurrences
+        FROM (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        )
+        GROUP BY word
+    """,
 }

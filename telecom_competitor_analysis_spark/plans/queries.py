@@ -421,6 +421,174 @@ def q_json_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.12 — checklist operators absent from the reference, exposed from stock
+# Spark (SURVEY.md §2.12): window analytics, grouping sets, pivot, set ops,
+# distinct aggs, as-of join, array explode.
+# ---------------------------------------------------------------------------
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking/analytic window functions (rank, lag/lead, running frame).
+    One shuffle on user_id shared by every window (same partitioning +
+    ordering → single Window physical node)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.rank().over(w_val).alias("value_rank"),
+        F.max("value").over(running).alias("running_max"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over orders (status, priority). Partial
+    aggregation applies per grouping set; exact integer-cents sums."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("totalprice_cents", _cents(F.col("o_totalprice")))
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("totalprice_cents").alias("sum_totalprice_cents"),
+        )
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over lineitem flags. Quantities are integral
+    doubles → cast to long so sums are exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn("qty", F.col("l_quantity").cast("long"))
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("qty").alias("sum_qty"),
+        )
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT events per user over event_type → per-type counts. Explicit
+    pivot values keep the plan static (no extra distinct-values job) —
+    mandatory at scale."""
+    events = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        events.groupBy("user_id").pivot("event_type", types).agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types],
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI (EXISTS) — customers having at least one order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return cust.join(orders, on="c_custkey", how="left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — nations with customers but no suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    ).distinct()
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    ).distinct()
+    return cust.exceptAll(supp)
+
+
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — nations with both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group (exact; the approximate HLL variant is
+    q_approx_distinct, rows-only since HLL estimates differ per engine)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count_distinct(F.col("o_custkey")).alias("n_customers"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — rows-only check: estimates
+    are engine-specific by design. At 100 TB this replaces exact distinct
+    counts that would otherwise need a full shuffle of the key universe."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (§2.12): each purchase event picks up the most recent
+    click (ts <= purchase.ts) by the same user. Linear union+window
+    formulation (operators/asof.py) — one shuffle, no quadratic per-key
+    blowup; oracle uses DuckDB's native ASOF JOIN."""
+    from telecom_competitor_analysis_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    # unique per (user_id, ts): keep the highest event_id
+    clicks = latest_per_key(clicks, ["user_id", "ts"], "click_event_id")
+    out = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        right_value_cols=["click_event_id", "click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("asof_click_event_id").alias("last_click_event_id"),
+        F.col("asof_click_value").alias("last_click_value"),
+    )
+
+
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode + re-aggregate: corpus word frequencies over
+    documents (split → explode → groupBy). Map-side partial counts keep
+    the shuffle proportional to the vocabulary, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -447,4 +615,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_agg_latest_price": q_agg_latest_price,
     "q_tumbling_window": q_tumbling_window,
     "q_json_unwrap": q_json_unwrap,
+    "q_window_rank": q_window_rank,
+    "q_rollup": q_rollup,
+    "q_cube": q_cube,
+    "q_pivot": q_pivot,
+    "q_semi_join": q_semi_join,
+    "q_except": q_except,
+    "q_intersect": q_intersect,
+    "q_distinct_agg": q_distinct_agg,
+    "q_approx_distinct": q_approx_distinct,
+    "q_asof_join": q_asof_join,
+    "q_explode": q_explode,
 }
