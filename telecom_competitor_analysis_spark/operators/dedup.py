@@ -1,0 +1,200 @@
+"""Deduplication operators for the training-data extension surface
+(BASELINE.json north star; PAPERS.md themes): exact, MinHash(+LSH),
+SimHash, and shingle-Jaccard near-dup.
+
+Scale design (the point of each formulation):
+
+- **exact**: hash-groupBy on a content digest — one shuffle keyed by the
+  digest, never by the full text; the keeper choice (min doc_id) is a
+  deterministic tie-break.
+- **MinHash**: signatures are per-doc aggregates over exploded shingles —
+  map-side partial min() makes the shuffle carry one row per (doc, nothing)
+  not per token. Min is taken over md5 *hex strings* (lexicographic min of
+  a fixed-width hex == min of the underlying 128-bit integer), which keeps
+  the hash portable across engines (same md5 in Spark / DuckDB / anywhere).
+- **LSH**: band key = hash of a signature slice; candidate pairs come from
+  a self-join on the band key — pair generation is proportional to bucket
+  sizes, never O(n²) over the corpus.
+- **SimHash**: 16-bit signature from md5-nibble high bits; exact integer
+  sums per bit → order-independent, reproducible.
+- **shingle Jaccard**: inverted-index join on shingles (w-word windows) —
+  candidate pairs only where shingles actually collide; exact Jaccard
+  confirmed on candidates only (the verify step after LSH in the classic
+  pipeline).
+
+All pure DataFrame ops — no UDFs, everything whole-stage-codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.functions.text import words
+
+HEX_HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup: group by md5 digest, keep min(id) as keeper, count the
+    group. Emits one row per distinct content."""
+    return (
+        df.withColumn("content_hash", F.md5(F.trim(F.col(text_col))))
+        .groupBy("content_hash")
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingles(text: Column, w: int = 3) -> Column:
+    """w-word shingles as an array (space-joined windows). Empty/short
+    docs yield an empty array."""
+    arr = words(F.trim(text))
+    n = F.size(arr)
+    idx = F.sequence(F.lit(0), F.greatest(n - w, F.lit(-1)))
+    return F.when(
+        n >= w,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, (i + j + 1).cast("int")) for j in range(w)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_signature(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = 4
+) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over distinct words of
+    md5(word || '#i') (hex-string min == numeric min at fixed width).
+    Returns (id, h0..h{n-1}). One explode + one partial-aggregated groupBy."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(words(F.trim(F.col(text_col))))).alias("word"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    return tokens.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, n_hashes: int = 4, bands: int = 2
+) -> DataFrame:
+    """Band the signature (rows = n_hashes/bands per band), hash each band,
+    self-join on (band_idx, band_key) → candidate pairs (a < b).
+    Pair volume is Σ bucket² — bounded by bucket sizes, not corpus size."""
+    rows_per_band = n_hashes // bands
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash: bit i = sign of Σ over words of (±1 by the high bit
+    of md5 nibble i). Exact integer sums → fully deterministic; emitted as
+    a 16-char '0'/'1' string. Words keep multiplicity (standard SimHash
+    weighting by term frequency)."""
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(words(F.trim(F.col(text_col)))).alias("w"),
+    ).select(F.col(id_col), F.md5(F.col("w")).alias("wh"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.col("wh"), i + 1, 1).isin(*HEX_HIGH_NIBBLES), 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(16)
+    ]
+    summed = tokens.groupBy(id_col).agg(*bit_sums)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(16)
+        ]
+    )
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs by exact Jaccard over distinct w-shingles, candidates
+    from an inverted-index join on shingles (only docs sharing ≥1 shingle
+    are ever paired). Returns (id_a, id_b, n_shared, n_a, n_b, jaccard)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), w))).alias("sh"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    # sizes is corpus-cardinality (one row per doc) — NOT broadcast-able at
+    # scale; shuffle-join it and let AQE pick the strategy.
+    out = (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            on="id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")

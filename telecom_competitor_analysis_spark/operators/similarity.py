@@ -1,0 +1,160 @@
+"""Similarity search over embedding columns (array<float>) — the ANN
+extension surface (BASELINE.json north star).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set is broadcast (k queries ≪ corpus); the corpus side streams
+  through a map-only scoring stage, then per-query top-k via window (the
+  same WindowGroupLimit partial-top-k optimization as latest-per-key —
+  no global sort).
+- ``lsh_bucketed_topk``: the scale path — random-hyperplane signs bucket
+  the corpus; queries only score their own bucket (and optional
+  multi-probe neighbors). Deterministic pseudo-hyperplanes derived from
+  md5 of (dimension index, seed) so results are reproducible without
+  storing a model.
+
+All arithmetic in native zip_with/aggregate expressions (sequential array
+fold → deterministic FP) — no Python in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self-matches excluded).
+    Returns (query_id, neighbor_id, rank)."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_sign_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 0
+) -> Column:
+    """Deterministic random-hyperplane LSH bucket: plane p has ±1 weights
+    per dimension chosen by the high bit of md5('{seed}|{p}|{d}'); the
+    bucket is the concatenated sign pattern of the n_planes projections."""
+    bits = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(
+                    *[
+                        F.when(
+                            F.substring(
+                                F.md5(F.lit(f"{seed}|{p}|{d}")), 1, 1
+                            ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                            F.lit(1.0),
+                        ).otherwise(F.lit(-1.0))
+                        for d in range(dim)
+                    ]
+                ),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's LSH
+    bucket. At 100 TB the bucket join replaces the full cross join —
+    candidate volume drops by ~2^n_planes; recall is tuned by n_planes
+    (fewer planes → bigger buckets → higher recall, more compute)."""
+    bucket = lambda df, vc: df.withColumn(  # noqa: E731
+        "bucket", hyperplane_sign_bucket(F.col(vc), dim, n_planes)
+    )
+    q = F.broadcast(
+        bucket(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            "q_vec",
+        )
+    )
+    c = bucket(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        "c_vec",
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -338,3 +338,7 @@ ORACLES: dict[str, str] = {
         GROUP BY word
     """,
 }
+
+from telecom_competitor_analysis_spark.plans.oracles_ext import EXT_ORACLES  # noqa: E402
+
+ORACLES.update(EXT_ORACLES)

@@ -1,0 +1,195 @@
+"""DuckDB oracles for the extension queries (queries_ext.py). Rows-only
+queries (LSH ANN, multimodal decode/frame-sample) are deliberately absent.
+"""
+
+from __future__ import annotations
+
+_SIMHASH_SUMS = ",\n            ".join(
+    "SUM(CASE WHEN substr(wh, {i}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(
+        i=i + 1, j=i
+    )
+    for i in range(16)
+)
+_SIMHASH_BITS = " || ".join(
+    f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(16)
+)
+
+EXT_ORACLES: dict[str, str] = {
+    "q_dedup_exact": """
+        SELECT
+            md5(trim(text)) AS content_hash,
+            MIN(doc_id) AS keeper_id,
+            COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_minhash": """
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
+            FROM documents
+        )
+        GROUP BY doc_id
+    """,
+    "q_minhash_lsh_pairs": """
+        WITH sig AS (
+            SELECT
+                doc_id,
+                MIN(md5(word || '#0')) AS h0,
+                MIN(md5(word || '#1')) AS h1,
+                MIN(md5(word || '#2')) AS h2,
+                MIN(md5(word || '#3')) AS h3
+            FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split(trim(text), ' '))) AS word
+                FROM documents
+            )
+            GROUP BY doc_id
+        ),
+        banded AS (
+            SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    """,
+    "q_simhash": f"""
+        WITH tokens AS (
+            SELECT doc_id, md5(w) AS wh
+            FROM (
+                SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+                FROM documents
+            )
+        ),
+        sums AS (
+            SELECT
+                doc_id,
+                {_SIMHASH_SUMS}
+            FROM tokens
+            GROUP BY doc_id
+        )
+        SELECT doc_id, {_SIMHASH_BITS} AS simhash
+        FROM sums
+    """,
+    "q_ngram_jaccard": """
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT
+                t.doc_id,
+                arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+            FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM sh a
+            JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT
+            id_a,
+            id_b,
+            n_shared,
+            sa.n_sh AS n_a,
+            sb.n_sh AS n_b,
+            CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.2
+    """,
+    "q_text_stats": """
+        SELECT
+            doc_id,
+            len(string_split(text, ' '))::BIGINT AS n_words,
+            len(list_distinct(string_split(text, ' ')))::BIGINT AS n_distinct_words,
+            CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                 AS BIGINT) AS sum_word_len,
+            CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+                 AS DOUBLE) / len(string_split(text, ' ')) AS avg_word_len,
+            len(list_filter(string_split(text, ' '),
+                w -> lower(w) IN ('the','a','of','and','to','in','is')))::BIGINT
+                AS stopword_count,
+            CAST(len(list_filter(string_split(text, ' '),
+                w -> lower(w) IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+                / len(string_split(text, ' ')) AS stopword_ratio
+        FROM documents
+    """,
+    "q_token_count": r"""
+        SELECT
+            doc_id,
+            len(string_split(text, ' '))::BIGINT AS ws_tokens,
+            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT
+                AS bpe_tokens
+        FROM documents
+    """,
+    "q_lang_id": """
+        WITH scored AS (
+            SELECT
+                doc_id,
+                len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('the','and','of','is'))) AS en,
+                len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('el','la','de','que'))) AS es,
+                len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('der','die','und','das'))) AS de
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            CASE
+                WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                WHEN es >= de AND es > 0 THEN 'es'
+                WHEN de > 0 THEN 'de'
+                ELSE 'unknown'
+            END AS pred_lang
+        FROM scored
+    """,
+    "q_fingerprint": """
+        SELECT
+            doc_id,
+            md5(trim(text)) AS exact_fp,
+            md5(array_to_string(
+                list_sort(list_distinct(string_split(trim(text), ' '))), ' '))
+                AS content_fp
+        FROM documents
+    """,
+    "q_embedding_topk": """
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(
+                    CAST(c.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) DESC,
+                c.vec_id ASC
+            ) AS INT) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+        QUALIFY rank <= 10
+    """,
+    "q_multimodal_meta": """
+        SELECT
+            doc_id AS media_id,
+            (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+            octet_length(encode(text))::BIGINT AS byte_len
+        FROM documents
+    """,
+}

@@ -627,3 +627,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_asof_join": q_asof_join,
     "q_explode": q_explode,
 }
+
+# extension surface (training-data pipeline operators)
+from telecom_competitor_analysis_spark.plans.queries_ext import EXT_QUERIES  # noqa: E402
+
+QUERIES.update(EXT_QUERIES)

@@ -1,0 +1,199 @@
+"""Extension queries — the large-scale training-data pipeline surface
+(BASELINE.json north star): dedup family, similarity search, text
+analysis, multimodal plumbing. Same oracle-parity rules as queries.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.functions.text import (
+    bpe_ish_token_count,
+    doc_fingerprint,
+    exact_fingerprint,
+    lang_id_heuristic,
+    n_distinct_words,
+    n_words,
+    stopword_count,
+    sum_word_len,
+)
+from telecom_competitor_analysis_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingle_jaccard_pairs,
+    simhash16,
+)
+from telecom_competitor_analysis_spark.operators.multimodal import (
+    as_media_table,
+    decode_media,
+    frame_sample,
+)
+from telecom_competitor_analysis_spark.operators.similarity import (
+    cosine_topk,
+    lsh_bucketed_topk,
+)
+from telecom_competitor_analysis_spark.sources.readers import load_table
+
+EMBEDDING_DIM = 64
+
+
+# --- dedup ---------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups by content digest (hash-groupBy; the shuffle key
+    is the 32-byte digest, never the document body)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup_groups(docs, "doc_id", "text")
+
+
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hashes) over distinct words — portable
+    hex-string min (same md5 both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signature(docs, "doc_id", "text", n_hashes=4)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs from banded MinHash signatures (2 bands × 2
+    rows). Pair volume ∝ Σ bucket² — never O(n²) over the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    return lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures (md5-nibble hyperplanes, exact integer
+    bit sums → reproducible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash16(docs, "doc_id", "text")
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard ≥ 0.2; candidates
+    from an inverted-index join on shingles (only colliding docs pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_jaccard_pairs(docs, "doc_id", "text", w=3, threshold=0.2)
+
+
+# --- text analysis -------------------------------------------------------
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring stats: word counts, length sums, stopword ratio.
+    All exact integer aggregates over arrays; the two ratios are single
+    well-defined double divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        n_words(t).alias("n_words"),
+        n_distinct_words(t).alias("n_distinct_words"),
+        sum_word_len(t).alias("sum_word_len"),
+        (sum_word_len(t).cast("double") / n_words(t)).alias("avg_word_len"),
+        stopword_count(t).alias("stopword_count"),
+        (stopword_count(t).cast("double") / n_words(t)).alias("stopword_ratio"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        n_words(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (deterministic argmax)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", lang_id_heuristic(F.col("text")).alias("pred_lang")
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: byte-exact md5 + order-invariant content
+    hash (sorted distinct word set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        exact_fingerprint(F.col("text")).alias("exact_fp"),
+        doc_fingerprint(F.col("text")).alias("content_fp"),
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-10 cosine neighbors for 5 query vectors
+    (broadcast queries × streamed corpus; per-query top-k via
+    WindowGroupLimit — no global sort)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+
+
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (the 100 TB
+    path: bucket join instead of full cross join). Rows-only check:
+    approximate recall is engine-defined, not oracle-defined."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return lsh_bucketed_topk(
+        emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
+    )
+
+
+# --- multimodal ----------------------------------------------------------
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata path: opaque binary payload + typed metadata;
+    this query reads ONLY metadata (column pruning keeps the bytes out of
+    the scan entirely)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_table(docs, "doc_id", "text")
+    return media.select("media_id", "media_type", "byte_len")
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas (stubbed
+    decoder, real plumbing). Rows-only: binary + stub features are not
+    SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_table(docs, "doc_id", "text")
+    return decode_media(media)
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: explode the sampled frame index space (every 2nd
+    frame). Rows-only (depends on the stub decode)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_table(docs, "doc_id", "text")
+    return frame_sample(decode_media(media), every_nth=2)
+
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash": q_minhash,
+    "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "q_simhash": q_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_text_stats": q_text_stats,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_embedding_topk": q_embedding_topk,
+    "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_decode": q_multimodal_decode,
+    "q_frame_sample": q_frame_sample,
+}
