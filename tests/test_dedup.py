@@ -1,0 +1,55 @@
+"""Behavioral tests for the dedup operators on synthetic near-duplicate
+fixtures (the testdata corpus has no planted dups, so these prove the
+operators actually catch what they claim to catch)."""
+
+from __future__ import annotations
+
+from telecom_competitor_analysis_spark.operators.dedup import (
+    exact_dedup_groups,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingle_jaccard_pairs,
+    simhash16,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away today"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away now"  # 1 word off
+FAR = "completely different content about spark shuffles and parquet files here"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, BASE), (3, NEAR), (4, FAR)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups(spark):
+    groups = {r.keeper_id: r.n_copies for r in
+              exact_dedup_groups(_docs(spark), "doc_id", "text").collect()}
+    assert groups[1] == 2  # docs 1+2 identical → keeper is min id
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_lsh_finds_exact_and_near(spark):
+    sig = minhash_signature(_docs(spark), "doc_id", "text", n_hashes=4)
+    pairs = {(r.id_a, r.id_b) for r in
+             lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2).collect()}
+    assert (1, 2) in pairs  # identical docs always collide
+    assert (1, 4) not in pairs and (2, 4) not in pairs  # unrelated never
+
+
+def test_simhash_near_dup_distance(spark):
+    sigs = {r.doc_id: r.simhash for r in
+            simhash16(_docs(spark), "doc_id", "text").collect()}
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert ham(sigs[1], sigs[3]) <= ham(sigs[1], sigs[4])  # near ≤ far
+
+
+def test_shingle_jaccard_ranks_near_above_far(spark):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             shingle_jaccard_pairs(_docs(spark), "doc_id", "text",
+                                   w=3, threshold=0.2).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical
+    assert pairs[(1, 3)] >= 0.5  # near-dup well above threshold
+    assert (1, 4) not in pairs  # unrelated filtered out
