@@ -1,0 +1,49 @@
+"""The UDF escape hatch (SURVEY.md §2.10).
+
+Everything in the reference's scalar layer is expressible as native column
+expressions (functions/cleaning.py — the fast path: JVM-side, codegen'd).
+This module demonstrates the sanctioned slow path for when that stops
+being true: an Arrow-vectorized pandas_udf mirror of ``convert_speed``
+(reference dags/transform.py:8-29). Pandas UDFs move data via Arrow in
+columnar batches (~10-100× faster than row-at-a-time Python UDFs); use
+them only when no builtin composition works.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+
+import pandas as pd
+
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+_SPEED_RE = re.compile(r"(\d+)\s*(mbps|gbps)")
+_NUM_RE = re.compile(r"^\d+(\.\d+)?$")
+
+
+@functools.cache
+def convert_speed_pandas():
+    """Arrow-batched twin of functions.cleaning.convert_speed — same
+    semantics, Python execution. Built lazily (the decorator resolves the
+    return type against the active session) and cached. Kept for parity
+    testing and as the template for genuinely non-expressible scalar
+    logic."""
+
+    def batch(s: pd.Series) -> pd.Series:
+        def one(v: object) -> float | None:
+            if v is None:
+                return None
+            text = str(v).strip().lower()
+            m = _SPEED_RE.search(text)
+            if m:
+                n = float(m.group(1))
+                return n * 1000.0 if m.group(2) == "gbps" else n
+            if _NUM_RE.match(text):
+                return float(text)
+            return None
+
+        return s.map(one)
+
+    return pandas_udf(batch, T.DoubleType())

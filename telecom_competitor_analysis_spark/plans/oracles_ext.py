@@ -25,31 +25,42 @@ EXT_ORACLES: dict[str, str] = {
         GROUP BY 1
     """,
     "q_minhash": """
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT
+                t.doc_id,
+                arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+            FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        )
         SELECT
             doc_id,
             MIN(md5(word || '#0')) AS h0,
             MIN(md5(word || '#1')) AS h1,
             MIN(md5(word || '#2')) AS h2,
             MIN(md5(word || '#3')) AS h3
-        FROM (
-            SELECT doc_id, unnest(list_distinct(string_split(trim(text), ' '))) AS word
-            FROM documents
-        )
+        FROM sh
         GROUP BY doc_id
     """,
     "q_minhash_lsh_pairs": """
-        WITH sig AS (
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+        ),
+        sh AS (
+            SELECT DISTINCT
+                t.doc_id,
+                arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+            FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        sig AS (
             SELECT
                 doc_id,
                 MIN(md5(word || '#0')) AS h0,
                 MIN(md5(word || '#1')) AS h1,
                 MIN(md5(word || '#2')) AS h2,
                 MIN(md5(word || '#3')) AS h3
-            FROM (
-                SELECT doc_id,
-                       unnest(list_distinct(string_split(trim(text), ' '))) AS word
-                FROM documents
-            )
+            FROM sh
             GROUP BY doc_id
         ),
         banded AS (
