@@ -58,6 +58,28 @@ def write_bigquery(
     df.write.format("bigquery").option("table", table).mode(mode).save()
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-bucketed by join/agg key).
+
+    The co-location contract at scale: two tables bucketed on the same key
+    with the same bucket count join WITHOUT a shuffle (SortMergeJoin reads
+    matching buckets directly), and groupBy on the bucket key skips the
+    exchange. For repeatedly-joined fact tables this converts the dominant
+    per-query shuffle into a one-time write-side cost.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
 def create_table_if_not_exists(
     spark: SparkSession, name: str, ddl_columns: str, location: str | None = None
 ) -> None:

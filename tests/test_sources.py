@@ -1,0 +1,88 @@
+"""Reader/validation tests (SURVEY.md §2.1-§2.2): wrapped-JSON unwrap,
+NDJSON with FAILFAST (the pydantic role), bad-row side channel."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+
+import pytest
+
+from telecom_competitor_analysis_spark.schemas import RAW_PRODUCT
+from telecom_competitor_analysis_spark.sources.readers import (
+    read_ndjson,
+    read_wrapped_json,
+)
+
+ROWS = [
+    {
+        "product_name": "mobile_prepaid_data_15_gb",
+        "competitor_name": "mobileviking",
+        "product_category": "mobile_prepaid",
+        "product_url": "http://v/p1",
+        "price": 15.0,
+        "scraped_at": "2023-11-01",
+        "data": 15.0,
+        "minutes": -1.0,
+        "sms": -1,
+        "upload_speed": None,
+        "download_speed": None,
+    },
+    {
+        "product_name": "fast_internet",
+        "competitor_name": "mobileviking",
+        "product_category": "internet_subscription",
+        "product_url": "http://v/i1",
+        "price": 50.0,
+        "scraped_at": "2023-11-01",
+        "data": -1.0,
+        "minutes": None,
+        "sms": None,
+        "upload_speed": "1gbps",
+        "download_speed": "100mbps",
+    },
+]
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="src_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_wrapped_json_unwrap(spark, tmpdir):
+    """The reference's `{"products": [...]}` document shape
+    (reference dags/transform.py:32-49)."""
+    path = f"{tmpdir}/mobileviking_products.json"
+    with open(path, "w") as f:
+        json.dump({"products": ROWS}, f, indent=2)  # pretty JSON, multiline
+    df = read_wrapped_json(spark, path, "products", RAW_PRODUCT)
+    assert df.count() == 2
+    got = {r.product_name: r for r in df.collect()}
+    assert got["fast_internet"].upload_speed == "1gbps"
+    assert got["mobile_prepaid_data_15_gb"].sms == -1
+
+
+def test_ndjson_roundtrip_failfast(spark, tmpdir):
+    path = f"{tmpdir}/products.ndjson"
+    with open(path, "w") as f:
+        for r in ROWS:
+            f.write(json.dumps(r) + "\n")
+    df = read_ndjson(spark, path, RAW_PRODUCT, fail_fast=True)
+    assert df.count() == 2
+
+
+def test_ndjson_failfast_aborts_on_garbage(spark, tmpdir):
+    """FAILFAST = the pydantic abort-on-violation semantics
+    (reference dags/data_model.py:27-37)."""
+    path = f"{tmpdir}/bad.ndjson"
+    with open(path, "w") as f:
+        f.write(json.dumps(ROWS[0]) + "\n")
+        f.write("{not json at all\n")
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_ndjson(spark, path, RAW_PRODUCT, fail_fast=True).count()
+    # permissive mode: the bad row surfaces as nulls instead of aborting
+    ok = read_ndjson(spark, path, RAW_PRODUCT, fail_fast=False)
+    assert ok.count() == 2
