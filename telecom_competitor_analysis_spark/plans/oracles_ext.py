@@ -196,6 +196,50 @@ EXT_ORACLES: dict[str, str] = {
         WHERE c.vec_id != q.vec_id
         QUALIFY rank <= 10
     """,
+    "q_embedding_dup": """
+        SELECT
+            a.label,
+            a.vec_id AS id_a,
+            b.vec_id AS id_b,
+            round(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.5
+    """,
+    "q_range_join": """
+        SELECT
+            p.event_id AS purchase_id,
+            p.user_id,
+            COUNT(c.c_ts) AS n_clicks_1h
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id AS c_user_id, ts AS c_ts FROM events
+                   WHERE event_type = 'click') c
+          ON c.c_user_id = p.user_id
+         AND c.c_ts <= p.ts
+         AND c.c_ts >= p.ts - INTERVAL 1 HOUR
+        GROUP BY p.event_id, p.user_id
+    """,
+    "q_string_agg": """
+        SELECT
+            user_id,
+            string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                AS event_types
+        FROM events
+        GROUP BY user_id
+    """,
+    "q_median": """
+        SELECT
+            event_type,
+            median(value) AS median_value,
+            COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
     "q_multimodal_meta": """
         SELECT
             doc_id AS media_id,

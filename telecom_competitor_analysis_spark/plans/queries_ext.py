@@ -181,7 +181,88 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decode_media(media), every_nth=2)
 
 
+def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, label-blocked (candidates only
+    within the same label bucket — the blocking key bounds pair volume the
+    way LSH bands do; at scale the bucket key would itself be an LSH
+    signature). Emits pairs with cosine ≥ 0.5."""
+    from telecom_competitor_analysis_spark.operators.similarity import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+    )
+    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= 0.5)
+        .select("label", "id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_r"))
+    )
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join, scalable formulation: equi-join on the coarse key
+    (user_id) + residual range predicate — never a nested-loop over the
+    corpus. For each purchase, count same-user clicks in the preceding
+    hour."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("c_ts")
+    )
+    # range predicate INSIDE the join condition: purchases with zero
+    # in-window clicks survive as unmatched left rows (count 0)
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return (
+        joined.groupBy("purchase_id", "user_id")
+        .agg(F.count(F.col("c_ts")).alias("n_clicks_1h"))
+    )
+
+
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic string aggregation: per user, the sorted distinct
+    event types joined with ','. (collect_set order is nondeterministic —
+    always sort before joining.)"""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set(F.col("event_type"))), ","
+        ).alias("event_types")
+    )
+
+
+def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median per group (both engines interpolate the middle pair
+    identically on doubles)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.median(F.col("value")).alias("median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_embedding_dup": q_embedding_dup,
+    "q_range_join": q_range_join,
+    "q_string_agg": q_string_agg,
+    "q_median": q_median,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash": q_minhash,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
