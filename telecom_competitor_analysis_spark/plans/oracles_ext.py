@@ -240,6 +240,37 @@ EXT_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q_sessionize": """
+        WITH flagged AS (
+            SELECT
+                user_id,
+                ts,
+                event_id,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                          > 1800 * 1000000
+                     THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ),
+        sessions AS (
+            SELECT
+                user_id,
+                ts,
+                SUM(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                ) AS session_idx
+            FROM flagged
+        )
+        SELECT
+            user_id,
+            session_idx,
+            COUNT(*) AS n_events,
+            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+        FROM sessions
+        GROUP BY user_id, session_idx
+    """,
     "q_multimodal_meta": """
         SELECT
             doc_id AS media_id,
