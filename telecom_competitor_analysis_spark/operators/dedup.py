@@ -81,6 +81,31 @@ def shingles(text: Column, w: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, w: int = 3
+) -> DataFrame:
+    """(id, shingle) rows via posexplode + window lead — the codegen'd
+    formulation. The interpreted higher-order-function variant (shingles()
+    + explode) allocated heavily and ran 2-6× slower with GC-driven
+    variance; this one is a stable single window pass whose doc-id
+    partitioning is reused by any downstream per-doc groupBy (no second
+    shuffle)."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.trim(F.col(text_col)))).alias("pos", "w"),
+    )
+    parts = ["w"] + [F.lead("w", j).over(win) for j in range(1, w)]
+    guard = F.lead("w", w - 1).over(win)
+    return toks.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("word"),
+        guard.alias("__guard"),
+    ).filter(F.col("__guard").isNotNull()).drop("__guard")
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -101,14 +126,14 @@ def minhash_signature(
     shingle-level produces only true near-dups). ``shingle_w=1`` recovers
     word-level behavior."""
     df = _ensure_parallelism(df)
-    toks = (
-        F.array_distinct(shingles(F.col(text_col), shingle_w))
+    # no distinct pass: MIN over duplicates equals MIN over the set
+    tokens = (
+        shingle_rows(df, id_col, text_col, shingle_w)
         if shingle_w > 1
-        else F.array_distinct(words(F.trim(F.col(text_col))))
-    )
-    tokens = df.select(
-        F.col(id_col),
-        F.explode(toks).alias("word"),
+        else df.select(
+            F.col(id_col),
+            F.explode(words(F.trim(F.col(text_col)))).alias("word"),
+        )
     )
     aggs = [
         F.min(F.md5(F.concat(F.col("word"), F.lit(f"#{i}")))).alias(f"h{i}")
@@ -219,9 +244,10 @@ def shingle_jaccard_pairs(
     """Near-dup pairs by exact Jaccard over distinct w-shingles, candidates
     from an inverted-index join on shingles (only docs sharing ≥1 shingle
     are ever paired). Returns (id_a, id_b, n_shared, n_a, n_b, jaccard)."""
-    toks = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), w))).alias("sh"),
+    toks = (
+        shingle_rows(_ensure_parallelism(df), id_col, text_col, w)
+        .select(F.col(id_col).alias("id"), F.col("word").alias("sh"))
+        .distinct()
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = toks.alias("a")
