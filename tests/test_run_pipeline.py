@@ -1,0 +1,67 @@
+"""Full medallion run over bronze fixture documents: first run populates
+gold, re-run appends nothing (idempotent), day-2 bronze appends only the
+true deltas. Exercises wrapped-JSON source → clean → merge → partitioned
+parquet gold end-to-end on disk."""
+
+from __future__ import annotations
+
+import json
+import shutil
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from telecom_competitor_analysis_spark.jobs.run_pipeline import run
+from tests.test_pipeline import DAY1, DAY2
+
+COLS = [
+    "product_name", "competitor_name", "product_category", "product_url",
+    "price", "scraped_at", "data", "minutes", "sms", "upload_speed",
+    "download_speed",
+]
+
+
+def _write_bronze(bronze: str, rows: list[tuple]) -> None:
+    by_comp: dict[str, list[dict]] = {}
+    for row in rows:
+        rec = dict(zip(COLS, row))
+        by_comp.setdefault(rec["competitor_name"], []).append(rec)
+    for comp, recs in by_comp.items():
+        with open(f"{bronze}/{comp}_products.json", "w") as f:
+            json.dump({"products": recs}, f, indent=2)
+
+
+@pytest.fixture()
+def dirs():
+    root = tempfile.mkdtemp(prefix="medallion_")
+    paths = {n: f"{root}/{n}" for n in ("bronze", "silver", "gold")}
+    for p in paths.values():
+        Path(p).mkdir()
+    yield paths
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_medallion_end_to_end(spark, dirs):
+    _write_bronze(dirs["bronze"], DAY1)
+    first = run(spark, dirs["bronze"], dirs["silver"], dirs["gold"])
+    assert first["products"] == 3 and first["features"] == 3
+    assert first["product_prices"] == 3 and first["competitors"] == 2
+
+    # idempotent: same bronze again → zero appends everywhere
+    second = run(spark, dirs["bronze"], dirs["silver"], dirs["gold"])
+    assert all(v == 0 for k, v in second.items())
+
+    # day 2: only true deltas append
+    _write_bronze(dirs["bronze"], DAY2)
+    third = run(spark, dirs["bronze"], dirs["silver"], dirs["gold"])
+    assert third["competitors"] == 0
+    assert third["products"] == 1          # one brand-new product
+    assert third["features"] == 2          # changed feature + new product
+    assert third["product_prices"] == 3    # price change + new feature + new product
+
+    # gold is real partitioned parquet on disk
+    prices = spark.read.parquet(f"{dirs['gold']}/product_prices")
+    assert prices.count() == 6
+    logs = spark.read.parquet(f"{dirs['gold']}/logs")
+    assert logs.filter("status = 'success'").count() == 3
