@@ -1,0 +1,69 @@
+"""Sink + DDL + ingest-validation coverage (SURVEY.md §2.1 S5/S9, §2.2 P6)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+
+from telecom_competitor_analysis_spark.schemas import RAW_LOG, RAW_PRODUCT
+from telecom_competitor_analysis_spark.sources.ingest import (
+    ValidationError,
+    ingest_rows,
+    validate_required,
+)
+from telecom_competitor_analysis_spark.sources.readers import read_ndjson
+from telecom_competitor_analysis_spark.sources.writers import (
+    create_table_if_not_exists,
+    write_bigquery,
+    write_json,
+)
+from tests.test_sources import ROWS
+
+
+def test_json_sink_roundtrip(spark):
+    tmp = tempfile.mkdtemp(prefix="sink_")
+    try:
+        df = spark.createDataFrame([tuple(r.values()) for r in ROWS], RAW_PRODUCT)
+        write_json(df, f"{tmp}/products", single_file=True)
+        back = read_ndjson(spark, f"{tmp}/products", RAW_PRODUCT)
+        assert back.count() == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_idempotent_ddl(spark):
+    create_table_if_not_exists(spark, "logs_t", "competitor_name STRING, status STRING")
+    create_table_if_not_exists(spark, "logs_t", "competitor_name STRING, status STRING")
+    assert spark.catalog.tableExists("logs_t")
+    spark.sql("DROP TABLE logs_t")
+
+
+def test_bigquery_sink_gated(spark):
+    df = spark.createDataFrame([("x", "ok")], "a string, b string")
+    with pytest.raises(RuntimeError, match="disabled"):
+        write_bigquery(df, "proj.ds.t")
+
+
+def test_ingest_validation(spark):
+    good = ingest_rows(spark, [
+        {"competitor_name": "mobileviking", "scraped_at": "2023-11-01",
+         "error_details": "no error", "status": "success"},
+    ], RAW_LOG)
+    assert validate_required(good, RAW_LOG).count() == 1
+
+    # typed ingest already rejects nulls in non-nullable fields at the edge
+    with pytest.raises(Exception, match="(?i)null"):
+        ingest_rows(spark, [
+            {"competitor_name": None, "scraped_at": "2023-11-01",
+             "error_details": None, "status": None},
+        ], RAW_LOG)
+
+    # validate_required catches violations arriving via permissive readers
+    bad = spark.createDataFrame(
+        [(None, "2023-11-01", None, None)],
+        "competitor_name string, scraped_at string, error_details string, status string",
+    )
+    with pytest.raises(ValidationError, match="competitor_name"):
+        validate_required(bad, RAW_LOG)
