@@ -40,12 +40,15 @@ def convert_speed(col: Column) -> Column:
 def unlimited_to_float(col: Column) -> Column:
     """F2 — sentinel map (reference dags/utils.py:31-32).
 
-    'unlimited' (any case) → -1.0; otherwise cast to double (null on
-    non-numeric garbage rather than raising — Spark cast semantics).
+    'unlimited' (any case) → -1.0; otherwise cast to double — try_cast,
+    because under ANSI mode (Spark 4 default) a plain cast THROWS on
+    malformed input; null-on-garbage is the cleaning-layer contract here.
+    (The reference's ``float(s)`` would raise and fail the whole task —
+    callers wanting that behavior validate separately via sources.ingest.)
     """
     s = F.trim(col.cast("string"))
     return F.when(F.lower(s) == "unlimited", F.lit(UNLIMITED)).otherwise(
-        s.cast("double")
+        s.try_cast("double")
     )
 
 
@@ -67,7 +70,7 @@ def first_number(col: Column) -> Column:
     dags/scarlet_scraper.py:128 price ``re.findall(r'€(\\d+)')[0]``).
     No match → null."""
     got = F.regexp_extract(col.cast("string"), r"(\d+)", 1)
-    return F.nullif(got, F.lit("")).cast("long")
+    return F.nullif(got, F.lit("")).try_cast("long")  # overflow → null (ANSI-safe)
 
 
 def digits_only(col: Column) -> Column:
@@ -75,7 +78,7 @@ def digits_only(col: Column) -> Column:
     dags/scarlet_scraper.py:238-244 ``''.join(filter(str.isdigit, s))``).
     Empty result → null."""
     stripped = F.regexp_replace(col.cast("string"), r"[^0-9]", "")
-    return F.nullif(stripped, F.lit("")).cast("long")
+    return F.nullif(stripped, F.lit("")).try_cast("long")  # overflow → null (ANSI-safe)
 
 
 def ascii_strip(col: Column) -> Column:

@@ -337,6 +337,24 @@ ORACLES: dict[str, str] = {
         )
         GROUP BY word
     """,
+    "q_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_totalprice_cents
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "q_scalar_subquery": """
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+        FROM orders
+        WHERE CAST(round(o_totalprice * 100) AS BIGINT) > (
+            SELECT CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders
+        )
+    """,
 }
 
 from telecom_competitor_analysis_spark.plans.oracles_ext import EXT_ORACLES  # noqa: E402

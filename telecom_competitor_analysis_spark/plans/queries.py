@@ -577,6 +577,58 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    priority, and grand total — three grouping sets, one pass."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.withColumn(
+        "totalprice_cents", _cents(F.col("o_totalprice"))
+    ).createOrReplaceTempView("orders_cents")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               SUM(totalprice_cents) AS sum_totalprice_cents
+        FROM orders_cents
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate: orders above the global average price.
+    The global aggregate is one row → broadcast into the filter; the fact
+    side streams (no shuffle)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "totalprice_cents", _cents(F.col("o_totalprice"))
+    )
+    avg_cents = orders.agg(
+        (F.sum("totalprice_cents").cast("double") / F.count(F.lit(1))).alias(
+            "avg_cents"
+        )
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_cents))
+        .filter(F.col("totalprice_cents") > F.col("avg_cents"))
+        .select("o_orderkey", "totalprice_cents")
+    )
+
+
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (rows-only: sketch estimates are
+    engine-specific). The 100 TB path for percentiles — fixed-size state,
+    mergeable across partitions."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_percentile(F.col("value"), F.lit(0.5), F.lit(1000)).alias(
+            "p50_est"
+        ),
+        F.approx_percentile(F.col("value"), F.lit(0.95), F.lit(1000)).alias(
+            "p95_est"
+        ),
+    )
+
+
 def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array explode + re-aggregate: corpus word frequencies over
     documents (split → explode → groupBy). Map-side partial counts keep
@@ -626,6 +678,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_asof_join": q_asof_join,
     "q_explode": q_explode,
+    "q_grouping_sets": q_grouping_sets,
+    "q_scalar_subquery": q_scalar_subquery,
+    "q_approx_quantile": q_approx_quantile,
 }
 
 # extension surface (training-data pipeline operators)
