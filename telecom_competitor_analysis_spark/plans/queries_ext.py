@@ -258,6 +258,37 @@ def q_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stock-library alternative: pyspark.ml.feature.MinHashLSH over a
+    HashingTF shingle vector (rows-only: the ML hash family is seeded
+    JVM-side, not oracle-reproducible). Kept alongside the native
+    implementation to show both the hand-rolled portable path (q_minhash)
+    and the library path; approxSimilarityJoin is the built-in candidate
+    generator."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    from telecom_competitor_analysis_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .groupBy("doc_id")
+        .agg(F.collect_list("word").alias("shingles"))
+    )
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.8, distCol="jaccard_dist")
+    return pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("id_a"),
+        F.col("datasetB.doc_id").alias("id_b"),
+        F.round(F.col("jaccard_dist"), 6).alias("jaccard_dist"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) as pure window algebra:
     lag → new-session flag → running sum = session index. One shuffle on
@@ -294,6 +325,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
+    "q_minhash_ml": q_minhash_ml,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
     "q_string_agg": q_string_agg,
