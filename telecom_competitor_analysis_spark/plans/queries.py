@@ -189,8 +189,14 @@ def q_star_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1+F12 — star-schema split with FK wiring (reference
     dags/bigquery.py:175-220). The price-fact branch over lineitem:
     content-addressed feature/price keys exactly as operators/star.py wires
-    them. Map-only (keys are hashes of row content — no joins needed)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    them. Map-only (keys are hashes of row content — no joins needed);
+    under-split local scans get re-parallelized (sha256 ×2 per row is
+    compute-bound)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    li = _ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     feature_uuid = surrogate_key(
         F.col("l_partkey"),
         F.col("l_suppkey"),
