@@ -111,6 +111,89 @@ def hyperplane_sign_bucket(
     return F.concat(*bits)
 
 
+def ivf_assign(
+    df: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its nearest anchor
+    (max dot product; anchors broadcast). Deterministic — anchors are data
+    rows, not a fitted model; ties break on lowest anchor id. Adds a
+    ``bucket`` column."""
+    scored = df.crossJoin(F.broadcast(anchors)).withColumn(
+        "__score", _dot(F.col(vec_col), F.col(anchor_vec_col))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__score").desc(), F.col(anchor_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*df.columns, F.col(anchor_id_col).alias("bucket"))
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_anchors: int = 16,
+) -> DataFrame:
+    """IVF approximate top-k (nprobe=1): quantize corpus and queries
+    against ``n_anchors`` anchor vectors (the lowest-id corpus vectors —
+    deterministic, no training step), score only within the query's
+    bucket. The 100 TB path alternative to random-hyperplane LSH: bucket
+    count tunes the candidate fraction to ~1/n_anchors."""
+    anchors = F.broadcast(
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_anchors)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("anchor_vec"),
+        )
+    )
+    c = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        ),
+        anchors,
+        "neighbor_id",
+        "c_vec",
+    )
+    q = F.broadcast(
+        ivf_assign(
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            ),
+            anchors,
+            "query_id",
+            "q_vec",
+        )
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

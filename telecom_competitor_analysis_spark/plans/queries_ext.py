@@ -155,6 +155,17 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- multimodal ----------------------------------------------------------
 
 
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (anchor-quantized buckets, nprobe=1) — the
+    second scale path next to hyperplane LSH. Rows-only: approximate
+    recall is engine-defined."""
+    from telecom_competitor_analysis_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_anchors=8)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata path: opaque binary payload + typed metadata;
     this query reads ONLY metadata (column pruning keeps the bytes out of
@@ -341,6 +352,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_embedding_topk": q_embedding_topk,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
     "q_frame_sample": q_frame_sample,
