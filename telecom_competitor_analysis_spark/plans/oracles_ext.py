@@ -256,10 +256,10 @@ EXT_ORACLES: dict[str, str] = {
             SELECT
                 user_id,
                 ts,
-                SUM(new_session) OVER (
+                CAST(SUM(new_session) OVER (
                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                ) AS session_idx
+                ) AS BIGINT) AS session_idx
             FROM flagged
         )
         SELECT

@@ -444,10 +444,10 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.row_number().over(w).alias("rn"),
+        F.row_number().over(w).cast("long").alias("rn"),
         F.lag("value").over(w).alias("prev_value"),
         F.lead("value").over(w).alias("next_value"),
-        F.rank().over(w_val).alias("value_rank"),
+        F.rank().over(w_val).cast("long").alias("value_rank"),
         F.max("value").over(running).alias("running_max"),
     )
 

@@ -69,6 +69,45 @@ def test_tumbling_stats_stream_equals_batch(spark, sf_dir, events_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
 
+def test_checkpoint_recovery_exactly_once(spark, events_dir):
+    """Exactly-once across restarts: two runs sharing a checkpoint process
+    each input file exactly once — the streaming form of the reference's
+    idempotent re-runs (batch polling, SURVEY.md §2.9)."""
+    src_dir = tempfile.mkdtemp(prefix="ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    out = tempfile.mkdtemp(prefix="ckpt_out_")
+    try:
+        full = spark.read.parquet(events_dir)
+        first_half = full.filter("event_id % 2 = 0")
+        second_half = full.filter("event_id % 2 = 1")
+        first_half.write.mode("append").parquet(src_dir)
+
+        def run_once():
+            q = (
+                stream_events(spark, src_dir, fmt="parquet")
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_once()
+        assert spark.read.parquet(out).count() == first_half.count()
+
+        # "restart": new files arrive, same checkpoint → only deltas process
+        second_half.write.mode("append").parquet(src_dir)
+        run_once()
+        got = spark.read.parquet(out)
+        assert got.count() == full.count()
+        assert got.select("event_id").distinct().count() == full.count()
+    finally:
+        for d in (src_dir, ckpt, out):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_streaming_dedup_drops_duplicates(spark, events_dir):
     """Write the same events twice (simulating a re-delivered batch) —
     dedup on event_id must emit each exactly once."""
