@@ -345,6 +345,59 @@ ORACLES: dict[str, str] = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
+    "q_outer_join": """
+        WITH c AS (
+            SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+            FROM customer GROUP BY 1
+        ),
+        s AS (
+            SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY 1
+        )
+        SELECT
+            COALESCE(c.nationkey, s.nationkey) AS nationkey,
+            COALESCE(c.n_customers, 0) AS n_customers,
+            COALESCE(s.n_suppliers, 0) AS n_suppliers
+        FROM c FULL OUTER JOIN s USING (nationkey)
+    """,
+    "q_date_arith": """
+        SELECT
+            o_orderkey,
+            strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS deadline,
+            CAST(year(o_orderdate) AS BIGINT) AS order_year,
+            CAST(month(o_orderdate) AS BIGINT) AS order_month_num,
+            CAST(datediff('day', DATE '1995-01-01', o_orderdate::DATE) AS BIGINT)
+                AS days_since_1995
+        FROM orders
+    """,
+    "q_max_by": """
+        WITH ranked AS (
+            SELECT
+                event_type, event_id, value,
+                row_number() OVER (
+                    PARTITION BY event_type
+                    ORDER BY value DESC, event_id DESC
+                ) AS rn,
+                MAX(value) OVER (PARTITION BY event_type) AS max_value
+            FROM events
+        )
+        SELECT event_type, event_id AS top_event_id, max_value
+        FROM ranked WHERE rn = 1
+    """,
+    "q_revenue_topk": """
+        SELECT
+            l.l_orderkey AS o_orderkey,
+            strftime(o.o_orderdate, '%Y-%m-%d') AS order_day,
+            CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                          AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue_cents DESC, o_orderkey ASC
+        LIMIT 10
+    """,
     "q_scalar_subquery": """
         SELECT o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents

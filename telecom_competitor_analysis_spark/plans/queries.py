@@ -583,6 +583,85 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: per-nation customer vs supplier counts, nations
+    present on either side (null-filled on the other)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return cust.join(supp, on="nationkey", how="full_outer").select(
+        "nationkey",
+        F.coalesce(F.col("n_customers"), F.lit(0)).alias("n_customers"),
+        F.coalesce(F.col("n_suppliers"), F.lit(0)).alias("n_suppliers"),
+    )
+
+
+def q_date_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic: +30 days deadline, year/month extraction,
+    day-difference to a fixed epoch. (Day-of-week deliberately via an
+    aligned expression — engines disagree on week-start conventions.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "yyyy-MM-dd"
+        ).alias("deadline"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month_num"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("long").alias("days_since_1995"),
+    )
+
+
+def q_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / arg_max: per event_type, the event carrying the maximum
+    (value, event_id) — the struct ordering makes the winner unique, so
+    the answer is deterministic even under value ties."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.max_by(
+            F.col("event_id"), F.struct(F.col("value"), F.col("event_id"))
+        ).alias("top_event_id"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join: BUILDING-segment customers ⋈ orders ⋈
+    lineitem, revenue per order in exact cents, top 10. Catalyst orders
+    the joins; the dim side broadcasts; TakeOrderedAndProject caps the
+    sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    joined = li.join(orders, on="o_orderkey").join(
+        F.broadcast(cust), on="o_custkey"
+    )
+    return (
+        joined.groupBy("o_orderkey", "order_day")
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
     priority, and grand total — three grouping sets, one pass."""
@@ -687,6 +766,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_grouping_sets": q_grouping_sets,
     "q_scalar_subquery": q_scalar_subquery,
     "q_approx_quantile": q_approx_quantile,
+    "q_outer_join": q_outer_join,
+    "q_date_arith": q_date_arith,
+    "q_max_by": q_max_by,
+    "q_revenue_topk": q_revenue_topk,
 }
 
 # extension surface (training-data pipeline operators)
