@@ -108,6 +108,63 @@ def test_checkpoint_recovery_exactly_once(spark, events_dir):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_stream_interval_join(spark, sf_dir, events_dir):
+    """Stream-stream inner join with watermarks + interval bound
+    (purchase ⋈ clicks within the preceding hour, per user) must produce
+    exactly the batch join's pairs on a bounded input."""
+    from pyspark.sql import functions as F
+
+    ev = lambda: stream_events(spark, events_dir, fmt="parquet")  # noqa: E731
+    purchases = (
+        ev()
+        .filter("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev()
+        .filter("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    got = _run_to_memory(spark, joined, "ss_join", "append")
+
+    batch_events = spark.read.parquet(events_dir)
+    bp = batch_events.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    bc = batch_events.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    want = bp.join(
+        bc,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("purchase_id", "click_id")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
 def test_streaming_dedup_drops_duplicates(spark, events_dir):
     """Write the same events twice (simulating a re-delivered batch) —
     dedup on event_id must emit each exactly once."""
