@@ -16,7 +16,6 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.functions.keys import surrogate_key
 

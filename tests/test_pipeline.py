@@ -4,9 +4,7 @@ the reference's first-vs-latest change-detection quirk (SURVEY.md §2.5)."""
 
 from __future__ import annotations
 
-import pytest
 
-from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.jobs.clean import clean_products
 from telecom_competitor_analysis_spark.jobs.load import (

@@ -8,7 +8,6 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-import pytest
 
 from pyspark.sql import functions as F
 

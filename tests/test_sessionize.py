@@ -8,7 +8,6 @@ from __future__ import annotations
 import shutil
 import tempfile
 
-import pytest
 
 from telecom_competitor_analysis_spark.plans.queries_ext import q_sessionize
 from telecom_competitor_analysis_spark.sources.readers import load_table
