@@ -398,6 +398,24 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue_cents DESC, o_orderkey ASC
         LIMIT 10
     """,
+    "q_histogram": """
+        SELECT
+            CAST(floor(value / 50) AS BIGINT) AS bucket,
+            COUNT(*) AS n
+        FROM events
+        GROUP BY 1
+    """,
+    "q_array_funcs": """
+        SELECT
+            doc_id,
+            array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+            list_contains(string_split(text, ' '), 'the') AS has_the,
+            CAST(COALESCE(list_position(string_split(text, ' '), 'spark'), 0)
+                 AS BIGINT) AS spark_pos,
+            CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                AS n_distinct
+        FROM documents
+    """,
     "q_scalar_subquery": """
         SELECT o_orderkey,
                CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents

@@ -662,6 +662,34 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value binning/histogram: fixed-width buckets over events.value —
+    floor arithmetic, exact counts (partial-aggregated)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "bucket", F.floor(F.col("value") / 50).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface: slice / contains / position / distinct size
+    over the tokenized documents (all codegen'd; arrays never leave the
+    JVM)."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(arr, 1, 3), " ").alias("first3"),
+        F.array_contains(arr, "the").alias("has_the"),
+        F.array_position(arr, "spark").cast("long").alias("spark_pos"),
+        F.size(F.array_distinct(arr)).cast("long").alias("n_distinct"),
+    )
+
+
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
     priority, and grand total — three grouping sets, one pass."""
@@ -768,6 +796,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_quantile": q_approx_quantile,
     "q_outer_join": q_outer_join,
     "q_date_arith": q_date_arith,
+    "q_histogram": q_histogram,
+    "q_array_funcs": q_array_funcs,
     "q_max_by": q_max_by,
     "q_revenue_topk": q_revenue_topk,
 }
