@@ -240,6 +240,85 @@ EXT_ORACLES: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q_corpus_curate": """
+        WITH scored AS (
+            SELECT
+                doc_id, text,
+                CASE
+                    WHEN len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('the','and','of','is'))) >=
+                         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('el','la','de','que')))
+                     AND len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('the','and','of','is'))) >=
+                         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('der','die','und','das')))
+                     AND len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('the','and','of','is'))) > 0
+                    THEN 'en'
+                    WHEN len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('el','la','de','que'))) >=
+                         len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('der','die','und','das')))
+                     AND len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('el','la','de','que'))) > 0
+                    THEN 'es'
+                    WHEN len(list_filter(string_split(lower(text), ' '),
+                         w -> w IN ('der','die','und','das'))) > 0
+                    THEN 'de'
+                    ELSE 'unknown'
+                END AS pred_lang,
+                len(string_split(text, ' '))::BIGINT AS n_words,
+                CAST(len(list_filter(string_split(text, ' '),
+                    w -> lower(w) IN ('the','a','of','and','to','in','is')))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE pred_lang = 'en' AND n_words BETWEEN 5 AND 10000
+              AND stop_ratio >= 0.0
+        ),
+        keepers AS (
+            SELECT doc_id, text, pred_lang, n_words FROM (
+                SELECT k.*,
+                       MIN(doc_id) OVER (PARTITION BY md5(trim(text))) AS keeper
+                FROM kept k
+            ) WHERE doc_id = keeper
+        ),
+        t AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM keepers),
+        sh AS (
+            SELECT DISTINCT t.doc_id,
+                   arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+            FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        drops AS (
+            SELECT DISTINCT id_b AS doc_id
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= 0.5
+        )
+        SELECT k.doc_id, k.pred_lang, k.n_words
+        FROM keepers k
+        LEFT JOIN drops d ON d.doc_id = k.doc_id
+        WHERE d.doc_id IS NULL
+    """,
+    "q_train_test_split": """
+        SELECT
+            lang,
+            CASE WHEN substr(md5(doc_id::VARCHAR || '|split'), 1, 2) < 'cd'
+                 THEN 'train' ELSE 'test' END AS split,
+            COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
     "q_sessionize": """
         WITH flagged AS (
             SELECT

@@ -300,6 +300,34 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite curation pipeline: language filter → word-count
+    quality gate → exact dedup (min-id keeper) → shingle-Jaccard near-dup
+    drop (higher id of each ≥0.5 pair). The flagship training-data
+    operation; fully deterministic, hence oracle-checkable end-to-end."""
+    from telecom_competitor_analysis_spark.operators.curate import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_words=5, max_words=10_000, near_dup_threshold=0.5
+    )
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based split assignment (~80/20 by first md5
+    byte), counted per (lang, split). Stable under re-runs and
+    reshuffling — the splitting primitive a 100 TB pipeline needs (no
+    sampling state, no coordination)."""
+    from telecom_competitor_analysis_spark.operators.curate import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("split", hash_split(F.col("doc_id")))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) as pure window algebra:
     lag → new-session flag → running sum = session index. One shuffle on
@@ -337,6 +365,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_minhash_ml": q_minhash_ml,
+    "q_corpus_curate": q_corpus_curate,
+    "q_train_test_split": q_train_test_split,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
     "q_string_agg": q_string_agg,
