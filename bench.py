@@ -36,6 +36,9 @@ HEADLINE = [
     "q_minhash_lsh_pairs",
     "q_text_stats",
     "q_embedding_topk",
+    "q_revenue_topk",
+    "q_sessionize",
+    "q_corpus_curate",
 ]
 
 

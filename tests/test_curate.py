@@ -1,0 +1,44 @@
+"""Curation behavior on planted fixtures: each stage must drop exactly
+what it claims (wrong language, too short, exact dup, near dup) and keep
+deterministic winners."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.operators.curate import (
+    curate_corpus,
+    hash_split,
+)
+
+EN = ("the quick brown fox jumps over the lazy dog and runs far away today")
+EN_NEAR = ("the quick brown fox jumps over the lazy dog and runs far away now")
+DE = "der die und das der die und das der die und das"
+SHORT = "the end"
+
+
+def test_curate_stages(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, EN),       # keeper
+            (2, EN),       # exact dup of 1 → dropped (min-id rule)
+            (3, EN_NEAR),  # near dup of 1 (jaccard > 0.5) → dropped
+            (4, DE),       # wrong language → dropped
+            (5, SHORT),    # too short → dropped
+            (6, "the completely different document about spark and of the parquet files here"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r.doc_id for r in curate_corpus(docs, min_words=5).collect()}
+    assert kept == {1, 6}
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    df = spark.range(0, 2000).withColumn("split", hash_split(F.col("id")))
+    counts = {r.split: r["count"] for r in df.groupBy("split").count().collect()}
+    frac = counts["train"] / 2000
+    assert 0.75 < frac < 0.85  # 'cd'/0x100 ≈ 0.8 target
+    again = {r.split: r["count"] for r in
+             spark.range(0, 2000).withColumn("split", hash_split(F.col("id")))
+             .groupBy("split").count().collect()}
+    assert counts == again
