@@ -84,6 +84,82 @@ def curate_corpus(
     return survivors.select(id_col, "pred_lang", "n_words")
 
 
+def curate_incremental(
+    new_df: DataFrame,
+    prev_keepers: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_lang: str = "en",
+    min_words: int = 5,
+    max_words: int = 10_000,
+    near_dup_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental re-curation — the 100 TB path: only NEW documents are
+    scored; the existing keep-list is never re-curated. A new doc is kept
+    iff it (a) passes the scalar gates, (b) has a content digest absent
+    from the keep-list (anti-join), (c) is not a near-dup of any existing
+    keeper or an already-accepted new doc (inverted-index join against
+    keep-list ∪ new batch; among new-new pairs the lower id wins).
+
+    ``prev_keepers`` needs (id, text). Returns new keepers to append.
+    """
+    batch = curate_corpus(
+        new_df,
+        id_col,
+        text_col,
+        keep_lang,
+        min_words,
+        max_words,
+        near_dup_threshold=near_dup_threshold,
+    ).join(new_df.select(id_col, text_col), on=id_col)
+
+    # (b) digest-level: drop content already kept
+    prev_digests = prev_keepers.select(
+        F.md5(F.trim(F.col(text_col))).alias("__digest")
+    ).distinct()
+    fresh = batch.withColumn(
+        "__digest", F.md5(F.trim(F.col(text_col)))
+    ).join(prev_digests, on="__digest", how="left_anti").drop("__digest")
+
+    # (c) near-dup vs existing keepers: pair new docs against the
+    # keep-list only (new-vs-new handled inside curate_corpus above).
+    # Offsetting ids would be fragile; tag the side instead.
+    tagged = fresh.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
+    ).unionByName(
+        prev_keepers.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
+        )
+    )
+    pairs = shingle_jaccard_pairs(
+        tagged, id_col, text_col, w=3, threshold=near_dup_threshold
+    )
+    sides = tagged.select(F.col(id_col), F.col("__new"))
+    cross = (
+        pairs.join(
+            sides.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+                "__new", "a_new"
+            ),
+            on="id_a",
+        )
+        .join(
+            sides.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+                "__new", "b_new"
+            ),
+            on="id_b",
+        )
+        .filter(F.col("a_new") != F.col("b_new"))  # new-vs-old pairs only
+    )
+    drops = (
+        cross.select(
+            F.when(F.col("a_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
+        )
+    ).distinct()
+    return fresh.join(drops, on=id_col, how="left_anti").select(
+        id_col, "pred_lang", "n_words"
+    )
+
+
 def hash_split(
     id_col: Column, salt: str = "split", train_hex_bound: str = "cd"
 ) -> Column:

@@ -33,6 +33,31 @@ def test_curate_stages(spark):
     assert kept == {1, 6}
 
 
+def test_incremental_curation_only_admits_fresh(spark):
+    from telecom_competitor_analysis_spark.operators.curate import (
+        curate_incremental,
+    )
+
+    day1 = spark.createDataFrame(
+        [(1, EN), (6, "the completely different document about spark and of the parquet files here")],
+        "doc_id long, text string",
+    )
+    keepers = curate_corpus(day1, min_words=5).join(day1, on="doc_id").select(
+        "doc_id", "text"
+    )
+    day2 = spark.createDataFrame(
+        [
+            (10, EN),       # exact dup of keeper 1 → rejected (digest)
+            (11, EN_NEAR),  # near dup of keeper 1 → rejected (jaccard)
+            (12, "the fresh and of the totally unrelated corpus entry is about warehouse tables in the lake"),
+        ],
+        "doc_id long, text string",
+    )
+    admitted = {r.doc_id for r in
+                curate_incremental(day2, keepers, min_words=5).collect()}
+    assert admitted == {12}
+
+
 def test_hash_split_deterministic_and_balanced(spark):
     df = spark.range(0, 2000).withColumn("split", hash_split(F.col("id")))
     counts = {r.split: r["count"] for r in df.groupBy("split").count().collect()}
