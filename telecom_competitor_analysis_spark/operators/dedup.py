@@ -234,6 +234,64 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 10,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph (iterative
+    min-label propagation): cluster_id = min doc id reachable through
+    near-dup edges. The greedy pairwise drop keeps the lower id of each
+    PAIR; components give the transitively-correct cluster keeper.
+
+    Iterative algorithm, driver-side loop of Spark jobs (the sanctioned
+    shape for iteration — each step is a shuffle-joined plan, lineage
+    truncated per step via localCheckpoint). Converges in O(component
+    diameter) steps; near-dup components are tiny, so ``max_iters=10`` is
+    generous. Returns (id, cluster_id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint(eager=False)
+
+    for _ in range(max_iters):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("min_neighbor"))
+        )
+        new_labels = (
+            labels.join(msgs, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("min_neighbor"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (~F.col("cluster_id").eqNullSafe(
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("min_neighbor"), F.col("cluster_id")),
+                    )
+                )).alias("__changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels
+
+
 def shingle_jaccard_pairs(
     df: DataFrame,
     id_col: str,

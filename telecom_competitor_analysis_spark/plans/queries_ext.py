@@ -300,6 +300,23 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components (iterative min-label propagation over
+    the MinHash-LSH pair graph). Rows-only per the contract for iterative
+    algorithms; behavior pinned by tests/test_dedup.py on planted
+    clusters."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    return dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite curation pipeline: language filter → word-count
     quality gate → exact dedup (min-id keeper) → shingle-Jaccard near-dup
@@ -367,6 +384,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_train_test_split": q_train_test_split,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
     "q_string_agg": q_string_agg,

@@ -46,6 +46,20 @@ def test_simhash_near_dup_distance(spark):
     assert ham(sigs[1], sigs[3]) <= ham(sigs[1], sigs[4])  # near ≤ far
 
 
+def test_dedup_clusters_transitive(spark):
+    """A chain a-b, b-c must land in ONE cluster labeled by the min id —
+    the transitivity the greedy pairwise drop can't see."""
+    from telecom_competitor_analysis_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long")
+    got = {r.id: r.cluster_id
+           for r in dedup_clusters(pairs, vertices, "doc_id").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
 def test_shingle_jaccard_ranks_near_above_far(spark):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in
              shingle_jaccard_pairs(_docs(spark), "doc_id", "text",
