@@ -319,6 +319,65 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1, 2
     """,
+    "q_resample_daily": """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts)::DATE AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id,
+                   date_trunc('day', MIN(ts))::DATE AS d0,
+                   date_trunc('day', MAX(ts))::DATE AS d1
+            FROM events GROUP BY 1
+        ),
+        calendar AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM spans
+        )
+        SELECT
+            c.user_id,
+            strftime(c.day, '%Y-%m-%d') AS day,
+            CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+        FROM calendar c
+        LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+    """,
+    "q_moving_avg": """
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts)::DATE AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id,
+                   date_trunc('day', MIN(ts))::DATE AS d0,
+                   date_trunc('day', MAX(ts))::DATE AS d1
+            FROM events GROUP BY 1
+        ),
+        calendar AS (
+            SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+            FROM spans
+        ),
+        filled AS (
+            SELECT
+                c.user_id,
+                c.day,
+                CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+            FROM calendar c
+            LEFT JOIN daily d ON d.user_id = c.user_id AND d.day = c.day
+        )
+        SELECT
+            user_id,
+            strftime(day, '%Y-%m-%d') AS day,
+            n_events,
+            CAST(SUM(n_events) OVER w AS BIGINT) AS sum_7d,
+            CAST(SUM(n_events) OVER w AS DOUBLE) / COUNT(*) OVER w AS avg_7d
+        FROM filled
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY day
+            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+        )
+    """,
     "q_sessionize": """
         WITH flagged AS (
             SELECT

@@ -345,6 +345,63 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily event counts per user: the user's [min_day,
+    max_day] range materializes via sequence+explode, days without events
+    zero-fill. The sequence explode is per-user (bounded by the span), so
+    it scales with users×days, never with events²."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.groupBy(
+            "user_id", F.to_date(F.col("ts")).alias("day")
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    spans = events.groupBy("user_id").agg(
+        F.to_date(F.min("ts")).alias("d0"), F.to_date(F.max("ts")).alias("d1")
+    )
+    calendar = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    return calendar.join(daily, on=["user_id", "day"], how="left").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample/gap-fill: zero-filled daily activity per user
+    (sequence+explode calendar ⟕ daily counts)."""
+    return _daily_counts(spark, sf_dir)
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day trailing moving average over the gap-filled daily series —
+    window frame spec (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW); exact
+    integer sums divided once at the end."""
+    from pyspark.sql import Window
+
+    daily = _daily_counts(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w).alias("sum_7d"),
+        (
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("avg_7d"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization (30-min inactivity gap) as pure window algebra:
     lag → new-session flag → running sum = session index. One shuffle on
@@ -385,6 +442,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_curate": q_corpus_curate,
     "q_train_test_split": q_train_test_split,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_resample_daily": q_resample_daily,
+    "q_moving_avg": q_moving_avg,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
     "q_string_agg": q_string_agg,
