@@ -20,7 +20,11 @@ from telecom_competitor_analysis_spark.streaming.sessionize import (
 def test_stateful_sessionizer_matches_batch(spark, sf_dir):
     tmp = tempfile.mkdtemp(prefix="sess_")
     try:
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+        # subset of users: state-store overhead is per-group; 60 groups
+        # exercise the same code paths at a third of the wall-clock
+        load_table(spark, sf_dir, "events").filter(
+            "user_id < 60"
+        ).write.mode("overwrite").parquet(tmp)
         stream = sessionize_stream(stream_events(spark, tmp, fmt="parquet"))
         q = (
             stream.writeStream.format("memory")
@@ -38,7 +42,9 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
         }
         batch_sessions = {
             (r.user_id, r.session_idx): r.n_events
-            for r in q_sessionize(spark, sf_dir).collect()
+            for r in q_sessionize(spark, sf_dir)
+            .filter("user_id < 60")
+            .collect()
         }
         assert stream_sessions == batch_sessions
     finally:
