@@ -89,7 +89,10 @@ def _sessionize_group(
         end_us = t
 
     state.update((idx, n, start_us, end_us))
-    state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    try:
+        state.setTimeoutDuration(SESSION_GAP_SECONDS * 1000)
+    except Exception:
+        pass  # NoTimeout configuration (bounded availableNow runs)
 
     # emit the open session's running snapshot (closed=False) plus any
     # sessions closed within this batch
@@ -110,13 +113,20 @@ def _sessionize_group(
     )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, timeout_conf: str | None = None
+) -> DataFrame:
     """Apply the stateful sessionizer to a streaming events DataFrame
-    (schema: streaming.incremental.EVENT_SCHEMA). Output mode: update."""
+    (schema: streaming.incremental.EVENT_SCHEMA). Output mode: update.
+
+    ``timeout_conf`` defaults to ProcessingTimeTimeout (production: quiet
+    sessions flush via the timeout). Pass GroupStateTimeout.NoTimeout for
+    bounded availableNow runs — pending timers otherwise keep the query
+    alive past the data (timer batches never drain)."""
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf or GroupStateTimeout.ProcessingTimeTimeout,
     )

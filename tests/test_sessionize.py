@@ -25,7 +25,12 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
         load_table(spark, sf_dir, "events").filter(
             "user_id < 60"
         ).write.mode("overwrite").parquet(tmp)
-        stream = sessionize_stream(stream_events(spark, tmp, fmt="parquet"))
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        stream = sessionize_stream(
+            stream_events(spark, tmp, fmt="parquet"),
+            timeout_conf=GroupStateTimeout.NoTimeout,
+        )
         q = (
             stream.writeStream.format("memory")
             .queryName("sessions_stream")
@@ -34,6 +39,7 @@ def test_stateful_sessionizer_matches_batch(spark, sf_dir):
             .start()
         )
         q.awaitTermination(180)
+        q.stop()
         got = spark.table("sessions_stream")
         # one batch → every session appears exactly once (closed sessions
         # emitted at the gap, the trailing open session as closed=False)
