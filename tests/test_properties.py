@@ -48,15 +48,16 @@ def _model_convert_speed(v):
 
 
 def _model_unlimited(v):
+    # ASCII numeric forms only — Spark's cast rejects unicode digits that
+    # Python's float() accepts (e.g. '٣')
     if v is None:
         return None
     s = str(v).strip()
     if s.lower() == "unlimited":
         return -1.0
-    try:
+    if re.fullmatch(r"[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?", s):
         return float(s)
-    except ValueError:
-        return None
+    return None
 
 
 def _model_digits(v):
