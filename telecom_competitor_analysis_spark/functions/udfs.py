@@ -47,3 +47,19 @@ def convert_speed_pandas():
         return s.map(one)
 
     return pandas_udf(batch, T.DoubleType())
+
+
+@functools.cache
+def weighted_mean_pandas():
+    """Grouped-aggregate pandas_udf: weighted mean of (value, weight)
+    pairs — the UDAF escape hatch for aggregations the builtin algebra
+    can't express. Arrow ships each group's columns as pandas Series; the
+    aggregate must be a scalar. Note partial aggregation does NOT apply to
+    grouped-agg UDFs (each whole group transfers to Python) — keep real
+    pipelines on builtin aggregates unless the math truly needs Python."""
+
+    def wmean(v: pd.Series, w: pd.Series) -> float:
+        denom = w.sum()
+        return float((v * w).sum() / denom) if denom else float("nan")
+
+    return pandas_udf(wmean, T.DoubleType())

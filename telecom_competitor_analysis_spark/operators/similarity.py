@@ -194,6 +194,57 @@ def ivf_topk(
     )
 
 
+def incremental_topk(
+    prev_scored: DataFrame | None,
+    new_corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Incremental top-k maintenance (the EDBT'20 interactive-session
+    pattern): when new vectors arrive, score queries ONLY against the new
+    batch, union with the previously kept scored top-k, and re-rank. Work
+    per update ∝ |new batch| + k, never |corpus|.
+
+    ``prev_scored`` is the last output of this function (or None on the
+    first batch): (query_id, neighbor_id, cos). Returns the same shape —
+    feed it back on the next batch; add ``rank`` downstream if needed.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    fresh = (
+        new_corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        .crossJoin(q)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    pool = (
+        fresh
+        if prev_scored is None
+        else prev_scored.select("query_id", "neighbor_id", "cos").unionByName(
+            fresh
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pool.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

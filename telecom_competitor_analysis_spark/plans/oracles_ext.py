@@ -319,6 +319,25 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1, 2
     """,
+    "q_sentiment": """
+        WITH scored AS (
+            SELECT
+                doc_id,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('fast','small','the')))
+                  - len(list_filter(string_split(lower(text), ' '),
+                    w -> w IN ('slow','large','error'))) AS BIGINT)
+                    AS sentiment_score
+            FROM documents
+        )
+        SELECT
+            doc_id,
+            sentiment_score,
+            CASE WHEN sentiment_score > 0 THEN 'pos'
+                 WHEN sentiment_score < 0 THEN 'neg'
+                 ELSE 'neutral' END AS sentiment
+        FROM scored
+    """,
     "q_resample_daily": """
         WITH daily AS (
             SELECT user_id, date_trunc('day', ts)::DATE AS day,

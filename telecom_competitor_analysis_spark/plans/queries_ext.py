@@ -300,6 +300,25 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon sentiment scoring (the Spark-text-classification shape,
+    deterministic lexicon counts instead of a trained model): positive vs
+    negative marker hits → score and label. Map-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    pos = F.size(F.filter(w, lambda x: x.isin("fast", "small", "the")))
+    neg = F.size(F.filter(w, lambda x: x.isin("slow", "large", "error")))
+    score = (pos - neg).cast("long")
+    return docs.select(
+        "doc_id",
+        score.alias("sentiment_score"),
+        F.when(score > 0, F.lit("pos"))
+        .when(score < 0, F.lit("neg"))
+        .otherwise(F.lit("neutral"))
+        .alias("sentiment"),
+    )
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup connected components (iterative min-label propagation over
     the MinHash-LSH pair graph). Rows-only per the contract for iterative
@@ -444,6 +463,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_resample_daily": q_resample_daily,
     "q_moving_avg": q_moving_avg,
+    "q_sentiment": q_sentiment,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
     "q_string_agg": q_string_agg,

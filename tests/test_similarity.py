@@ -50,6 +50,25 @@ def test_ann_recall_against_bruteforce(spark, emb):
     assert _recall(ivf, exact) >= 0.3, f"IVF recall {_recall(ivf, exact)}"
 
 
+def test_incremental_topk_matches_full_recompute(spark, emb):
+    """Maintaining top-k across two corpus batches must equal the one-shot
+    top-k over the full corpus."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        incremental_topk,
+    )
+    from pyspark.sql import functions as F
+
+    queries = emb.filter(F.col("vec_id") < 3)
+    batch1 = emb.filter("vec_id % 2 = 0")
+    batch2 = emb.filter("vec_id % 2 = 1")
+    state = incremental_topk(None, batch1, queries, k=10)
+    state = incremental_topk(state, batch2, queries, k=10)
+    got = {(r.query_id, r.neighbor_id) for r in state.collect()}
+    want = {(r.query_id, r.neighbor_id)
+            for r in cosine_topk(emb, queries, k=10).collect()}
+    assert got == want
+
+
 def test_ann_outputs_are_ranked_prefixes(spark, emb):
     queries = emb.filter(F.col("vec_id") < 3)
     out = ivf_topk(emb, queries, k=10, n_anchors=4).collect()

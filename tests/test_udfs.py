@@ -11,6 +11,25 @@ from telecom_competitor_analysis_spark.functions.udfs import convert_speed_panda
 CASES = ["1gbps", "100mbps", "  2GBPS ", "50", "12.5", "garbage", "", None]
 
 
+def test_grouped_agg_pandas_udf(spark):
+    from telecom_competitor_analysis_spark.functions.udfs import (
+        weighted_mean_pandas,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", 3.0, 3.0), ("b", 10.0, 2.0), ("b", 20.0, 0.0)],
+        "grp string, v double, w double",
+    )
+    got = {
+        r.grp: r.wm
+        for r in df.groupBy("grp")
+        .agg(weighted_mean_pandas()(F.col("v"), F.col("w")).alias("wm"))
+        .collect()
+    }
+    assert got["a"] == (1.0 * 1 + 3.0 * 3) / 4  # 2.5
+    assert got["b"] == 10.0  # zero-weight row ignored
+
+
 def test_pandas_udf_matches_native(spark):
     df = spark.createDataFrame([(c,) for c in CASES], "x string")
     rows = df.select(
