@@ -319,6 +319,63 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
         GROUP BY 1, 2
     """,
+    "q_bm25": """
+        WITH scored AS (
+            SELECT
+                doc_id,
+                CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w = 'spark')) AS BIGINT) AS tf_0,
+                CAST(len(list_filter(string_split(lower(text), ' '),
+                    w -> w = 'data')) AS BIGINT) AS tf_1
+            FROM documents
+        ),
+        stats AS (
+            SELECT
+                COUNT(*) AS n_docs,
+                CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                CAST(SUM(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_0,
+                CAST(SUM(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_1
+            FROM scored
+        )
+        SELECT
+            doc_id,
+            dl,
+            tf_0,
+            tf_1,
+            round(
+                ln((n_docs - CAST(df_0 AS DOUBLE) + 0.5)
+                   / (CAST(df_0 AS DOUBLE) + 0.5) + 1.0)
+                  * CAST(tf_0 AS DOUBLE) * (1.2 + 1.0)
+                  / (CAST(tf_0 AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+                + ln((n_docs - CAST(df_1 AS DOUBLE) + 0.5)
+                     / (CAST(df_1 AS DOUBLE) + 0.5) + 1.0)
+                  * CAST(tf_1 AS DOUBLE) * (1.2 + 1.0)
+                  / (CAST(tf_1 AS DOUBLE)
+                     + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)),
+                4) AS bm25_r
+        FROM scored CROSS JOIN stats
+        WHERE tf_0 + tf_1 > 0
+    """,
+    "q_integrity_audit": """
+        SELECT 'orders_pk_duplicates' AS check_name, COUNT(*) AS n_violations
+        FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey', COUNT(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem_orphan_partkey', COUNT(*)
+        FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem_nonpositive_qty', COUNT(*)
+        FROM lineitem WHERE l_quantity <= 0
+        UNION ALL
+        SELECT 'lineitem_bad_discount', COUNT(*)
+        FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    """,
     "q_sentiment": """
         WITH scored AS (
             SELECT

@@ -300,6 +300,113 @@ def q_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("spark", "data")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of documents for a fixed two-term query — the text
+    retrieval counterpart to embedding similarity. Exact integer tf/df/dl
+    statistics; the one-row corpus stats (N, avgdl, df per term) broadcast
+    into a map-only scoring pass. Score rounded for cross-engine float
+    parity; full scored set returned (no top-k) so ordering can't bite."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.lower(F.col("text")), " ")
+    def term_pred(term: str):
+        # NB: a `lambda x, t=term` default-arg closure would give F.filter
+        # a two-parameter lambda, which it interprets as (element, INDEX)
+        return lambda x: x == term
+
+    tf_cols = [
+        F.size(F.filter(w, term_pred(t))).cast("long").alias(f"tf_{i}")
+        for i, t in enumerate(BM25_TERMS)
+    ]
+    scored = docs.select(
+        "doc_id", F.size(w).cast("long").alias("dl"), *tf_cols
+    )
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias(f"df_{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    joined = scored.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df_t = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            (F.col("n_docs") - df_t + 0.5) / (df_t + 0.5) + 1.0
+        )
+        norm = tf + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * tf * (BM25_K1 + 1.0) / norm
+    return joined.filter(
+        sum(F.col(f"tf_{i}") for i in range(len(BM25_TERMS))) > 0
+    ).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{i}" for i in range(len(BM25_TERMS))],
+        F.round(score, 4).alias("bm25_r"),
+    )
+
+
+def q_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit in one pass per table: primary-key
+    uniqueness, FK orphan counts, value-range violations — the engine's
+    warehouse-side complement to ingestion-edge validation (P6)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+
+    def check(name: str, df) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_violations"),
+        )
+
+    # one unioned plan — no driver-side scalar collection; the five
+    # branches run as independent stages of a single job
+    checks = [
+        check(
+            "orders_pk_duplicates",
+            orders.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1),
+        ),
+        check(
+            "lineitem_orphan_orderkey",
+            li.join(
+                orders.select(F.col("o_orderkey").alias("l_orderkey")),
+                on="l_orderkey",
+                how="left_anti",
+            ),
+        ),
+        check(
+            "lineitem_orphan_partkey",
+            li.join(
+                part.select(F.col("p_partkey").alias("l_partkey")),
+                on="l_partkey",
+                how="left_anti",
+            ),
+        ),
+        check("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0)),
+        check(
+            "lineitem_bad_discount",
+            li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon sentiment scoring (the Spark-text-classification shape,
     deterministic lexicon counts instead of a trained model): positive vs
@@ -464,6 +571,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_resample_daily": q_resample_daily,
     "q_moving_avg": q_moving_avg,
     "q_sentiment": q_sentiment,
+    "q_bm25": q_bm25,
+    "q_integrity_audit": q_integrity_audit,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
     "q_string_agg": q_string_agg,
