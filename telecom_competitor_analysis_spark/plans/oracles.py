@@ -398,6 +398,16 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue_cents DESC, o_orderkey ASC
         LIMIT 10
     """,
+    "q_salted_join": """
+        SELECT
+            p.p_brand,
+            COUNT(*) AS n_items,
+            CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                AS sum_price_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    """,
     "q_histogram": """
         SELECT
             CAST(floor(value / 50) AS BIGINT) AS bucket,

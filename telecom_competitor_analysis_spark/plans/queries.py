@@ -662,6 +662,27 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (operators/skew.py): lineitem ⋈ part with the fact
+    side salted ×4 and the dim side replicated — per-brand revenue must be
+    IDENTICAL to the unsalted join, which is exactly what the oracle's
+    plain join checks. Salting changes the shuffle layout, never the
+    answer."""
+    from telecom_competitor_analysis_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", _cents(F.col("l_extendedprice")).alias("price_cents")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    joined = salted_join(li, part, ["l_partkey"], salt=4)
+    return joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("price_cents").alias("sum_price_cents"),
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Value binning/histogram: fixed-width buckets over events.value —
     floor arithmetic, exact counts (partial-aggregated)."""
@@ -798,6 +819,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_date_arith": q_date_arith,
     "q_histogram": q_histogram,
     "q_array_funcs": q_array_funcs,
+    "q_salted_join": q_salted_join,
     "q_max_by": q_max_by,
     "q_revenue_topk": q_revenue_topk,
 }
