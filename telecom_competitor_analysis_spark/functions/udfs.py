@@ -63,3 +63,23 @@ def weighted_mean_pandas():
         return float((v * w).sum() / denom) if denom else float("nan")
 
     return pandas_udf(wmean, T.DoubleType())
+
+
+@functools.cache
+def tokenize_udtf():
+    """Python UDTF (table-valued function) — the row-generating escape
+    hatch (one input row → many output rows with computed columns). The
+    declarative twin is posexplode(split(...)); this exists to cover the
+    UDTF API surface and as the template for generators that genuinely
+    need Python (e.g. a real tokenizer library). Register with
+    ``spark.udtf.register`` for SQL ``LATERAL`` use."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class Tokenize:
+        def eval(self, text: str | None):
+            if text:
+                for i, w in enumerate(text.split(" ")):
+                    yield (w, i)
+
+    return Tokenize

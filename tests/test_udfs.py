@@ -30,6 +30,34 @@ def test_grouped_agg_pandas_udf(spark):
     assert got["b"] == 10.0  # zero-weight row ignored
 
 
+def test_udtf_matches_posexplode(spark):
+    from telecom_competitor_analysis_spark.functions.udfs import tokenize_udtf
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "x y")], "doc_id long, text string"
+    )
+    spark.udtf.register("tokenize", tokenize_udtf())
+    docs.createOrReplaceTempView("docs_v")
+    got = sorted(
+        map(
+            tuple,
+            spark.sql(
+                "SELECT d.doc_id, t.word, t.pos FROM docs_v d, "
+                "LATERAL tokenize(d.text) t"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            docs.select(
+                "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+            ).select("doc_id", "word", "pos").collect(),
+        )
+    )
+    assert got == want
+
+
 def test_pandas_udf_matches_native(spark):
     df = spark.createDataFrame([(c,) for c in CASES], "x string")
     rows = df.select(
