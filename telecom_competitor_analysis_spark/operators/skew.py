@@ -35,9 +35,19 @@ def salted_join(
     the data's own distribution.
     """
     on = list(on)
+    # pmod, NOT abs(hash) % salt: hash() can return Integer.MIN_VALUE,
+    # whose abs is still negative — a negative salt value would silently
+    # drop those rows from the inner join (~1 in 2^32 rows; a real loss at
+    # 100 TB scale). pmod is non-negative by definition.
     salted_large = large.withColumn(
         "__salt",
-        (F.abs(F.hash(*[F.col(c) for c in large.columns], F.monotonically_increasing_id())) % salt).cast("int"),
+        F.pmod(
+            F.hash(
+                *[F.col(c) for c in large.columns],
+                F.monotonically_increasing_id(),
+            ),
+            F.lit(salt),
+        ).cast("int"),
     )
     salted_small = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

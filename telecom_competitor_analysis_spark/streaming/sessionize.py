@@ -86,7 +86,11 @@ def _sessionize_group(
         if start_us is None:
             start_us = t
         n += 1
-        end_us = t
+        # events are sorted within a batch, but a LATER batch can deliver
+        # an event older than the open session's end — never move the
+        # session bounds backwards
+        start_us = min(start_us, t)
+        end_us = t if end_us is None else max(end_us, t)
 
     state.update((idx, n, start_us, end_us))
     try:
