@@ -258,16 +258,24 @@ def q_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 — broadcast dim-lookup with fallback (reference
     dags/bigquery.py:243-244,281-292: per-row uuid resolution → broadcast
     hash join, zero shuffle on the fact side)."""
+    from telecom_competitor_analysis_spark.operators.merge import lookup_join
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select(
-        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_retailprice"
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    out = li.join(F.broadcast(part), on="l_partkey", how="left")
+    out = lookup_join(
+        li,
+        part,
+        keys=["l_partkey"],
+        lookup_cols=["p_brand"],
+        fallback={"p_brand": F.lit("unknown")},
+    )
     return out.select(
         "l_orderkey",
         "l_linenumber",
         "l_partkey",
-        F.coalesce(F.col("p_brand"), F.lit("unknown")).alias("brand"),
+        F.col("p_brand").alias("brand"),
     )
 
 
