@@ -398,6 +398,14 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue_cents DESC, o_orderkey ASC
         LIMIT 10
     """,
+    "q_map_funcs": """
+        SELECT
+            event_id,
+            array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+            CAST(len(json_keys(props)) AS BIGINT) AS n_props,
+            TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+        FROM events
+    """,
     "q_salted_join": """
         SELECT
             p.p_brand,

@@ -670,6 +670,19 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map/JSON-object surface: parse props into a MapType and read
+    keys/values/entries (sorted join for determinism). Map-only plan."""
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("prop_keys"),
+        F.size(m).cast("long").alias("n_props"),
+        m["k"].alias("k_value"),
+    )
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted join (operators/skew.py): lineitem ⋈ part with the fact
     side salted ×4 and the dim side replicated — per-brand revenue must be
@@ -828,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_histogram": q_histogram,
     "q_array_funcs": q_array_funcs,
     "q_salted_join": q_salted_join,
+    "q_map_funcs": q_map_funcs,
     "q_max_by": q_max_by,
     "q_revenue_topk": q_revenue_topk,
 }
