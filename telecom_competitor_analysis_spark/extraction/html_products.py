@@ -1,0 +1,99 @@
+"""S1 — HTML product-card extraction via stdlib html.parser.
+
+The reference selects DOM nodes by CSS class and assembles product dicts
+(reference dags/viking_class_scraper.py:99-140 builds prepaid rows from
+card elements; field synthesis per dags/viking_class_scraper.py:123-138).
+This parser consumes the same card shape — elements tagged with
+``data-field`` attributes — and applies the same normalizations at the
+edge (sentinel mapping, key synthesis); speed strings stay raw for the
+clean stage (engine boundary: extraction emits bronze, cleaning owns
+unit parsing).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from html.parser import HTMLParser
+
+
+class _CardParser(HTMLParser):
+    """Collects text per data-field within each <div class="product-card">."""
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.cards: list[dict[str, str]] = []
+        self._current: dict[str, str] | None = None
+        self._field: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        a = dict(attrs)
+        if tag == "div" and "product-card" in (a.get("class") or ""):
+            self._current = {}
+        elif self._current is not None and a.get("data-field"):
+            self._field = a["data-field"]
+
+    def handle_endtag(self, tag):
+        if tag == "div" and self._field is None and self._current is not None:
+            if self._current:
+                self.cards.append(self._current)
+            self._current = None
+        self._field = None
+
+    def handle_data(self, data):
+        if self._current is not None and self._field:
+            self._current[self._field] = (
+                self._current.get(self._field, "") + data.strip()
+            )
+
+
+def _unlimited_or_float(s: str | None) -> float | None:
+    """Sentinel mapping at the edge (reference dags/utils.py:31-32)."""
+    if s is None or s == "":
+        return None
+    if s.strip().lower() == "unlimited":
+        return -1.0
+    m = re.search(r"\d+(\.\d+)?", s)
+    return float(m.group(0)) if m else None
+
+
+def parse_products_html(
+    html: str,
+    competitor_name: str,
+    product_category: str,
+    base_url: str,
+    scraped_at: str | None = None,
+) -> list[dict]:
+    """Parse product cards → RAW_PRODUCT-shaped dicts (bronze rows).
+
+    Product-name synthesis mirrors the reference's key format
+    ``{category}_{data}_gb`` (reference dags/viking_class_scraper.py:127);
+    date stamping per reference dags/viking_class_scraper.py:43.
+    """
+    parser = _CardParser()
+    parser.feed(html)
+    stamp = scraped_at or time.strftime("%Y-%m-%d")
+    rows: list[dict] = []
+    for card in parser.cards:
+        data_gb = _unlimited_or_float(card.get("data"))
+        data_label = (
+            "unlimited" if data_gb == -1.0 else str(int(data_gb or 0))
+        )
+        sms = _unlimited_or_float(card.get("sms"))
+        minutes = _unlimited_or_float(card.get("minutes"))
+        rows.append(
+            {
+                "product_name": f"{product_category}_{data_label}_gb",
+                "competitor_name": competitor_name,
+                "product_category": product_category,
+                "product_url": base_url,
+                "price": _unlimited_or_float(card.get("price")),
+                "scraped_at": stamp,
+                "data": data_gb,
+                "minutes": minutes,
+                "sms": int(sms) if sms is not None else None,
+                "upload_speed": card.get("upload_speed") or None,
+                "download_speed": card.get("download_speed") or None,
+            }
+        )
+    return rows
