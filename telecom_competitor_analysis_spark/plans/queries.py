@@ -227,6 +227,8 @@ def q_pack_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     dags/viking_class_scraper.py:389-431 generate_packs). supplier × region
     (both tiny → BroadcastNestedLoopJoin; a cartesian is only ever valid on
     dims). Price in exact integer cents."""
+    from telecom_competitor_analysis_spark.operators.star import pack_cross_join
+
     supp = load_table(spark, sf_dir, "supplier").alias("m")
     region = load_table(spark, sf_dir, "region").alias("i")
     price_cents = (
@@ -234,10 +236,12 @@ def q_pack_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.col("i.r_regionkey").cast("long") * 1000
         - 500
     )
-    return supp.crossJoin(region).select(
-        F.concat_ws("_", F.col("m.s_name"), F.col("i.r_name")).alias("pack_name"),
-        price_cents.alias("price_cents"),
-    )
+    return pack_cross_join(
+        supp,
+        region,
+        price_expr=price_cents,
+        name_expr=F.concat_ws("_", F.col("m.s_name"), F.col("i.r_name")),
+    ).withColumnRenamed("price", "price_cents")
 
 
 def q_antijoin_new(spark: SparkSession, sf_dir: str) -> DataFrame:
