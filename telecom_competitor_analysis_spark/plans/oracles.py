@@ -398,6 +398,16 @@ ORACLES: dict[str, str] = {
         ORDER BY revenue_cents DESC, o_orderkey ASC
         LIMIT 10
     """,
+    "q_udtf_tokenize": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+        )
+        SELECT
+            doc_id,
+            arr[i] AS word,
+            CAST(i - 1 AS BIGINT) AS pos
+        FROM t, unnest(generate_series(1, len(arr))) AS g(i)
+    """,
     "q_map_funcs": """
         SELECT
             event_id,

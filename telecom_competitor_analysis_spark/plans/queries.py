@@ -674,6 +674,24 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL: one doc row → one row per token with
+    position. Declarative twin is posexplode(split()); this covers the
+    UDTF execution path end-to-end (registration, lateral correlation,
+    Arrow row generation) — and the oracle checks it against plain SQL."""
+    from telecom_competitor_analysis_spark.functions.udfs import tokenize_udtf
+
+    spark.udtf.register("tokenize", tokenize_udtf())
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, CAST(t.pos AS BIGINT) AS pos
+        FROM docs_for_udtf d, LATERAL tokenize(d.text) t
+        """
+    )
+
+
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map/JSON-object surface: parse props into a MapType and read
     keys/values/entries (sorted join for determinism). Map-only plan."""
@@ -846,6 +864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_array_funcs": q_array_funcs,
     "q_salted_join": q_salted_join,
     "q_map_funcs": q_map_funcs,
+    "q_udtf_tokenize": q_udtf_tokenize,
     "q_max_by": q_max_by,
     "q_revenue_topk": q_revenue_topk,
 }

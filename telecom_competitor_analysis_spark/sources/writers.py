@@ -89,6 +89,29 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def compact_gold(
+    spark: "SparkSession",
+    path: str,
+    target_files: int = 8,
+) -> None:
+    """Small-file compaction for an append-heavy gold table: incremental
+    anti-join appends produce one small file set per run; periodic
+    compaction rewrites the table at a sane file count (read → repartition
+    → overwrite-via-staging so a crash never leaves the table truncated).
+
+    At cluster scale the same pattern runs per partition directory with
+    ``target_files`` derived from bytes/128MB.
+    """
+    import shutil
+
+    staging = f"{path}__compacting"
+    df = spark.read.parquet(path)
+    df.repartition(target_files).write.mode("overwrite").parquet(staging)
+    # atomic-ish swap: remove old, move staging in (single-filesystem move)
+    shutil.rmtree(path)
+    shutil.move(staging, path)
+
+
 def create_table_if_not_exists(
     spark: SparkSession, name: str, ddl_columns: str, location: str | None = None
 ) -> None:

@@ -33,6 +33,26 @@ def test_json_sink_roundtrip(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compaction_preserves_rows(spark):
+    import glob
+
+    from telecom_competitor_analysis_spark.sources.writers import compact_gold
+
+    tmp = tempfile.mkdtemp(prefix="compact_")
+    try:
+        df = spark.range(0, 10_000)
+        # simulate many small appends
+        for _ in range(5):
+            df.repartition(16).write.mode("append").parquet(f"{tmp}/t")
+        before = len(glob.glob(f"{tmp}/t/*.parquet"))
+        compact_gold(spark, f"{tmp}/t", target_files=4)
+        after = len(glob.glob(f"{tmp}/t/*.parquet"))
+        assert after <= 4 < before
+        assert spark.read.parquet(f"{tmp}/t").count() == 50_000
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_idempotent_ddl(spark):
     create_table_if_not_exists(spark, "logs_t", "competitor_name STRING, status STRING")
     create_table_if_not_exists(spark, "logs_t", "competitor_name STRING, status STRING")
