@@ -16,11 +16,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from telecom_competitor_analysis_spark.functions.text import (
-    lang_id_heuristic,
-    n_words,
-    stopword_count,
-)
 from telecom_competitor_analysis_spark.operators.dedup import (
     shingle_jaccard_pairs,
 )
@@ -52,13 +47,38 @@ def curate_corpus(
     once; chains collapse toward the lowest id, the standard greedy
     approximation of clustering-based dedup).
     """
+    # single tokenization pass: the per-function builders each re-split the
+    # text (5 splits/row); scoring over one shared lowered array is the
+    # same semantics (lowercasing commutes with space-splitting) at a
+    # fraction of the expression work
     t = F.col(text_col)
-    scored = df.select(
+    with_words = df.select(
         F.col(id_col),
         t.alias("__text"),
-        lang_id_heuristic(t).alias("pred_lang"),
-        n_words(t).alias("n_words"),
-        (stopword_count(t).cast("double") / n_words(t)).alias("stop_ratio"),
+        F.split(t, " ").alias("__w"),
+        F.split(F.lower(t), " ").alias("__wl"),
+    )
+    count_in = lambda terms: F.size(  # noqa: E731
+        F.filter(F.col("__wl"), lambda x: x.isin(*terms))
+    )
+    en, es, de = (
+        count_in(("the", "and", "of", "is")),
+        count_in(("el", "la", "de", "que")),
+        count_in(("der", "die", "und", "das")),
+    )
+    scored = with_words.select(
+        F.col(id_col),
+        F.col("__text"),
+        F.when((en >= es) & (en >= de) & (en > 0), F.lit("en"))
+        .when((es >= de) & (es > 0), F.lit("es"))
+        .when(de > 0, F.lit("de"))
+        .otherwise(F.lit("unknown"))
+        .alias("pred_lang"),
+        F.size(F.col("__w")).cast("long").alias("n_words"),
+        (
+            count_in(("the", "a", "of", "and", "to", "in", "is")).cast("double")
+            / F.size(F.col("__w"))
+        ).alias("stop_ratio"),
     )
     kept = scored.filter(
         (F.col("pred_lang") == keep_lang)
