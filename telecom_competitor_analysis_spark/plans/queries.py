@@ -379,9 +379,14 @@ def q_agg_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     evolution per product; reference README.md:5,28).
 
     Plan: window latest-per-key over lineitem (one shuffle on l_partkey) →
-    broadcast join part → partial-aggregated groupBy brand. Money stays in
+    join part → partial-aggregated groupBy brand. Money stays in
     integer cents until the final division so results are exact and
-    shuffle-order-independent."""
+    shuffle-order-independent.
+
+    No forced broadcast on ``part``: it scales with the dataset (unlike
+    region/nation), so a hint would pin an OOM-prone broadcast at 100×.
+    AQE still picks a broadcast join at runtime whenever the post-scan
+    size is under the threshold — the hint only removed its exit hatch."""
     li = load_table(spark, sf_dir, "lineitem")
     latest = latest_per_key(
         li, ["l_partkey"], "l_shipdate", tie_breakers=["l_orderkey", "l_linenumber"]
@@ -389,7 +394,7 @@ def q_agg_latest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    joined = latest.join(F.broadcast(part), on="l_partkey", how="inner")
+    joined = latest.join(part, on="l_partkey", how="inner")
     return joined.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("price_cents").alias("sum_price_cents"),
@@ -649,8 +654,9 @@ def q_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped 3-way join: BUILDING-segment customers ⋈ orders ⋈
     lineitem, revenue per order in exact cents, top 10. Catalyst orders
-    the joins; the dim side broadcasts; TakeOrderedAndProject caps the
-    sort."""
+    the joins; TakeOrderedAndProject caps the sort. The customer side
+    scales with the dataset, so no forced broadcast hint — AQE broadcasts
+    it at runtime when (and only when) the filtered side is small."""
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select(F.col("c_custkey").alias("o_custkey"))
@@ -663,9 +669,7 @@ def q_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
         ).cast("long").alias("rev_cents"),
     )
-    joined = li.join(orders, on="o_orderkey").join(
-        F.broadcast(cust), on="o_custkey"
-    )
+    joined = li.join(orders, on="o_orderkey").join(cust, on="o_custkey")
     return (
         joined.groupBy("o_orderkey", "order_day")
         .agg(F.sum("rev_cents").alias("revenue_cents"))

@@ -45,6 +45,22 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in _plan(QUERIES["q_topk"](spark, sf_dir))
 
 
+def test_no_forced_broadcast_on_scaling_tables(spark, sf_dir):
+    # part and customer grow with the dataset: a broadcast() hint on them
+    # pins an OOM-prone plan at 100×. The logical plan must carry no
+    # broadcast hint — AQE is free to (and locally does) pick broadcast at
+    # runtime from actual sizes, which is the scale-safe version of the
+    # same optimization.
+    for name in ("q_agg_latest_price", "q_revenue_topk"):
+        logical = (
+            QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in logical, f"{name} forces a broadcast hint"
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
