@@ -39,11 +39,17 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Small inputs arrive as one parquet split, serializing the
     compute-heavy shingle/hash stages onto one core (measured: 9.7s → ~1s
     for the minhash signature at sf0.1). Round-robin repartition up to the
-    session's parallelism when the scan is under-split; on a real cluster
-    reading many files this is a no-op."""
-    target = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
+    session's parallelism when the scan is under-split.
+
+    Gated on ``spark.graft.ensureParallelism`` (default true): the probe
+    reads ``df.rdd.getNumPartitions()``, which forces an RDD-conversion
+    analysis of the plan. Cheap locally, needless on a real cluster where
+    a 100 TB scan is always well-split — set the conf to ``false`` there
+    and the function is a true no-op (no probe, no shuffle)."""
+    sess = df.sparkSession
+    if sess.conf.get("spark.graft.ensureParallelism", "true") != "true":
+        return df
+    target = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
@@ -143,11 +149,22 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, n_hashes: int = 4, bands: int = 2
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 4,
+    bands: int = 2,
+    max_bucket_size: int = 1000,
 ) -> DataFrame:
     """Band the signature (rows = n_hashes/bands per band), hash each band,
     self-join on (band_idx, band_key) → candidate pairs (a < b).
-    Pair volume is Σ bucket² — bounded by bucket sizes, not corpus size."""
+    Pair volume is Σ bucket² — bounded by bucket sizes, not corpus size.
+
+    ``max_bucket_size`` drops degenerate mega-buckets before pairing (the
+    CCNet/SlimPajama hygiene step): a bucket shared by m docs emits m²/2
+    pairs, so one boilerplate-driven bucket of 10⁶ docs would emit ~5·10¹¹
+    pairs and sink the job. Docs in a dropped bucket can still pair through
+    their other bands; a corpus-scale bucket means near-identical
+    boilerplate, which exact dedup already collapses upstream."""
     rows_per_band = n_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -174,14 +191,15 @@ def lsh_candidate_pairs(
     # Pairs via per-bucket combination explode (NOT a self-join: a self-join
     # would recompute the whole signature pipeline for both sides — measured
     # 2× cost — and shuffle twice). One groupBy shuffle; bucket member lists
-    # are bounded by LSH bucket size. Degenerate mega-buckets (hash of a
-    # constant-ish signature) are a data-quality signal — cap them upstream
-    # if they appear; pair output is Σ bucket² regardless of formulation.
+    # are bounded by max_bucket_size, so no single reducer ever holds an
+    # unbounded list or emits an unbounded pair explosion.
     ids = F.array_sort(F.collect_list(F.col(id_col)))
     pairs = (
         banded.groupBy("band_idx", "band_key")
         .agg(ids.alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(
+            (F.size("ids") > 1) & (F.size("ids") <= F.lit(max_bucket_size))
+        )
         .select(
             F.explode(
                 F.flatten(
@@ -298,14 +316,33 @@ def shingle_jaccard_pairs(
     text_col: str,
     w: int = 3,
     threshold: float = 0.2,
+    max_df: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by exact Jaccard over distinct w-shingles, candidates
     from an inverted-index join on shingles (only docs sharing ≥1 shingle
-    are ever paired). Returns (id_a, id_b, n_shared, n_a, n_b, jaccard)."""
+    are ever paired). Returns (id_a, id_b, n_shared, n_a, n_b, jaccard).
+
+    ``max_df`` caps the posting list per shingle (document-frequency
+    stopword filter, the CCNet/SlimPajama hygiene step): a boilerplate
+    shingle shared by m docs contributes m²/2 candidate pairs, so one
+    hot shingle across 10⁶ docs would emit ~5·10¹¹ pairs. Shingles with
+    df > max_df are dropped from the universe BEFORE sizes are counted,
+    so the Jaccard stays exact over the filtered shingle space (both the
+    numerator and the denominators exclude stop-shingles — no bias, just
+    a smaller, discriminative feature set)."""
     toks = (
         shingle_rows(_ensure_parallelism(df), id_col, text_col, w)
         .select(F.col(id_col).alias("id"), F.col("word").alias("sh"))
         .distinct()
+    )
+    # df-cap: one extra groupBy on the shingle (the same key the inverted-
+    # index join shuffles on anyway) + a semi-join that AQE turns into a
+    # broadcast when the surviving stop-shingle list is small.
+    sh_df = toks.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+    toks = toks.join(
+        sh_df.filter(F.col("__df") <= F.lit(max_df)).select("sh"),
+        on="sh",
+        how="left_semi",
     )
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = toks.alias("a")

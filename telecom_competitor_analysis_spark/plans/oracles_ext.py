@@ -4,6 +4,30 @@ queries (LSH ANN, multimodal decode/frame-sample) are deliberately absent.
 
 from __future__ import annotations
 
+import hashlib
+
+
+def _hyperplane_bucket_sql(
+    vec_expr: str, dim: int = 64, n_planes: int = 4, seed: int = 0
+) -> str:
+    """SQL for operators.similarity.hyperplane_sign_bucket: the ±1 weights
+    depend only on md5 of '{seed}|{plane}|{dim}' constants, so they are
+    precomputed here (hashlib.md5 == Spark md5 on utf-8) and inlined as
+    literal arrays — DuckDB then reproduces the exact sign pattern."""
+    bits = []
+    for p in range(n_planes):
+        w = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()
+            w.append("1.0" if h[0] in "89abcdef" else "-1.0")
+        arr = "[" + ", ".join(w) + "]"
+        bits.append(
+            "(CASE WHEN list_dot_product(CAST("
+            f"{vec_expr} AS DOUBLE[]), {arr}) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
 _SIMHASH_SUMS = ",\n            ".join(
     "SUM(CASE WHEN substr(wh, {i}, 1) IN "
     "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(
@@ -67,10 +91,18 @@ EXT_ORACLES: dict[str, str] = {
             SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
             UNION ALL
             SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+        ),
+        -- mega-bucket cap (mirrors lsh_candidate_pairs max_bucket_size)
+        ok AS (
+            SELECT band_idx, band_key FROM banded
+            GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+        ),
+        banded_ok AS (
+            SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM banded a
-        JOIN banded b
+        FROM banded_ok a
+        JOIN banded_ok b
           ON a.band_idx = b.band_idx
          AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
@@ -97,11 +129,17 @@ EXT_ORACLES: dict[str, str] = {
         WITH t AS (
             SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
         ),
-        sh AS (
+        sh_all AS (
             SELECT DISTINCT
                 t.doc_id,
                 arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
             FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        -- document-frequency cap (mirrors shingle_jaccard_pairs max_df)
+        sh AS (
+            SELECT sh_all.* FROM sh_all
+            JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+              USING (sh)
         ),
         sizes AS (
             SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
@@ -196,7 +234,13 @@ EXT_ORACLES: dict[str, str] = {
         WHERE c.vec_id != q.vec_id
         QUALIFY rank <= 10
     """,
-    "q_embedding_dup": """
+    "q_embedding_dup": f"""
+        WITH e AS (
+            SELECT
+                vec_id, label, embedding,
+                {_hyperplane_bucket_sql("embedding")} AS bucket
+            FROM embeddings
+        )
         SELECT
             a.label,
             a.vec_id AS id_a,
@@ -204,11 +248,12 @@ EXT_ORACLES: dict[str, str] = {
             round(list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        FROM e a
+        JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+               AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
-                CAST(b.embedding AS DOUBLE[])) >= 0.5
+                CAST(b.embedding AS DOUBLE[])) >= 0.2
     """,
     "q_range_join": """
         SELECT
@@ -287,10 +332,16 @@ EXT_ORACLES: dict[str, str] = {
             ) WHERE doc_id = keeper
         ),
         t AS (SELECT doc_id, string_split(trim(text), ' ') AS arr FROM keepers),
-        sh AS (
+        sh_all AS (
             SELECT DISTINCT t.doc_id,
                    arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
             FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        -- document-frequency cap (mirrors shingle_jaccard_pairs max_df)
+        sh AS (
+            SELECT sh_all.* FROM sh_all
+            JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+              USING (sh)
         ),
         sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
         shared AS (

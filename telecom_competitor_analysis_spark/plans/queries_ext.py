@@ -193,27 +193,47 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, label-blocked (candidates only
-    within the same label bucket — the blocking key bounds pair volume the
-    way LSH bands do; at scale the bucket key would itself be an LSH
-    signature). Emits pairs with cosine ≥ 0.5."""
-    from telecom_competitor_analysis_spark.operators.similarity import cosine
+    """Embedding-cosine near-dup pairs, LSH-blocked: candidates only
+    within the same (label, hyperplane-sign bucket). The bucket term is
+    what makes this scale — a label block grows O(n/L) with the corpus and
+    pairs within it grow quadratically, while the 2^n_planes LSH buckets
+    subdivide each label block so candidate volume stays proportional to
+    Σ bucket², not Σ label-block². Near-identical vectors (cos ≥ 0.5 here)
+    land in the same sign bucket with high probability, exactly like LSH
+    bands for MinHash. Deterministic (md5-derived hyperplanes, seed 0) so
+    the DuckDB oracle reproduces the same buckets from the same weights.
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    Threshold 0.2: the synthetic embeddings are near-isotropic (max
+    within-label cosine ≈ 0.48), so a 0.5 cutoff would make the result
+    trivially empty — 0.2 exercises real pair volume through the whole
+    block-score-filter plan at every test SF."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine,
+        hyperplane_sign_bucket,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket",
+        hyperplane_sign_bucket(F.col("embedding"), EMBEDDING_DIM, n_planes=4),
+    )
     a = emb.select(
         F.col("label"),
+        F.col("bucket"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),
     )
     b = emb.select(
         F.col("label"),
+        F.col("bucket"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vec_b"),
     )
-    pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, on=["label", "bucket"]).filter(
+        F.col("id_a") < F.col("id_b")
+    )
     return (
         pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
-        .filter(F.col("cos") >= 0.5)
+        .filter(F.col("cos") >= 0.2)
         .select("label", "id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_r"))
     )
 

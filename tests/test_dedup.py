@@ -67,3 +67,51 @@ def test_shingle_jaccard_ranks_near_above_far(spark):
     assert pairs[(1, 2)] == 1.0  # identical
     assert pairs[(1, 3)] >= 0.5  # near-dup well above threshold
     assert (1, 4) not in pairs  # unrelated filtered out
+
+
+def _boilerplate_corpus(spark, n=40):
+    """n otherwise-unrelated docs sharing one boilerplate shingle
+    ('click here now'), plus one genuine near-dup pair (100/101)."""
+    rows = [
+        (i, f"click here now unique{i} filler{i} token{i} body{i} tail{i}")
+        for i in range(n)
+    ]
+    rows += [(100, BASE), (101, NEAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_shingle_df_cap_bounds_pair_volume(spark):
+    """A boilerplate shingle shared by every doc must NOT explode into
+    O(n²) candidate pairs once its document frequency exceeds max_df —
+    while true near-dups (sharing discriminative shingles) still pair."""
+    docs = _boilerplate_corpus(spark)
+    uncapped = shingle_jaccard_pairs(
+        docs, "doc_id", "text", w=3, threshold=0.0, max_df=10**9
+    )
+    capped = shingle_jaccard_pairs(
+        docs, "doc_id", "text", w=3, threshold=0.0, max_df=5
+    )
+    # uncapped: all 40 boilerplate docs pair with each other (~780 pairs)
+    assert uncapped.count() > 700
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    # capped: the boilerplate blowup is gone, the real near-dup survives
+    assert len(capped_pairs) < 10
+    assert (100, 101) in capped_pairs
+
+
+def test_lsh_bucket_cap_bounds_pair_volume(spark):
+    """A degenerate mega-bucket (here: identical text, hence identical
+    signatures and band keys in every band) is dropped once it exceeds
+    max_bucket_size; normal-size buckets still pair."""
+    rows = [(i, "same boilerplate text repeated in every single document")
+            for i in range(30)]
+    rows += [(100, BASE), (101, BASE)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    uncapped = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2,
+                                   max_bucket_size=10**6)
+    capped = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2,
+                                 max_bucket_size=5)
+    assert uncapped.count() > 400  # 30-doc bucket → ~435 pairs
+    capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert capped_pairs == {(100, 101)}  # small bucket unaffected

@@ -77,3 +77,51 @@ def test_ann_outputs_are_ranked_prefixes(spark, emb):
         by_q.setdefault(r.query_id, []).append(r.rank)
     for q, ranks in by_q.items():
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_embedding_dup_lsh_blocking_recalls_planted_dups(spark):
+    """The LSH-bucket blocking in q_embedding_dup must recall most planted
+    near-duplicates (cos ≈ 0.99 pairs land in the same sign bucket with
+    high probability) while scoring far fewer candidate pairs than the
+    all-pairs brute force. Deterministic: seeded vectors, md5 planes."""
+    import numpy as np
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine,
+        hyperplane_sign_bucket,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_base = 64, 30
+    base = rng.normal(size=(n_base, dim))
+    rows = []
+    for i, v in enumerate(base):
+        dup = v + rng.normal(scale=0.02, size=dim)  # cos ≈ 0.999
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in dup]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    bucketed = df.withColumn(
+        "bucket", hyperplane_sign_bucket(F.col("embedding"), dim, n_planes=4)
+    )
+    a = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = bucketed.select(
+        F.col("bucket"), F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    cand = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
+    got = {
+        (r.id_a, r.id_b)
+        for r in cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= 0.9)
+        .collect()
+    }
+    planted = {(2 * i, 2 * i + 1) for i in range(n_base)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.6, f"planted-dup recall {recall}"
+    # blocking actually prunes: candidate volume ≪ all-pairs
+    n_cand = cand.count()
+    assert n_cand < (2 * n_base) * (2 * n_base - 1) // 2 / 3
