@@ -18,27 +18,50 @@ from html.parser import HTMLParser
 
 
 class _CardParser(HTMLParser):
-    """Collects text per data-field within each <div class="product-card">."""
+    """Collects text per data-field within each <div class="product-card">.
+
+    Tracks div nesting depth so a plain <div> inside a card (layout
+    wrappers, grids) does not prematurely close the card and drop its
+    remaining fields; the card closes only when its own outer </div> is
+    reached. A data-field closes only when the tag that opened it ends."""
 
     def __init__(self) -> None:
         super().__init__()
         self.cards: list[dict[str, str]] = []
         self._current: dict[str, str] | None = None
         self._field: str | None = None
+        self._field_tag: str | None = None
+        self._depth = 0  # open <div> count inside the current card
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
-        if tag == "div" and "product-card" in (a.get("class") or ""):
-            self._current = {}
-        elif self._current is not None and a.get("data-field"):
+        if self._current is None:
+            if tag == "div" and "product-card" in (a.get("class") or ""):
+                self._current = {}
+                self._depth = 1
+            return
+        if tag == "div":
+            self._depth += 1
+        if a.get("data-field"):
             self._field = a["data-field"]
+            self._field_tag = tag
 
     def handle_endtag(self, tag):
-        if tag == "div" and self._field is None and self._current is not None:
-            if self._current:
-                self.cards.append(self._current)
-            self._current = None
-        self._field = None
+        if self._current is None:
+            return
+        if self._field is not None and tag == self._field_tag:
+            self._field = None
+            self._field_tag = None
+            if tag != "div":
+                return
+        if tag == "div":
+            self._depth -= 1
+            if self._depth == 0:
+                if self._current:
+                    self.cards.append(self._current)
+                self._current = None
+                self._field = None
+                self._field_tag = None
 
     def handle_data(self, data):
         if self._current is not None and self._field:

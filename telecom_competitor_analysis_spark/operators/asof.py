@@ -34,26 +34,33 @@ def asof_join(
 
     Returns left's columns plus ``{right_prefix}{col}`` for each right
     value column (null when no earlier right row exists).
+
+    All attached values come from ONE matched right row: the right value
+    columns travel as a single struct and ``last(struct, ignorenulls)``
+    carries the whole row forward. Filling each column independently
+    would back-fill a NULL in the matched row from an *older* row and
+    could mix columns from different right rows — true ASOF semantics
+    (and DuckDB's ASOF JOIN oracle) keep the matched row's nulls.
     """
     on = list(on)
+    rv = F.struct(*[F.col(c).alias(c) for c in right_value_cols])
     tagged_right = right.select(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(0).alias("__src"),  # rights sort before lefts at equal ts
-        *[F.col(c).alias(f"{right_prefix}{c}") for c in right_value_cols],
+        rv.alias("__rv"),
     )
+    rv_type = tagged_right.schema["__rv"].dataType
     left_cols = left.columns
     tagged_left = left.select(
         *on,
         F.col(ts_col).alias("__ts"),
         F.lit(1).alias("__src"),
-        *[F.lit(None).cast(tagged_right.schema[f"{right_prefix}{c}"].dataType)
-          .alias(f"{right_prefix}{c}") for c in right_value_cols],
+        F.lit(None).cast(rv_type).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     tagged_right = tagged_right.select(
-        *on, "__ts", "__src",
-        *[f"{right_prefix}{c}" for c in right_value_cols],
+        *on, "__ts", "__src", "__rv",
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in left_cols],
     )
     unioned = tagged_right.unionByName(tagged_left)
@@ -66,11 +73,15 @@ def asof_join(
     filled = unioned.select(
         "__src",
         *[F.col(f"__l_{c}").alias(c) for c in left_cols],
-        *[
-            F.last(f"{right_prefix}{c}", ignorenulls=True)
-            .over(w)
-            .alias(f"{right_prefix}{c}")
-            for c in right_value_cols
-        ],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
-    return filled.filter(F.col("__src") == 1).drop("__src")
+    return (
+        filled.filter(F.col("__src") == 1)
+        .select(
+            *left_cols,
+            *[
+                F.col("__rv").getField(c).alias(f"{right_prefix}{c}")
+                for c in right_value_cols
+            ],
+        )
+    )

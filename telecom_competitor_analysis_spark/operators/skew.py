@@ -33,8 +33,21 @@ def salted_join(
     The salt column derives from a hash of the full row plus
     monotonically_increasing_id — effectively uniform, and never touching
     the data's own distribution.
+
+    Only join types where the *small* side never emits unmatched rows are
+    supported: the ×salt replication would otherwise emit each unmatched
+    small-side row ``salt`` times (duplicate null-padded rows under
+    right/full outer). inner/left/semi/anti are replication-safe — an
+    unmatched small row is simply absent from those outputs.
     """
     on = list(on)
+    normalized = how.lower().replace("_", "")
+    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side is "
+            "replicated ×salt, so right/full outer joins would duplicate "
+            "unmatched small-side rows. Use inner/left/left_semi/left_anti."
+        )
     # pmod, NOT abs(hash) % salt: hash() can return Integer.MIN_VALUE,
     # whose abs is still negative — a negative salt value would silently
     # drop those rows from the inner join (~1 in 2^32 rows; a real loss at

@@ -102,14 +102,23 @@ def compact_gold(
     At cluster scale the same pattern runs per partition directory with
     ``target_files`` derived from bytes/128MB.
     """
+    import os
     import shutil
 
     staging = f"{path}__compacting"
+    old = f"{path}__old"
     df = spark.read.parquet(path)
     df.repartition(target_files).write.mode("overwrite").parquet(staging)
-    # atomic-ish swap: remove old, move staging in (single-filesystem move)
-    shutil.rmtree(path)
-    shutil.move(staging, path)
+    # Swap via two renames, never delete-then-move: a crash mid-sequence
+    # leaves either the original table live (before the first rename) or
+    # the full old copy at `path__old` for recovery (between renames) —
+    # never a missing/truncated table the way rmtree-then-move could.
+    # The delete happens only after the new data is in place.
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
 
 
 def create_table_if_not_exists(

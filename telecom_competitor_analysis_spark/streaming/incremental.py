@@ -51,10 +51,16 @@ def stream_events(spark: SparkSession, path: str, fmt: str = "json") -> DataFram
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "1 day"
 ) -> DataFrame:
-    """J2 (insert-if-absent) as streaming dedup: watermark bounds the
-    state store; duplicates within the watermark horizon are dropped
-    exactly-once."""
-    return events.withWatermark("ts", watermark).dropDuplicates(
+    """J2 (insert-if-absent) as streaming dedup with *bounded* state.
+
+    ``dropDuplicatesWithinWatermark``, not ``dropDuplicates``: with plain
+    ``dropDuplicates(keys)`` the event-time column is not part of the
+    dedup subset, so Spark never evicts dedup state — every key ever seen
+    is retained and the state store grows without bound. The
+    within-watermark variant keeps key-only dedup semantics (duplicates
+    arriving within the watermark horizon are dropped) while letting the
+    watermark expire state for keys older than the horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
 

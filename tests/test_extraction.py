@@ -55,3 +55,30 @@ def test_parser_ignores_non_card_markup():
         "x", "cat", "http://u",
     )
     assert rows == []
+
+
+def test_parser_survives_nested_divs():
+    """Layout wrapper <div>s inside a card must not close the card early
+    and silently drop the remaining fields (div nesting-depth tracking)."""
+    html = """
+    <div class="product-card">
+      <div class="row"><span data-field="data">15 GB</span></div>
+      <div class="row">
+        <div class="cell"><span data-field="minutes">150</span></div>
+        <div class="cell"><span data-field="sms">Unlimited</span></div>
+      </div>
+      <span data-field="price">€15</span>
+    </div>
+    <div class="product-card">
+      <div data-field="data">5 GB</div>
+      <span data-field="price">€5</span>
+    </div>
+    """
+    rows = parse_products_html(html, "x", "mobile", "http://u",
+                               scraped_at="2023-11-01")
+    assert len(rows) == 2
+    assert rows[0]["data"] == 15.0
+    assert rows[0]["minutes"] == 150.0
+    assert rows[0]["sms"] == -1
+    assert rows[0]["price"] == 15.0
+    assert rows[1]["data"] == 5.0 and rows[1]["price"] == 5.0

@@ -102,6 +102,18 @@ def test_partitioned_write_prunes(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark, sf_dir):
+    import pytest
+
+    li = load_table(spark, sf_dir, "lineitem").limit(10)
+    part = load_table(spark, sf_dir, "part").withColumnRenamed(
+        "p_partkey", "l_partkey"
+    )
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(li, part, ["l_partkey"], salt=4, how=how)
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem").limit(2000)
     part = load_table(spark, sf_dir, "part").withColumnRenamed(
