@@ -269,6 +269,20 @@ EXT_ORACLES: dict[str, str] = {
          AND c.c_ts >= p.ts - INTERVAL 1 HOUR
         GROUP BY p.event_id, p.user_id
     """,
+    "q_stream_join": """
+        SELECT
+            p.event_id AS purchase_id,
+            c.event_id AS click_id,
+            p.user_id,
+            CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS secs_before
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        JOIN (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
     "q_string_agg": """
         SELECT
             user_id,

@@ -915,6 +915,7 @@ _NEVER_CHECKED_FIRST = [
     "q_sentiment",
     "q_integrity_audit",
     "q_multimodal_meta",
+    "q_stream_join",  # new in round 2
     # changed this round (broadcast-hint removal / df-caps) → re-verify
     "q_revenue_topk",
     "q_corpus_curate",

@@ -207,32 +207,54 @@ def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-label cosine ≈ 0.48), so a 0.5 cutoff would make the result
     trivially empty — 0.2 exercises real pair volume through the whole
     block-score-filter plan at every test SF."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
     from telecom_competitor_analysis_spark.operators.similarity import (
-        cosine,
+        dot_product,
         hyperplane_sign_bucket,
+        l2_norm,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").withColumn(
-        "bucket",
-        hyperplane_sign_bucket(F.col("embedding"), EMBEDDING_DIM, n_planes=4),
+    # bucket + norm computed once per row (map-only); the O(pairs) stage
+    # then does a single dot-product fold per pair instead of three.
+    # ensure_parallelism: a small parquet arrives as ONE split, which would
+    # serialize the interpreted array-fold work (bucket, norms, pair dots)
+    # onto a single core — measured 4.8s → 0.6s at sf0.1. On a cluster
+    # reading many splits it's a no-op (and conf-gated off).
+    emb = (
+        ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+        .withColumn(
+            "bucket",
+            hyperplane_sign_bucket(
+                F.col("embedding"), EMBEDDING_DIM, n_planes=4
+            ),
+        )
+        .withColumn("nrm", l2_norm(F.col("embedding")))
     )
     a = emb.select(
         F.col("label"),
         F.col("bucket"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
     )
     b = emb.select(
         F.col("label"),
         F.col("bucket"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
     )
     pairs = a.join(b, on=["label", "bucket"]).filter(
         F.col("id_a") < F.col("id_b")
     )
     return (
-        pairs.withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        pairs.withColumn(
+            "cos",
+            dot_product(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("cos") >= 0.2)
         .select("label", "id_a", "id_b", F.round(F.col("cos"), 6).alias("cos_r"))
     )
@@ -265,6 +287,34 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("purchase_id", "user_id")
         .agg(F.count(F.col("c_ts")).alias("n_clicks_1h"))
     )
+
+
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join, batch-equivalent form (the
+    batch-is-the-oracle pattern of q_tumbling_window/q_sessionize):
+    purchases ⋈ same-user clicks within the preceding 30 minutes, via
+    streaming/joins.click_attribution_join — the SAME function the
+    watermarked streaming form runs, so batch and streaming semantics
+    cannot drift (restart behavior covered in tests/test_stream_join.py).
+    Equi-join on user_id carries the shuffle; the interval predicate is a
+    residual — at scale this is one key-partitioned shuffle per side,
+    with streaming state bounded by watermark + horizon."""
+    from telecom_competitor_analysis_spark.streaming.joins import (
+        click_attribution_join,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return click_attribution_join(purchases, clicks)
 
 
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -595,6 +645,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_integrity_audit": q_integrity_audit,
     "q_embedding_dup": q_embedding_dup,
     "q_range_join": q_range_join,
+    "q_stream_join": q_stream_join,
     "q_string_agg": q_string_agg,
     "q_median": q_median,
     "q_dedup_exact": q_dedup_exact,

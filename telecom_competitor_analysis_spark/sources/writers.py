@@ -121,6 +121,37 @@ def compact_gold(
     shutil.rmtree(old)
 
 
+def append_to_catalog_table(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    keys: tuple[str, ...] = (),
+) -> int:
+    """S7 — warehouse sink through the session catalog: the *testable*
+    stand-in for the BigQuery leg (reference dags/bigquery.py:100-122
+    ``insert_rows`` + dags/bigquery.py:9-50 ``create_table_if_not_exist``).
+    Identical semantics, catalog instead of GCP: idempotent table
+    creation, then an insert-only-new append gated by the merge layer's
+    anti-join when ``keys`` are given — re-running the same load is a
+    no-op, exactly the reference's re-run guarantee.
+
+    Returns the number of rows appended. The anti-join reads the target
+    table, so the delta is localCheckpoint'ed to sever lineage before the
+    insert (self-referencing insert guard); at cluster scale the same
+    plan stages the delta to a temp location instead."""
+    from telecom_competitor_analysis_spark.operators.merge import anti_join_new
+
+    if not spark.catalog.tableExists(name):
+        df.limit(0).write.saveAsTable(name)
+    delta = (
+        anti_join_new(df, spark.table(name), list(keys)) if keys else df
+    ).localCheckpoint(eager=True)
+    n = delta.count()
+    if n:
+        delta.write.mode("append").insertInto(name)
+    return n
+
+
 def create_table_if_not_exists(
     spark: SparkSession, name: str, ddl_columns: str, location: str | None = None
 ) -> None:

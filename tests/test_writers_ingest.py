@@ -87,3 +87,43 @@ def test_ingest_validation(spark):
     )
     with pytest.raises(ValidationError, match="competitor_name"):
         validate_required(bad, RAW_LOG)
+
+
+def test_catalog_append_idempotent(spark):
+    """The catalog path of the warehouse sink (stand-in for the BigQuery
+    leg): idempotent creation, insert-only-new appends — re-running the
+    same load appends nothing; genuinely new keys append exactly once."""
+    from telecom_competitor_analysis_spark.sources.writers import (
+        append_to_catalog_table,
+        create_table_if_not_exists,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS wh_products")
+    try:
+        # S9 idempotent DDL: second call is a no-op, not an error
+        create_table_if_not_exists(
+            spark, "wh_ddl_probe", "pk BIGINT, name STRING"
+        )
+        create_table_if_not_exists(
+            spark, "wh_ddl_probe", "pk BIGINT, name STRING"
+        )
+
+        day1 = spark.createDataFrame(
+            [(1, "alpha", "2023-11-01"), (2, "beta", "2023-11-01")],
+            "pk long, name string, scraped_at string",
+        )
+        assert append_to_catalog_table(spark, day1, "wh_products", ("pk",)) == 2
+        # re-run of the same load: zero rows appended
+        assert append_to_catalog_table(spark, day1, "wh_products", ("pk",)) == 0
+        assert spark.table("wh_products").count() == 2
+
+        day2 = spark.createDataFrame(
+            [(2, "beta", "2023-11-02"), (3, "gamma", "2023-11-02")],
+            "pk long, name string, scraped_at string",
+        )
+        assert append_to_catalog_table(spark, day2, "wh_products", ("pk",)) == 1
+        got = {r.pk: r.name for r in spark.table("wh_products").collect()}
+        assert got == {1: "alpha", 2: "beta", 3: "gamma"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_products")
+        spark.sql("DROP TABLE IF EXISTS wh_ddl_probe")
