@@ -189,6 +189,83 @@ def curate_incremental(
     )
 
 
+def _hex_bound(rate: float) -> str:
+    """4-hex-char threshold for a sampling rate: keep iff the first 4 md5
+    hex chars sort below it. 'zzzz' (> every hex string) keeps all;
+    '' (< nothing) keeps none; otherwise rate·0x10000 as zero-padded hex."""
+    if rate >= 1.0:
+        return "zzzz"
+    if rate <= 0.0:
+        return ""
+    return format(int(rate * 0x10000), "04x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic stratified sampling — the training-data *mixing*
+    operator (up/down-weight sources or languages in a corpus mix): each
+    stratum keeps ``rates[stratum]`` of its rows, decided per row by
+    md5(id || '|' || salt), never by an RNG.
+
+    Hash-gated like hash_split: portable (same md5 everywhere), stable
+    under reshuffling/re-runs, independent per salt so several mixes
+    coexist, and embarrassingly parallel — a pure filter with zero
+    shuffles, which is what makes it usable at 100 TB (Spark's sample()
+    is partition-RNG based and changes membership when the partitioning
+    changes; this never does)."""
+    frac = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4
+    )
+    bound = None
+    for stratum in sorted(rates):
+        clause = (F.col(strata_col) == stratum, F.lit(_hex_bound(rates[stratum])))
+        bound = F.when(*clause) if bound is None else bound.when(*clause)
+    bound = (
+        bound.otherwise(F.lit(_hex_bound(default_rate)))
+        if bound is not None
+        else F.lit(_hex_bound(default_rate))
+    )
+    return df.filter(frac < bound)
+
+
+def sequence_pack(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    part_col: str,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — assign each document its
+    position in the fixed-length training-sequence stream: documents are
+    concatenated in (partition, id) order and cut every ``seq_len``
+    tokens; a doc's ``chunk_id``/``chunk_offset`` locate where it starts.
+
+    Packing is per ``part_col`` partition (source shard here): one window
+    cumsum per partition, parallel across partitions — the scale path,
+    since chunk boundaries need no global coordination and a global-order
+    cumsum would serialize onto one reducer. Deterministic: (partition,
+    id) is a total order."""
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(F.col(token_count_col)).over(w) - F.col(token_count_col)
+    return df.select(
+        F.col(id_col),
+        F.col(part_col),
+        F.col(token_count_col),
+        F.floor(start / F.lit(seq_len)).cast("long").alias("chunk_id"),
+        (start % F.lit(seq_len)).cast("long").alias("chunk_offset"),
+    )
+
+
 def hash_split(
     id_col: Column, salt: str = "split", train_hex_bound: str = "cd"
 ) -> Column:

@@ -269,6 +269,21 @@ EXT_ORACLES: dict[str, str] = {
          AND c.c_ts >= p.ts - INTERVAL 1 HOUR
         GROUP BY p.event_id, p.user_id
     """,
+    "q_sequence_pack": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' '))::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST(floor((SUM(n_tokens) OVER w - n_tokens) / 2048)
+                    AS BIGINT) AS chunk_id,
+               CAST((SUM(n_tokens) OVER w - n_tokens) % 2048
+                    AS BIGINT) AS chunk_offset
+        FROM t
+        WINDOW w AS (PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
     "q_stream_join": """
         SELECT
             p.event_id AS purchase_id,
@@ -558,3 +573,32 @@ EXT_ORACLES: dict[str, str] = {
         FROM documents
     """,
 }
+
+
+def _mix_bound_case() -> str:
+    """CASE expression for the stratified-sample rate bounds — generated
+    from the SAME Python constants the Spark query uses
+    (queries_ext.MIX_RATES via curate._hex_bound), so the two engines
+    cannot drift."""
+    from telecom_competitor_analysis_spark.operators.curate import _hex_bound
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        MIX_DEFAULT_RATE,
+        MIX_RATES,
+    )
+
+    whens = "\n            ".join(
+        f"WHEN '{k}' THEN '{_hex_bound(v)}'" for k, v in sorted(MIX_RATES.items())
+    )
+    return (
+        "CASE lang\n            "
+        + whens
+        + f"\n            ELSE '{_hex_bound(MIX_DEFAULT_RATE)}' END"
+    )
+
+
+EXT_ORACLES["q_stratified_sample"] = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 4)
+          < {_mix_bound_case()}
+"""

@@ -541,6 +541,41 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_RATES = {"en": 0.9, "fr": 0.5, "de": 0.5, "es": 0.25, "zh": 0.1}
+MIX_DEFAULT_RATE = 0.05
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (training-mix weighting): keep
+    90% of English docs, 50% fr/de, 25% es, 10% zh, 5% anything else —
+    membership decided by md5(doc_id), so the mix is reproducible,
+    shuffle-independent, and a pure zero-shuffle filter at any scale."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", MIX_RATES, MIX_DEFAULT_RATE
+    ).select("doc_id", "lang", "source")
+
+
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    (source, doc_id) order and cut every 2048 whitespace tokens; emits
+    each doc's chunk_id and offset. Per-source window cumsum — parallel
+    across sources, no global-order bottleneck."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        sequence_pack,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", n_words(F.col("text")).alias("n_tokens")
+    )
+    return sequence_pack(toks, "doc_id", "n_tokens", "source", seq_len=2048)
+
+
 def _daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled daily event counts per user: the user's [min_day,
     max_day] range materializes via sequence+explode, days without events
@@ -637,6 +672,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_train_test_split": q_train_test_split,
+    "q_stratified_sample": q_stratified_sample,
+    "q_sequence_pack": q_sequence_pack,
     "q_dedup_clusters": q_dedup_clusters,
     "q_resample_daily": q_resample_daily,
     "q_moving_avg": q_moving_avg,

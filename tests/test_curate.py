@@ -67,3 +67,49 @@ def test_hash_split_deterministic_and_balanced(spark):
              spark.range(0, 2000).withColumn("split", hash_split(F.col("id")))
              .groupBy("split").count().collect()}
     assert counts == again
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from telecom_competitor_analysis_spark.operators.curate import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["keep_all", "drop_all", "half"][i % 3]) for i in range(600)],
+        "id long, stratum string",
+    )
+    rates = {"keep_all": 1.0, "drop_all": 0.0, "half": 0.5}
+    got = stratified_sample(df, "id", "stratum", rates).collect()
+    by_stratum: dict[str, int] = {}
+    for r in got:
+        by_stratum[r.stratum] = by_stratum.get(r.stratum, 0) + 1
+    assert by_stratum.get("keep_all") == 200  # rate 1.0 keeps every row
+    assert "drop_all" not in by_stratum      # rate 0.0 keeps none
+    assert 60 <= by_stratum.get("half", 0) <= 140  # ~100 of 200
+    # deterministic: same membership on re-run and under reshuffling
+    again = stratified_sample(df.repartition(7), "id", "stratum", rates)
+    assert {r.id for r in got} == {r.id for r in again.collect()}
+
+
+def test_sequence_pack_chunks_are_contiguous(spark):
+    from telecom_competitor_analysis_spark.operators.curate import (
+        sequence_pack,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "s", 100), (2, "s", 500), (3, "s", 500), (4, "s", 30),
+         (5, "t", 2000), (6, "t", 100)],
+        "id long, src string, n long",
+    )
+    got = {
+        r.id: (r.chunk_id, r.chunk_offset)
+        for r in sequence_pack(df, "id", "n", "src", seq_len=1000).collect()
+    }
+    # src 's': cumulative starts 0, 100, 600, 1100
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 100)
+    assert got[3] == (0, 600)
+    assert got[4] == (1, 100)
+    # src 't' packs independently: starts 0, 2000
+    assert got[5] == (0, 0)
+    assert got[6] == (2, 0)
