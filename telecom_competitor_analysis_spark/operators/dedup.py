@@ -256,6 +256,93 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    sig_col: str = "simhash",
+    bands: int = 2,
+    max_bucket_size: int = 1000,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 16-bit signature into ``bands``
+    contiguous slices; docs sharing any exact band are candidates
+    (pigeonhole: hamming ≤ bands-1 GUARANTEES a shared band, so with the
+    default 2 bands every hamming≤1 pair is found); exact hamming
+    distance verified on candidates only. Returns (id_a, id_b, hamming).
+
+    Same scale shape as lsh_candidate_pairs: one groupBy per band key,
+    per-bucket combination explode carrying both signatures (so the
+    verify stage needs NO join back), ``max_bucket_size`` drops
+    degenerate buckets before pairing. A 16-bit signature saturates on
+    large corpora — production would widen the signature with the corpus
+    (64-bit standard) — but the plan shape is width-independent."""
+    width = 16 // bands
+    banded = signatures.select(
+        F.col(id_col).alias("id"),
+        F.col(sig_col).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.substring(
+                            F.col(sig_col), b * width + 1, width
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_key")
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("sig")))
+    )
+    pairs = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(members.alias("ms"))
+        .filter(
+            (F.size("ms") > 1) & (F.size("ms") <= F.lit(max_bucket_size))
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ms"),
+                                (i + 2).cast("int"),
+                                F.size(F.col("ms")),
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                x["sig"].alias("sig_a"),
+                                y["id"].alias("id_b"),
+                                y["sig"].alias("sig_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.sig_a", "p.id_b", "p.sig_b")
+        .distinct()
+    )
+    hamming = sum(
+        F.when(
+            F.substring(F.col("sig_a"), i + 1, 1)
+            != F.substring(F.col("sig_b"), i + 1, 1),
+            1,
+        ).otherwise(0)
+        for i in range(16)
+    ).cast("int")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def dedup_clusters(
     pairs: DataFrame,
     vertices: DataFrame,

@@ -602,3 +602,52 @@ EXT_ORACLES["q_stratified_sample"] = f"""
     WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 4)
           < {_mix_bound_case()}
 """
+
+
+_HAMMING_16 = " + ".join(
+    f"(CASE WHEN substr(sa, {i + 1}, 1) != substr(sb, {i + 1}, 1) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(16)
+)
+
+EXT_ORACLES["q_simhash_pairs"] = f"""
+    WITH tokens AS (
+        SELECT doc_id, md5(w) AS wh
+        FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        )
+    ),
+    sums AS (
+        SELECT
+            doc_id,
+            {_SIMHASH_SUMS}
+        FROM tokens
+        GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_SIMHASH_BITS} AS simhash FROM sums),
+    banded AS (
+        SELECT doc_id, simhash, 0 AS band_idx,
+               substr(simhash, 1, 8) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, simhash, 1 AS band_idx,
+               substr(simhash, 9, 8) AS band_key FROM sig
+    ),
+    -- mega-bucket cap (mirrors simhash_candidate_pairs max_bucket_size)
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) BETWEEN 2 AND 1000
+    ),
+    b2 AS (SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, a.simhash AS sa,
+                        b.doc_id AS id_b, b.simhash AS sb
+        FROM b2 a
+        JOIN b2 b ON a.band_idx = b.band_idx
+                 AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST({_HAMMING_16} AS INT) AS hamming
+    FROM cand
+    WHERE {_HAMMING_16} <= 1
+"""

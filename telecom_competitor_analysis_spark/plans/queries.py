@@ -900,6 +900,7 @@ _NEVER_CHECKED_FIRST = [
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
     "q_simhash",
+    "q_simhash_pairs",  # new in round 2
     "q_text_stats",
     "q_token_count",
     "q_lang_id",

@@ -73,6 +73,20 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash16(docs, "doc_id", "text")
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 2-band bucketing over the 16-bit signature
+    (pigeonhole-complete for hamming ≤ 1) + exact hamming verify on
+    candidates only — the SimHash twin of the MinHash-LSH pair path."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(
+        simhash16(docs, "doc_id", "text"), "doc_id"
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard ≥ 0.2; candidates
     from an inverted-index join on shingles (only colliding docs pair)."""
@@ -689,6 +703,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash": q_minhash,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,

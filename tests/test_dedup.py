@@ -115,3 +115,27 @@ def test_lsh_bucket_cap_bounds_pair_volume(spark):
     assert uncapped.count() > 400  # 30-doc bucket → ~435 pairs
     capped_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
     assert capped_pairs == {(100, 101)}  # small bucket unaffected
+
+
+def test_simhash_pairs_find_identical_and_respect_cap(spark):
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    sigs = simhash16(_docs(spark), "doc_id", "text")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(sigs, "doc_id").collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text → identical signature
+    # the far doc never pairs with anything at hamming <= 1
+    assert not any(4 in p for p in pairs)
+
+    # a mega-bucket (identical signatures everywhere) is dropped by the cap
+    rows = [(i, "same text everywhere") for i in range(30)]
+    big = simhash16(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "doc_id", "text",
+    )
+    capped = simhash_candidate_pairs(big, "doc_id", max_bucket_size=5)
+    assert capped.count() == 0
