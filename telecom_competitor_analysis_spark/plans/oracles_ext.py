@@ -238,22 +238,32 @@ EXT_ORACLES: dict[str, str] = {
         WITH e AS (
             SELECT
                 vec_id, label, embedding,
-                {_hyperplane_bucket_sql("embedding")} AS bucket
+                {_hyperplane_bucket_sql("embedding", seed=0)} AS b0,
+                {_hyperplane_bucket_sql("embedding", seed=1)} AS b1
             FROM embeddings
+        ),
+        cand AS (
+            SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.b0 = b.b0 AND a.vec_id < b.vec_id
+            UNION
+            SELECT DISTINCT a.label, a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.b1 = b.b1 AND a.vec_id < b.vec_id
         )
         SELECT
-            a.label,
-            a.vec_id AS id_a,
-            b.vec_id AS id_b,
+            c.label,
+            c.id_a,
+            c.id_b,
             round(list_cosine_similarity(
-                CAST(a.embedding AS DOUBLE[]),
-                CAST(b.embedding AS DOUBLE[])), 6) AS cos_r
-        FROM e a
-        JOIN e b ON a.label = b.label AND a.bucket = b.bucket
-               AND a.vec_id < b.vec_id
+                CAST(va.embedding AS DOUBLE[]),
+                CAST(vb.embedding AS DOUBLE[])), 6) AS cos_r
+        FROM cand c
+        JOIN embeddings va ON va.vec_id = c.id_a
+        JOIN embeddings vb ON vb.vec_id = c.id_b
         WHERE list_cosine_similarity(
-                CAST(a.embedding AS DOUBLE[]),
-                CAST(b.embedding AS DOUBLE[])) >= 0.2
+                CAST(va.embedding AS DOUBLE[]),
+                CAST(vb.embedding AS DOUBLE[])) >= 0.2
     """,
     "q_range_join": """
         SELECT

@@ -206,16 +206,22 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(decode_media(media), every_nth=2)
 
 
+EMBEDDING_LSH_BANDS = 2  # OR-amplification: pair found if ANY band collides
+
+
 def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-blocked: candidates only
-    within the same (label, hyperplane-sign bucket). The bucket term is
-    what makes this scale — a label block grows O(n/L) with the corpus and
-    pairs within it grow quadratically, while the 2^n_planes LSH buckets
-    subdivide each label block so candidate volume stays proportional to
-    Σ bucket², not Σ label-block². Near-identical vectors (cos ≥ 0.5 here)
-    land in the same sign bucket with high probability, exactly like LSH
-    bands for MinHash. Deterministic (md5-derived hyperplanes, seed 0) so
-    the DuckDB oracle reproduces the same buckets from the same weights.
+    """Embedding-cosine near-dup pairs, multi-band LSH-blocked: a pair is
+    a candidate if the two vectors share their hyperplane-sign bucket in
+    ANY of the bands (2 independent 4-plane bands, seeds 0/1) — the
+    standard LSH OR-amplification, expressed as a UNION of per-band
+    equi-joins + pair distinct (never an OR join condition, which would
+    degrade to a per-label nested loop). Candidate volume stays Σ bucket²
+    per band; recall stacks across bands (measured on the near-isotropic
+    test embeddings at cos≥0.2: ~10% per band, 21% with both, for 13% of
+    the label-blocked candidate volume — production tunes bands/planes to
+    the similarity regime, where true near-dups (cos≥0.9) collide at
+    ~75-95% per band). Deterministic (md5-derived hyperplanes) so the
+    DuckDB oracle reproduces the same buckets from the same weights.
 
     Threshold 0.2: the synthetic embeddings are near-isotropic (max
     within-label cosine ≈ 0.48), so a 0.5 cutoff would make the result
@@ -230,41 +236,62 @@ def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    # bucket + norm computed once per row (map-only); the O(pairs) stage
-    # then does a single dot-product fold per pair instead of three.
-    # ensure_parallelism: a small parquet arrives as ONE split, which would
-    # serialize the interpreted array-fold work (bucket, norms, pair dots)
-    # onto a single core — measured 4.8s → 0.6s at sf0.1. On a cluster
-    # reading many splits it's a no-op (and conf-gated off).
-    emb = (
-        ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-        .withColumn(
-            "bucket",
+    # The signature table (label, id, per-band buckets, norm, vector) is
+    # materialized ONCE (localCheckpoint — the local stand-in for writing
+    # signatures to a table, which every production LSH pipeline does):
+    # the per-band self-joins and the scoring joins all read it, instead
+    # of re-running the interpreted array-fold bucket computation for
+    # every join side (4× otherwise). ensure_parallelism: a small parquet
+    # arrives as ONE split, which would serialize the fold work onto a
+    # single core; no-op (conf-gated) on a real cluster.
+    base = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    sigs = base.select(
+        "label",
+        "vec_id",
+        *[
             hyperplane_sign_bucket(
-                F.col("embedding"), EMBEDDING_DIM, n_planes=4
-            ),
+                F.col("embedding"), EMBEDDING_DIM, n_planes=4, seed=s
+            ).alias(f"b{s}")
+            for s in range(EMBEDDING_LSH_BANDS)
+        ],
+        l2_norm(F.col("embedding")).alias("nrm"),
+        "embedding",
+    ).localCheckpoint(eager=False)
+
+    cand = None
+    for band in range(EMBEDDING_LSH_BANDS):
+        a = sigs.select(
+            F.col("label"),
+            F.col(f"b{band}").alias("bucket"),
+            F.col("vec_id").alias("id_a"),
         )
-        .withColumn("nrm", l2_norm(F.col("embedding")))
-    )
-    a = emb.select(
-        F.col("label"),
-        F.col("bucket"),
+        b = sigs.select(
+            F.col("label"),
+            F.col(f"b{band}").alias("bucket"),
+            F.col("vec_id").alias("id_b"),
+        )
+        band_pairs = (
+            a.join(b, on=["label", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("label", "id_a", "id_b")
+        )
+        cand = band_pairs if cand is None else cand.unionByName(band_pairs)
+    cand = cand.distinct()
+
+    va = sigs.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),
         F.col("nrm").alias("nrm_a"),
     )
-    b = emb.select(
-        F.col("label"),
-        F.col("bucket"),
+    vb = sigs.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vec_b"),
         F.col("nrm").alias("nrm_b"),
     )
-    pairs = a.join(b, on=["label", "bucket"]).filter(
-        F.col("id_a") < F.col("id_b")
-    )
     return (
-        pairs.withColumn(
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(
             "cos",
             dot_product(F.col("vec_a"), F.col("vec_b"))
             / (F.col("nrm_a") * F.col("nrm_b")),
