@@ -23,7 +23,11 @@ class _CardParser(HTMLParser):
     Tracks div nesting depth so a plain <div> inside a card (layout
     wrappers, grids) does not prematurely close the card and drop its
     remaining fields; the card closes only when its own outer </div> is
-    reached. A data-field closes only when the tag that opened it ends."""
+    reached. A data-field closes only when the tag that opened it ends
+    (same-name nesting tracked by a field depth counter). Malformed
+    markup is self-healing: a new product-card opening while one is
+    still open flushes the previous card, so one unclosed wrapper div
+    can never swallow the rest of the page."""
 
     def __init__(self) -> None:
         super().__init__()
@@ -31,37 +35,53 @@ class _CardParser(HTMLParser):
         self._current: dict[str, str] | None = None
         self._field: str | None = None
         self._field_tag: str | None = None
+        self._field_depth = 0  # same-name tags open inside the field
         self._depth = 0  # open <div> count inside the current card
+
+    def _flush(self) -> None:
+        if self._current:
+            self.cards.append(self._current)
+        self._current = None
+        self._field = None
+        self._field_tag = None
+        self._field_depth = 0
 
     def handle_starttag(self, tag, attrs):
         a = dict(attrs)
+        if tag == "div" and "product-card" in (a.get("class") or ""):
+            if self._current is not None:
+                self._flush()  # unclosed previous card: recover
+            self._current = {}
+            self._depth = 1
+            return
         if self._current is None:
-            if tag == "div" and "product-card" in (a.get("class") or ""):
-                self._current = {}
-                self._depth = 1
             return
         if tag == "div":
             self._depth += 1
-        if a.get("data-field"):
+        if self._field is not None and tag == self._field_tag:
+            self._field_depth += 1
+        elif a.get("data-field"):
             self._field = a["data-field"]
             self._field_tag = tag
+            self._field_depth = 0
 
     def handle_endtag(self, tag):
         if self._current is None:
             return
+        field_closed_div = False
         if self._field is not None and tag == self._field_tag:
-            self._field = None
-            self._field_tag = None
-            if tag != "div":
-                return
-        if tag == "div":
-            self._depth -= 1
-            if self._depth == 0:
-                if self._current:
-                    self.cards.append(self._current)
-                self._current = None
+            if self._field_depth > 0:
+                self._field_depth -= 1
+            else:
                 self._field = None
                 self._field_tag = None
+                field_closed_div = tag == "div"
+                if not field_closed_div:
+                    return
+        if tag == "div":
+            self._depth -= 1
+            if self._depth <= 0:
+                self._flush()
 
     def handle_data(self, data):
         if self._current is not None and self._field:

@@ -189,15 +189,22 @@ def curate_incremental(
     )
 
 
+HEX_BOUND_CHARS = 8  # 32-bit rate quantum (~2.3e-10) — small mixing rates
+# like 1e-5 of a multi-billion-row stratum survive quantization
+
+
 def _hex_bound(rate: float) -> str:
-    """4-hex-char threshold for a sampling rate: keep iff the first 4 md5
-    hex chars sort below it. 'zzzz' (> every hex string) keeps all;
-    '' (< nothing) keeps none; otherwise rate·0x10000 as zero-padded hex."""
+    """8-hex-char threshold for a sampling rate: keep iff the first 8 md5
+    hex chars sort below it. 'z'*8 (> every hex string) keeps all;
+    '' (< nothing) keeps none; otherwise rate·2^32 as zero-padded hex,
+    clamped to [1, 2^32-1] so no in-range rate silently rounds to
+    keep-none or overflows the fixed width."""
     if rate >= 1.0:
-        return "zzzz"
+        return "z" * HEX_BOUND_CHARS
     if rate <= 0.0:
         return ""
-    return format(int(rate * 0x10000), "04x")
+    q = max(1, min(0xFFFFFFFF, round(rate * 0x100000000)))
+    return format(q, f"0{HEX_BOUND_CHARS}x")
 
 
 def stratified_sample(
@@ -220,7 +227,9 @@ def stratified_sample(
     is partition-RNG based and changes membership when the partitioning
     changes; this never does)."""
     frac = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))), 1, 4
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}"))),
+        1,
+        HEX_BOUND_CHARS,
     )
     bound = None
     for stratum in sorted(rates):

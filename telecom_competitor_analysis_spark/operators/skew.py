@@ -42,7 +42,9 @@ def salted_join(
     """
     on = list(on)
     normalized = how.lower().replace("_", "")
-    if normalized not in {"inner", "left", "leftouter", "leftsemi", "leftanti"}:
+    if normalized not in {
+        "inner", "left", "leftouter", "leftsemi", "leftanti", "semi", "anti",
+    }:
         raise ValueError(
             f"salted_join does not support how={how!r}: the small side is "
             "replicated ×salt, so right/full outer joins would duplicate "

@@ -606,10 +606,18 @@ def _mix_bound_case() -> str:
     )
 
 
+def _hex_bound_chars() -> int:
+    from telecom_competitor_analysis_spark.operators.curate import (
+        HEX_BOUND_CHARS,
+    )
+
+    return HEX_BOUND_CHARS
+
+
 EXT_ORACLES["q_stratified_sample"] = f"""
     SELECT doc_id, lang, source
     FROM documents
-    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, 4)
+    WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|mix'), 1, {_hex_bound_chars()})
           < {_mix_bound_case()}
 """
 

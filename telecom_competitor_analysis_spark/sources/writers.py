@@ -148,7 +148,12 @@ def append_to_catalog_table(
     ).localCheckpoint(eager=True)
     n = delta.count()
     if n:
-        delta.write.mode("append").insertInto(name)
+        # insertInto resolves columns by POSITION — realign to the target
+        # table's order so a caller with reordered columns cannot write
+        # misaligned values
+        delta.select(*spark.table(name).columns).write.mode(
+            "append"
+        ).insertInto(name)
     return n
 
 

@@ -113,3 +113,15 @@ def test_sequence_pack_chunks_are_contiguous(spark):
     # src 't' packs independently: starts 0, 2000
     assert got[5] == (0, 0)
     assert got[6] == (2, 0)
+
+
+def test_stratified_sample_tiny_rates_survive_quantization(spark):
+    """A realistic small mixing rate (1e-5-ish) must not quantize to
+    keep-none, and a rate just under 1.0 must keep ~everything."""
+    from telecom_competitor_analysis_spark.operators.curate import _hex_bound
+
+    assert _hex_bound(1e-5) != ""          # not keep-none
+    assert int(_hex_bound(1e-5), 16) >= 1
+    near_one = float.fromhex("0x1.fffffffffffffp-1")  # largest double < 1
+    b = _hex_bound(near_one)
+    assert len(b) == 8 and b == "ffffffff"  # keeps all but 1/2^32

@@ -82,3 +82,36 @@ def test_parser_survives_nested_divs():
     assert rows[0]["sms"] == -1
     assert rows[0]["price"] == 15.0
     assert rows[1]["data"] == 5.0 and rows[1]["price"] == 5.0
+
+
+def test_parser_recovers_from_unclosed_divs():
+    """One unclosed wrapper div must not swallow the rest of the page:
+    a new product-card flushes the previous (malformed) one."""
+    html = """
+    <div class="product-card">
+      <div class="row"><span data-field="price">5</span>
+    </div>
+    <div class="product-card">
+      <span data-field="price">7</span>
+    </div>
+    """
+    rows = parse_products_html(html, "x", "mobile", "http://u",
+                               scraped_at="2023-11-01")
+    assert [r["price"] for r in rows] == [5.0, 7.0]
+
+
+def test_parser_handles_same_tag_nesting_in_field():
+    """A nested element with the same tag name inside a data-field must
+    not close the field early and drop trailing text."""
+    html = """
+    <div class="product-card">
+      <div data-field="data">15 <div class="badge">extra</div> 99</div>
+      <span data-field="price">9</span>
+    </div>
+    """
+    rows = parse_products_html(html, "x", "mobile", "http://u",
+                               scraped_at="2023-11-01")
+    assert len(rows) == 1
+    # field text accumulated across the nested div: first number is 15
+    assert rows[0]["data"] == 15.0
+    assert rows[0]["price"] == 9.0

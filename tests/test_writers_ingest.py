@@ -127,3 +127,29 @@ def test_catalog_append_idempotent(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS wh_products")
         spark.sql("DROP TABLE IF EXISTS wh_ddl_probe")
+
+
+def test_catalog_append_realigns_reordered_columns(spark):
+    """insertInto resolves by position: a caller with reordered columns
+    must still land values in the right target columns."""
+    from telecom_competitor_analysis_spark.sources.writers import (
+        append_to_catalog_table,
+    )
+
+    spark.sql("DROP TABLE IF EXISTS wh_reorder")
+    try:
+        day1 = spark.createDataFrame(
+            [(1, "alpha", "2023-11-01")],
+            "pk long, name string, scraped_at string",
+        )
+        append_to_catalog_table(spark, day1, "wh_reorder", ("pk",))
+        # same schema, different column order
+        day2 = spark.createDataFrame(
+            [("beta", "2023-11-02", 2)],
+            "name string, scraped_at string, pk long",
+        )
+        assert append_to_catalog_table(spark, day2, "wh_reorder", ("pk",)) == 1
+        got = {r.pk: r.name for r in spark.table("wh_reorder").collect()}
+        assert got == {1: "alpha", 2: "beta"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS wh_reorder")
