@@ -96,3 +96,68 @@ def test_digits_only_property(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "x string")
     got = [r.y for r in df.select(digits_only(F.col("x")).alias("y")).collect()]
     assert got == [_model_digits(v) for v in values]
+
+
+def test_stratified_sample_monotone_and_model_exact(spark):
+    """Membership is a pure function of md5(id): (a) it matches a
+    straight-Python model exactly, and (b) raising a stratum's rate only
+    ever ADDS members (monotone nesting — what makes mix re-weighting
+    reproducible without resampling)."""
+    import hashlib
+
+    from telecom_competitor_analysis_spark.operators.curate import (
+        HEX_BOUND_CHARS,
+        _hex_bound,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s") for i in range(500)], "id long, stratum string"
+    ).cache()
+
+    def model(rate):
+        bound = _hex_bound(rate)
+        return {
+            i for i in range(500)
+            if hashlib.md5(f"{i}|mix".encode()).hexdigest()[:HEX_BOUND_CHARS]
+            < bound
+        }
+
+    prev: set[int] = set()
+    for rate in (0.0, 0.1, 0.35, 0.5, 0.9, 1.0):
+        got = {r.id for r in
+               stratified_sample(df, "id", "stratum", {"s": rate}).collect()}
+        assert got == model(rate), f"rate={rate}"
+        assert prev <= got, f"membership not monotone at rate={rate}"
+        prev = got
+
+
+def test_sequence_pack_invariants(spark):
+    """For any token-count sequence: offsets stay inside the sequence
+    length, chunk ids are non-decreasing in id order, and (chunk_id,
+    chunk_offset) reconstructs the exact cumulative start position."""
+    import random
+
+    from telecom_competitor_analysis_spark.operators.curate import (
+        sequence_pack,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, f"p{i % 3}", rng.randint(0, 5000)) for i in range(200)]
+    seq_len = 1024
+    got = sorted(
+        sequence_pack(
+            spark.createDataFrame(rows, "id long, part string, n long"),
+            "id", "n", "part", seq_len=seq_len,
+        ).collect(),
+        key=lambda r: (r.part, r.id),
+    )
+    cum: dict[str, int] = {}
+    last_chunk: dict[str, int] = {}
+    for r in got:
+        start = cum.get(r.part, 0)
+        assert 0 <= r.chunk_offset < seq_len
+        assert r.chunk_id * seq_len + r.chunk_offset == start
+        assert r.chunk_id >= last_chunk.get(r.part, 0)  # non-decreasing
+        cum[r.part] = start + r.n
+        last_chunk[r.part] = r.chunk_id
