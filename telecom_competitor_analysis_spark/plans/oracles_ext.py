@@ -279,6 +279,15 @@ EXT_ORACLES: dict[str, str] = {
          AND c.c_ts >= p.ts - INTERVAL 1 HOUR
         GROUP BY p.event_id, p.user_id
     """,
+    "q_udaf_weighted": """
+        SELECT
+            event_type,
+            CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                     * ((event_id % 5) + 1)) AS DOUBLE)
+            / CAST(SUM((event_id % 5) + 1) AS DOUBLE) AS weighted_mean_cents
+        FROM events
+        GROUP BY event_type
+    """,
     "q_sequence_pack": """
         WITH t AS (
             SELECT doc_id, source,

@@ -919,6 +919,7 @@ _NEVER_CHECKED_FIRST = [
     "q_stream_join",  # new in round 2
     "q_stratified_sample",  # new in round 2
     "q_sequence_pack",  # new in round 2
+    "q_udaf_weighted",  # new in round 2
     # changed this round (broadcast-hint removal / df-caps) → re-verify
     "q_revenue_topk",
     "q_corpus_curate",

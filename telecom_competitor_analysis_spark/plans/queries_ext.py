@@ -582,6 +582,33 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDAF (§2.10, the Arrow aggregation escape
+    hatch) with a HARD oracle: weighted mean per event type over integer
+    cents and integer weights, so the whole aggregate is exact integer
+    math and the only FP operation is one final double division —
+    bit-identical across engines. (Partial aggregation does not apply to
+    grouped-agg UDFs — each group ships to Python whole — so real
+    pipelines keep builtin aggregates unless the math needs Python.)"""
+    from telecom_competitor_analysis_spark.functions.udfs import (
+        weighted_mean_pandas,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    prep = events.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        ((F.col("event_id") % 5) + 1).cast("long").alias("w"),
+    )
+    # NOTE: a grouped-agg pandas UDF cannot be mixed with builtin
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — counts etc.
+    # would need their own aggregation joined back
+    wm = weighted_mean_pandas()
+    return prep.groupBy("event_type").agg(
+        wm(F.col("v_cents"), F.col("w")).alias("weighted_mean_cents"),
+    )
+
+
 MIX_RATES = {"en": 0.9, "fr": 0.5, "de": 0.5, "es": 0.25, "zh": 0.1}
 MIX_DEFAULT_RATE = 0.05
 
@@ -715,6 +742,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_train_test_split": q_train_test_split,
     "q_stratified_sample": q_stratified_sample,
     "q_sequence_pack": q_sequence_pack,
+    "q_udaf_weighted": q_udaf_weighted,
     "q_dedup_clusters": q_dedup_clusters,
     "q_resample_daily": q_resample_daily,
     "q_moving_avg": q_moving_avg,
