@@ -1,0 +1,142 @@
+"""Corpus quality signals and benchmark decontamination.
+
+These are the curation-side text-quality operators a training-data
+pipeline runs between ingestion and dedup (reference analogue: the
+scrapers' ad-hoc validation in dags/viking_scraper.py:88-107 is the
+closest thing — the reference has no corpus layer, so this module is
+extension surface, modeled on the published Gopher / C4 / CCNet
+filtering rules).
+
+Everything here is native-column Spark: explodes + partial-aggregated
+groupBys, no Python in the hot path, no collect. Per-doc signals shuffle
+on the doc id (or (doc id, token) with map-side combine) — never on the
+document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.functions.text import words
+from telecom_competitor_analysis_spark.operators.dedup import (
+    _ensure_parallelism,
+    shingle_rows,
+)
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document: the fraction
+    of the doc occupied by its single most frequent word, and the
+    duplicate-bigram fraction. Docs scoring high on either are
+    boilerplate/spam candidates that repetition filters drop before
+    training.
+
+    Returns (id, n_words, n_distinct_words, top_word_count,
+    top_word_fraction, n_bigrams, n_distinct_bigrams,
+    dup_bigram_fraction).
+
+    Scale shape: two explode pipelines over the same scan. Word counts
+    aggregate on (id, word) then (id) — both stages partial-aggregate
+    map-side, and the second groupBy reuses the first's hash
+    partitioning prefix. Bigrams ride shingle_rows' single window pass
+    (one shuffle on the doc id). The final join is id-to-id, one row per
+    doc on each side; AQE picks the strategy. Per-doc work is O(doc
+    length) — no step is quadratic in the document or the corpus.
+    """
+    src = _ensure_parallelism(df)
+    toks = src.select(
+        F.col(id_col), F.explode(words(F.trim(F.col(text_col)))).alias("w")
+    )
+    word_stats = (
+        toks.groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.max("c").alias("top_word_count"),
+        )
+    )
+    bigram_stats = (
+        shingle_rows(src, id_col, text_col, w=2)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.countDistinct("word").alias("n_distinct_bigrams"),
+        )
+    )
+    # left join: a 1-word doc emits no bigram rows but must still score
+    # (0 bigrams, 0 duplication) rather than silently vanish.
+    n_big = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    n_big_distinct = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
+    return (
+        word_stats.join(bigram_stats, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_words",
+            "n_distinct_words",
+            "top_word_count",
+            (
+                F.col("top_word_count").cast("double") / F.col("n_words")
+            ).alias("top_word_fraction"),
+            n_big.alias("n_bigrams"),
+            n_big_distinct.alias("n_distinct_bigrams"),
+            F.when(
+                n_big > 0,
+                (n_big - n_big_distinct).cast("double") / n_big,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("dup_bigram_fraction"),
+        )
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: find corpus documents that share at
+    least one w-word n-gram with any benchmark/eval document, so they can
+    be dropped before training (the standard eval-contamination sweep;
+    published pipelines use w≈8-13).
+
+    Returns (corpus_id, bench_id, n_shared_shingles) — one row per
+    contaminated (corpus doc, benchmark doc) pair.
+
+    Scale shape: inverted-index join on the n-gram, never corpus ×
+    benchmark. Both sides reduce to distinct (id, shingle) rows; the join
+    hashes on the shingle, and ``max_df`` drops corpus-hot shingles
+    (boilerplate n-grams that would both blow up the join and
+    false-positive the sweep) using a window count over the join's own
+    shuffle key — same cap discipline as shingle_jaccard_pairs. The
+    benchmark side is bounded by construction (eval sets are small), so
+    AQE will broadcast it; we stay declarative rather than forcing the
+    hint."""
+    c = (
+        shingle_rows(_ensure_parallelism(corpus), id_col, text_col, w)
+        .select(F.col(id_col).alias("corpus_id"), F.col("word").alias("sh"))
+        .distinct()
+    )
+    b = (
+        shingle_rows(benchmark, id_col, text_col, w)
+        .select(F.col(id_col).alias("bench_id"), F.col("word").alias("sh"))
+        .distinct()
+    )
+    w_sh = Window.partitionBy("sh")
+    c = (
+        c.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .filter(F.col("__df") <= F.lit(max_df))
+        .drop("__df")
+    )
+    return (
+        c.join(b, on="sh")
+        .groupBy("corpus_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )

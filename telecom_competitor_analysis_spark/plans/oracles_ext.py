@@ -591,6 +591,96 @@ EXT_ORACLES: dict[str, str] = {
             octet_length(encode(text))::BIGINT AS byte_len
         FROM documents
     """,
+    "q_quality_repetition": """
+        WITH w AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+        ),
+        ws AS (
+            SELECT
+                doc_id,
+                CAST(SUM(c) AS BIGINT) AS n_words,
+                COUNT(*)::BIGINT AS n_distinct_words,
+                MAX(c)::BIGINT AS top_word_count
+            FROM wc
+            GROUP BY doc_id
+        ),
+        t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS b
+            FROM t, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+        ),
+        bs AS (
+            SELECT
+                doc_id,
+                COUNT(*)::BIGINT AS n_bigrams,
+                COUNT(DISTINCT b)::BIGINT AS n_distinct_bigrams
+            FROM bg
+            GROUP BY doc_id
+        )
+        -- LEFT JOIN + COALESCE mirrors repetition_signals: a 1-word doc
+        -- has no bigram rows but must still score (0, 0, 0.0).
+        SELECT
+            ws.doc_id,
+            n_words,
+            n_distinct_words,
+            top_word_count,
+            CAST(top_word_count AS DOUBLE) / n_words AS top_word_fraction,
+            COALESCE(n_bigrams, 0) AS n_bigrams,
+            COALESCE(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+            CASE WHEN COALESCE(n_bigrams, 0) > 0
+                 THEN CAST(n_bigrams - n_distinct_bigrams AS DOUBLE) / n_bigrams
+                 ELSE 0.0 END AS dup_bigram_fraction
+        FROM ws
+        LEFT JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+    "q_decontaminate": """
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+        ),
+        sh_all AS (
+            SELECT DISTINCT
+                t.doc_id,
+                arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+            FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        bench AS (
+            SELECT doc_id AS bench_id, sh FROM sh_all WHERE doc_id % 100 = 0
+        ),
+        corp_all AS (
+            SELECT doc_id AS corpus_id, sh FROM sh_all WHERE doc_id % 100 <> 0
+        ),
+        -- corpus-side df cap (mirrors decontaminate max_df)
+        corp AS (
+            SELECT corp_all.* FROM corp_all
+            JOIN (
+                SELECT sh FROM corp_all GROUP BY sh HAVING COUNT(*) <= 1000
+            ) USING (sh)
+        )
+        SELECT
+            corpus_id,
+            bench_id,
+            COUNT(*) AS n_shared_shingles
+        FROM corp
+        JOIN bench USING (sh)
+        GROUP BY 1, 2
+    """,
+    "q_percentile_exact": """
+        SELECT
+            l_returnflag,
+            quantile_cont(l_quantity, 0.25) AS p25,
+            quantile_cont(l_quantity, 0.5) AS p50,
+            quantile_cont(l_quantity, 0.75) AS p75,
+            quantile_cont(l_quantity, 0.9) AS p90,
+            COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 }
 
 

@@ -895,6 +895,9 @@ QUERIES.update(EXT_QUERIES)
 # ---------------------------------------------------------------------------
 
 _NEVER_CHECKED_FIRST = [
+    "q_quality_repetition",  # new in round 2
+    "q_decontaminate",  # new in round 2
+    "q_percentile_exact",  # new in round 2
     "q_dedup_exact",
     "q_minhash",
     "q_minhash_lsh_pairs",

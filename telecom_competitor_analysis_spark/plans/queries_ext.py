@@ -735,7 +735,57 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document (top-word
+    fraction, duplicate-bigram fraction) — the boilerplate/spam filter
+    signals a curation pipeline computes before training. All exact
+    integer aggregates; the two fractions are single well-defined double
+    divisions."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep: corpus docs sharing ≥1 w-gram
+    with any doc of a held-out eval set (here: every 100th doc plays the
+    benchmark role; w=3 because the synthetic vocabulary is tiny —
+    production default in the operator is w=8). Inverted-index join on
+    the n-gram, never corpus × benchmark."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 100 == 0)
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", w=3)
+
+
+def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75/p90) per group —
+    multi-point F.percentile vs DuckDB quantile_cont. Both engines use
+    the same type-7 linear interpolation, and l_quantity is integral, so
+    the interpolated values are dyadic-exact and hash-match bit-for-bit.
+    Complements q_approx_quantile (the sketch path) with a hard-oracle
+    exact path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.25).alias("p25"),
+        F.percentile("l_quantity", 0.5).alias("p50"),
+        F.percentile("l_quantity", 0.75).alias("p75"),
+        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_quality_repetition": q_quality_repetition,
+    "q_decontaminate": q_decontaminate,
+    "q_percentile_exact": q_percentile_exact,
     "q_sessionize": q_sessionize,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
