@@ -44,6 +44,9 @@ HEADLINE = [
     "q_ngram_jaccard",
     "q_embedding_dup",
     "q_stream_join",
+    # round 2b: curation quality signals + decontamination sweep
+    "q_quality_repetition",
+    "q_decontaminate",
 ]
 
 
