@@ -60,9 +60,10 @@ def main() -> None:
 
     # Steady-state methodology: one warm-up run pays per-plan codegen
     # compilation (1-3s fixed cost, independent of data size — pure noise at
-    # bench scale, fully amortized at 100 TB); then the best of two measured
-    # runs (local GC pauses add 1-2s of run-to-run jitter on the heavier
-    # queries; min-of-2 reports the steady-state cost).
+    # bench scale, fully amortized at 100 TB); then the best of three
+    # measured runs (local GC pauses and background load add 1-2s of
+    # run-to-run jitter on the heavier queries; the min reports the
+    # steady-state cost).
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
@@ -70,7 +71,7 @@ def main() -> None:
             continue
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
@@ -82,7 +83,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: warm-up then best-of-2 runs per query, full materialization via noop sink",
+        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink",
     }
     print(json.dumps(out))
 

@@ -228,6 +228,27 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY 1
     """,
+    "q_hopping_window": """
+        -- each event belongs to the two 6h-aligned window starts
+        -- [floor6h(ts) - 6h, floor6h(ts)]; both always contain ts for a
+        -- 12h window, mirroring Spark's epoch-aligned F.window(12h, 6h)
+        WITH expanded AS (
+            SELECT
+                time_bucket(INTERVAL '6 hours', ts)
+                    - k * INTERVAL '6 hours' AS window_start,
+                user_id,
+                value
+            FROM events, unnest([0, 1]) AS t(k)
+        )
+        SELECT
+            strftime(window_start, '%Y-%m-%d %H:%M') AS window_start,
+            COUNT(*) AS n_events,
+            COUNT(DISTINCT user_id) AS n_users,
+            MIN(value) AS min_value,
+            MAX(value) AS max_value
+        FROM expanded
+        GROUP BY 1
+    """,
     "q_json_unwrap": """
         SELECT
             event_id,

@@ -432,6 +432,35 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 — hopping (sliding) 12h-window/6h-slide agg over events: each
+    event lands in exactly 2 overlapping windows (12h % 6h == 0), the
+    shape used for smoothed rate monitoring. Same streaming-equivalent
+    semantics as q_tumbling_window; order-independent aggregates only.
+    Epoch-aligned window starts match DuckDB time_bucket (6h divides a
+    day, so the 1970 vs 2000 bucket origins coincide)."""
+    events = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "12 hours", "6 hours")
+    return (
+        events.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "n_events",
+            "n_users",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def q_json_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 — JSON document field extraction (reference
     dags/transform.py:32-49 unwraps wrapped-array docs; testdata binding:
@@ -847,6 +876,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_union_all": q_union_all,
     "q_agg_latest_price": q_agg_latest_price,
     "q_tumbling_window": q_tumbling_window,
+    "q_hopping_window": q_hopping_window,
     "q_json_unwrap": q_json_unwrap,
     "q_window_rank": q_window_rank,
     "q_rollup": q_rollup,
@@ -898,6 +928,7 @@ _NEVER_CHECKED_FIRST = [
     "q_quality_repetition",  # new in round 2
     "q_decontaminate",  # new in round 2
     "q_percentile_exact",  # new in round 2
+    "q_hopping_window",  # new in round 2
     "q_dedup_exact",
     "q_minhash",
     "q_minhash_lsh_pairs",
