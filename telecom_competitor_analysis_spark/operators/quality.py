@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.functions.text import words
 from telecom_competitor_analysis_spark.operators.dedup import (
-    _ensure_parallelism,
+    ensure_parallelism,
     shingle_rows,
 )
 
@@ -46,7 +46,7 @@ def repetition_signals(
     doc on each side; AQE picks the strategy. Per-doc work is O(doc
     length) — no step is quadratic in the document or the corpus.
     """
-    src = _ensure_parallelism(df)
+    src = ensure_parallelism(df)
     toks = src.select(
         F.col(id_col), F.explode(words(F.trim(F.col(text_col)))).alias("w")
     )
@@ -72,7 +72,7 @@ def repetition_signals(
     # (0 bigrams, 0 duplication) rather than silently vanish.
     n_big = F.coalesce(F.col("n_bigrams"), F.lit(0))
     n_big_distinct = F.coalesce(F.col("n_distinct_bigrams"), F.lit(0))
-    return (
+    scored = (
         word_stats.join(bigram_stats, on=id_col, how="left")
         .select(
             id_col,
@@ -92,6 +92,20 @@ def repetition_signals(
             .alias("dup_bigram_fraction"),
         )
     )
+    # NULL-text docs explode to zero rows and would bypass the signal
+    # table entirely (unscored docs sail through any downstream
+    # repetition filter); emit them as explicit zero-signal rows instead.
+    null_docs = src.filter(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_words"),
+        F.lit(0).cast("long").alias("n_distinct_words"),
+        F.lit(0).cast("long").alias("top_word_count"),
+        F.lit(0.0).alias("top_word_fraction"),
+        F.lit(0).cast("long").alias("n_bigrams"),
+        F.lit(0).cast("long").alias("n_distinct_bigrams"),
+        F.lit(0.0).alias("dup_bigram_fraction"),
+    )
+    return scored.unionByName(null_docs)
 
 
 def decontaminate(
@@ -120,7 +134,7 @@ def decontaminate(
     AQE will broadcast it; we stay declarative rather than forcing the
     hint."""
     c = (
-        shingle_rows(_ensure_parallelism(corpus), id_col, text_col, w)
+        shingle_rows(ensure_parallelism(corpus), id_col, text_col, w)
         .select(F.col(id_col).alias("corpus_id"), F.col("word").alias("sh"))
         .distinct()
     )

@@ -624,7 +624,9 @@ EXT_ORACLES: dict[str, str] = {
             GROUP BY doc_id
         )
         -- LEFT JOIN + COALESCE mirrors repetition_signals: a 1-word doc
-        -- has no bigram rows but must still score (0, 0, 0.0).
+        -- has no bigram rows but must still score (0, 0, 0.0); NULL-text
+        -- docs get explicit zero-signal rows (they unnest to no rows and
+        -- would otherwise vanish from the signal table).
         SELECT
             ws.doc_id,
             n_words,
@@ -638,6 +640,11 @@ EXT_ORACLES: dict[str, str] = {
                  ELSE 0.0 END AS dup_bigram_fraction
         FROM ws
         LEFT JOIN bs ON ws.doc_id = bs.doc_id
+        UNION ALL
+        SELECT
+            doc_id, 0, 0, 0, 0.0, 0, 0, 0.0
+        FROM documents
+        WHERE text IS NULL
     """,
     "q_decontaminate": """
         WITH t AS (
@@ -676,7 +683,7 @@ EXT_ORACLES: dict[str, str] = {
             quantile_cont(l_quantity, 0.25) AS p25,
             quantile_cont(l_quantity, 0.5) AS p50,
             quantile_cont(l_quantity, 0.75) AS p75,
-            quantile_cont(l_quantity, 0.9) AS p90,
+            quantile_cont(l_quantity, 0.875) AS p87_5,
             COUNT(*) AS n
         FROM lineitem
         GROUP BY l_returnflag

@@ -766,18 +766,22 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (p25/p50/p75/p90) per group —
+    """Exact interpolated percentiles (p25/p50/p75/p87.5) per group —
     multi-point F.percentile vs DuckDB quantile_cont. Both engines use
-    the same type-7 linear interpolation, and l_quantity is integral, so
-    the interpolated values are dyadic-exact and hash-match bit-for-bit.
-    Complements q_approx_quantile (the sketch path) with a hard-oracle
-    exact path."""
+    the same type-7 linear interpolation; every requested p is DYADIC
+    (k/2^m), so with integral l_quantity the interpolation position's
+    fraction and the interpolated value are exactly representable
+    doubles in both engines and hash-match bit-for-bit regardless of the
+    data distribution (a non-dyadic p like 0.9 would be bit-exact only
+    when the position happens to land on equal neighbors — a
+    data-dependent gate, not a guarantee). Complements q_approx_quantile
+    (the sketch path) with a hard-oracle exact path."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.25).alias("p25"),
         F.percentile("l_quantity", 0.5).alias("p50"),
         F.percentile("l_quantity", 0.75).alias("p75"),
-        F.percentile("l_quantity", 0.9).alias("p90"),
+        F.percentile("l_quantity", 0.875).alias("p87_5"),
         F.count(F.lit(1)).alias("n"),
     )
 

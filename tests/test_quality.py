@@ -45,6 +45,18 @@ def test_repetition_counts_match_between_paths(spark):
     assert out[2].n_words == 1
 
 
+def test_repetition_null_text_scores_zero(spark):
+    # NULL text must yield an explicit zero-signal row, not silently
+    # bypass the signal table (and any downstream repetition filter).
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, None)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in repetition_signals(docs, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}
+    assert out[2].n_words == 0 and out[2].n_bigrams == 0
+    assert out[2].top_word_fraction == 0.0 and out[2].dup_bigram_fraction == 0.0
+
+
 def test_decontaminate_finds_planted_overlap(spark):
     bench = spark.createDataFrame(
         [(100, "the secret eval answer is forty two exactly")],
