@@ -300,6 +300,17 @@ ORACLES: dict[str, str] = {
         FROM events
         GROUP BY user_id
     """,
+    "q_unpivot": """
+        SELECT l_orderkey, l_linenumber,
+               'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber,
+               'l_extendedprice', l_extendedprice FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
     "q_semi_join": """
         SELECT c_custkey, c_name
         FROM customer c

@@ -775,3 +775,133 @@ EXT_ORACLES["q_simhash_pairs"] = f"""
     FROM cand
     WHERE {_HAMMING_16} <= 1
 """
+
+
+def _curate_keepers_ctes(p: str, src_where: str) -> str:
+    """CTE chain for curation stages (a)+(b): language/quality scoring +
+    exact dedup, over `documents WHERE src_where`. Emits {p}scored,
+    {p}kept, {p}keepers (doc_id, text, pred_lang, n_words) — the same
+    stages the q_corpus_curate oracle spells out inline, parameterized so
+    the incremental oracle can run the chain twice (keep-list side and
+    new-batch side) without hand-duplicated SQL that could drift."""
+
+    def cnt(terms: tuple[str, ...]) -> str:
+        lst = ", ".join(f"'{t}'" for t in terms)
+        return (
+            "len(list_filter(string_split(lower(text), ' '), "
+            f"w -> w IN ({lst})))"
+        )
+
+    en, es, de = (
+        cnt(("the", "and", "of", "is")),
+        cnt(("el", "la", "de", "que")),
+        cnt(("der", "die", "und", "das")),
+    )
+    return f"""
+        {p}scored AS (
+            SELECT
+                doc_id, text,
+                CASE
+                    WHEN {en} >= {es} AND {en} >= {de} AND {en} > 0 THEN 'en'
+                    WHEN {es} >= {de} AND {es} > 0 THEN 'es'
+                    WHEN {de} > 0 THEN 'de'
+                    ELSE 'unknown'
+                END AS pred_lang,
+                len(string_split(text, ' '))::BIGINT AS n_words,
+                CAST(len(list_filter(string_split(text, ' '),
+                    w -> lower(w) IN ('the','a','of','and','to','in','is')))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS stop_ratio
+            FROM documents
+            WHERE {src_where}
+        ),
+        {p}kept AS (
+            SELECT * FROM {p}scored
+            WHERE pred_lang = 'en' AND n_words BETWEEN 5 AND 10000
+              AND stop_ratio >= 0.0
+        ),
+        {p}keepers AS (
+            SELECT doc_id, text, pred_lang, n_words FROM (
+                SELECT k.*,
+                       MIN(doc_id) OVER (PARTITION BY md5(trim(text))) AS keeper
+                FROM {p}kept k
+            ) WHERE doc_id = keeper
+        )"""
+
+
+def _neardup_pairs_ctes(p: str, src_cte: str, threshold: float) -> str:
+    """CTE chain for shingle-Jaccard near-dup pairs over `src_cte`
+    (needs doc_id, text): {p}t → {p}sh_all → {p}sh (df-capped, mirrors
+    shingle_jaccard_pairs max_df) → {p}sizes → {p}pairs (id_a < id_b,
+    jaccard >= threshold)."""
+    return f"""
+        {p}t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM {src_cte}
+        ),
+        {p}sh_all AS (
+            SELECT DISTINCT {p}t.doc_id,
+                   arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+            FROM {p}t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        {p}sh AS (
+            SELECT {p}sh_all.* FROM {p}sh_all
+            JOIN (SELECT sh FROM {p}sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+              USING (sh)
+        ),
+        {p}sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM {p}sh GROUP BY doc_id
+        ),
+        {p}pairs AS (
+            SELECT id_a, id_b
+            FROM (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+                FROM {p}sh a JOIN {p}sh b
+                  ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            ) s
+            JOIN {p}sizes sa ON sa.doc_id = s.id_a
+            JOIN {p}sizes sb ON sb.doc_id = s.id_b
+            WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared)
+                  >= {threshold}
+        )"""
+
+
+# Incremental curation: even doc_ids are the existing keep-list, odd are
+# the new batch (so a row's side IS its parity — the oracle uses doc_id % 2
+# where the Spark operator carries an explicit __new tag). Stage mapping to
+# operators/curate.py curate_incremental: nb* = batch-internal curation
+# (curate_corpus over the new batch, including new-new near-dup drops),
+# fresh = digest anti-join vs keep-list, tg* = near-dup pairs over
+# keep-list ∪ fresh with cross-side drops killing the new doc.
+EXT_ORACLES["q_curate_incremental"] = f"""
+    WITH {_curate_keepers_ctes("pk", "doc_id % 2 = 0")},
+    {_curate_keepers_ctes("nb", "doc_id % 2 = 1")},
+    {_neardup_pairs_ctes("nd", "nbkeepers", 0.5)},
+    nbbatch AS (
+        SELECT k.* FROM nbkeepers k
+        LEFT JOIN (SELECT DISTINCT id_b FROM ndpairs) d ON d.id_b = k.doc_id
+        WHERE d.id_b IS NULL
+    ),
+    fresh AS (
+        SELECT b.* FROM nbbatch b
+        LEFT JOIN (
+            SELECT DISTINCT md5(trim(text)) AS dg FROM pkkeepers
+        ) pd ON pd.dg = md5(trim(b.text))
+        WHERE pd.dg IS NULL
+    ),
+    tagged AS (
+        SELECT doc_id, text FROM fresh
+        UNION ALL
+        SELECT doc_id, text FROM pkkeepers
+    ),
+    {_neardup_pairs_ctes("tg", "tagged", 0.5)},
+    cross_drops AS (
+        SELECT DISTINCT
+            CASE WHEN id_a % 2 = 1 THEN id_a ELSE id_b END AS doc_id
+        FROM tgpairs
+        WHERE (id_a % 2) <> (id_b % 2)
+    )
+    SELECT f.doc_id, f.pred_lang, f.n_words
+    FROM fresh f
+    LEFT JOIN cross_drops cd ON cd.doc_id = f.doc_id
+    WHERE cd.doc_id IS NULL
+"""

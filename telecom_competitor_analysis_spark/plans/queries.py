@@ -541,6 +541,20 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of q_pivot: wide lineitem measures to
+    (key, metric, value) long form, the shape feature stores and metric
+    sinks ingest. Map-only (each input row fans out to 4 output rows
+    inside the scan stage; no shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
 def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT SEMI (EXISTS) — customers having at least one order."""
     cust = load_table(spark, sf_dir, "customer")
@@ -882,6 +896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
     "q_semi_join": q_semi_join,
     "q_except": q_except,
     "q_intersect": q_intersect,
@@ -929,6 +944,8 @@ _NEVER_CHECKED_FIRST = [
     "q_decontaminate",  # new in round 2
     "q_percentile_exact",  # new in round 2
     "q_hopping_window",  # new in round 2
+    "q_curate_incremental",  # new in round 2
+    "q_unpivot",  # new in round 2
     "q_dedup_exact",
     "q_minhash",
     "q_minhash_lsh_pairs",

@@ -735,6 +735,30 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-curation — the 100 TB path made driver-checkable:
+    even doc_ids play the already-curated keep-list, odd doc_ids arrive
+    as the new batch; only the batch is scored, then digest-anti-joined
+    and near-dup-checked against keep-list ∪ batch (operators/curate.py
+    curate_incremental). Returns the new keepers to append. The batch
+    query (q_corpus_curate) re-curates everything; this one's cost
+    scales with the batch, not the corpus."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        curate_corpus,
+        curate_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prev = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    prev_keepers = (
+        curate_corpus(prev)
+        .join(prev.select("doc_id", "text"), on="doc_id")
+        .select("doc_id", "text")
+    )
+    return curate_incremental(new, prev_keepers)
+
+
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals per document (top-word
     fraction, duplicate-bigram fraction) — the boilerplate/spam filter
@@ -793,6 +817,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
+    "q_curate_incremental": q_curate_incremental,
     "q_train_test_split": q_train_test_split,
     "q_stratified_sample": q_stratified_sample,
     "q_sequence_pack": q_sequence_pack,
