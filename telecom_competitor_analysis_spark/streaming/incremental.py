@@ -90,6 +90,36 @@ def tumbling_event_stats(
     )
 
 
+def hopping_event_stats(
+    events: DataFrame,
+    watermark: str = "1 day",
+    window: str = "12 hours",
+    slide: str = "6 hours",
+) -> DataFrame:
+    """Hopping (sliding) window stats — the streaming twin of
+    plans.queries.q_hopping_window (same overlapping windows, same
+    aggregates; the batch query is the oracle-checked semantics). Each
+    event contributes to window/slide overlapping windows; watermark
+    bounds how long an open window's state is retained."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "n_events",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
 def foreach_batch_star_merge(
     existing_provider: Callable[[SparkSession], dict[str, DataFrame | None]],
     append_writer: Callable[[str, DataFrame], None],

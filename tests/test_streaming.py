@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.sources.readers import load_table
 from telecom_competitor_analysis_spark.streaming.incremental import (
+    hopping_event_stats,
     stream_events,
     streaming_dedup,
     tumbling_event_stats,
@@ -65,6 +66,23 @@ def test_tumbling_stats_stream_equals_batch(spark, sf_dir, events_dir):
             "min_value",
             "max_value",
         )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_hopping_stats_stream_equals_batch(spark, sf_dir, events_dir):
+    # overlapping windows: streaming availableNow over the same rows must
+    # reproduce the batch q_hopping_window aggregates exactly
+    from telecom_competitor_analysis_spark.plans.queries import (
+        q_hopping_window,
+    )
+
+    stream = hopping_event_stats(
+        stream_events(spark, events_dir, fmt="parquet")
+    )
+    got = _run_to_memory(spark, stream, "hopping_stats", "complete")
+    batch = q_hopping_window(spark, sf_dir).select(
+        "window_start", "n_events", "min_value", "max_value"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
 
