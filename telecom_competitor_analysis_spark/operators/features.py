@@ -1,0 +1,124 @@
+"""Corpus-level feature extraction for the training-data pipeline surface:
+TF-IDF term weighting and embedding-centroid outlier scoring.
+
+These extend the reference's per-row cleaning functions
+(dags/transform.py:8-29 — all scalar, row-at-a-time) with the two
+corpus-statistics shapes a pretraining pipeline actually needs: term
+weighting against global document frequency, and distributional outlier
+detection against per-class embedding centroids. Both are pure DataFrame
+plans — the corpus statistics are partial-aggregated map-side, and the
+per-row scoring stage joins against a tiny broadcastable stats table.
+
+Scale notes (100 TB):
+- ``tfidf_topk``: tokens shuffle once on (doc, word) for TF and once on
+  word for DF. DF output is |vocab| rows — small relative to the corpus
+  but unbounded, so the TF⋈DF join is left to AQE (broadcast when the
+  vocab fits, shuffle-hash otherwise). The global doc count joins as a
+  one-row broadcast. Top-k per doc is a bounded WindowGroupLimit — no
+  full sort.
+- ``embedding_centroid_outliers``: centroids are one partial-agg pass
+  (64 avg columns → |labels| rows), then a broadcast join back; the
+  scoring stage is map-only. No stage materializes pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.functions.text import words
+from telecom_competitor_analysis_spark.operators.similarity import cosine
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by TF-IDF (tf × ln(N/df)).
+
+    Exact integer tf/df; the only doubles are one division and one ln,
+    rounded to 6 decimals for the exposed weight. Ranking orders by the
+    UNROUNDED weight (identical (tf, df) pairs produce identical weights
+    in either engine, so ties resolve on the word itself).
+    """
+    tok = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col), F.explode(words(F.col(text_col))).alias("word")
+        )
+        .where(F.col("word") != "")
+    )
+    tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    # tf is already distinct per (doc, word): counting its rows per word
+    # IS the document frequency — no second distinct pass over tokens.
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = (
+        docs.where(F.col(text_col).isNotNull())
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    weight = F.col("tf") * F.log(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        weight.desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df, "word")
+        .join(F.broadcast(n_docs))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            id_col,
+            "word",
+            "tf",
+            "df",
+            F.round(weight, 6).alias("tfidf_r"),
+            "rank",
+        )
+    )
+
+
+def embedding_centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Cosine of every vector to its label centroid, plus the per-label
+    outlier rank (rank 1 = farthest from the centroid).
+
+    The standard embedding-space cleaning pass: vectors far from their
+    class centroid are mislabeled/noise candidates. Centroid = per-label
+    elementwise mean, computed as ``dim`` avg() agg columns in ONE
+    partial-aggregated shuffle (no posexplode — the shuffle carries
+    |labels| × dim doubles, not rows × dim).
+    """
+    e = emb.select(
+        id_col, label_col, F.col(vec_col).cast("array<double>").alias("v")
+    )
+    cent = e.groupBy(label_col).agg(
+        *[F.avg(F.col("v")[i]).alias(f"c{i}") for i in range(dim)]
+    )
+    cent = cent.select(
+        label_col, F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("cvec")
+    )
+    # materialize the cosine ONCE before the window — ordering by the
+    # column (not the expression) keeps the O(dim) fold from being
+    # evaluated twice per row (sort key + output)
+    scored = e.join(F.broadcast(cent), label_col).select(
+        id_col,
+        label_col,
+        cosine(F.col("v"), F.col("cvec")).alias("_cos"),
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("_cos").asc(), F.col(id_col).asc()
+    )
+    return scored.select(
+        id_col,
+        label_col,
+        F.round(F.col("_cos"), 6).alias("cos_centroid"),
+        F.row_number().over(w).cast("int").alias("outlier_rank"),
+    )

@@ -486,6 +486,17 @@ ORACLES: dict[str, str] = {
             FROM orders
         )
     """,
+    "q_stats_agg": """
+        SELECT
+            l_returnflag,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            round(stddev_samp(l_quantity), 6) AS stddev_qty,
+            round(var_samp(l_quantity), 6) AS var_qty,
+            round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+            round(covar_samp(l_quantity, l_discount), 6) AS covar_qty_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
 }
 
 from telecom_competitor_analysis_spark.plans.oracles_ext import EXT_ORACLES  # noqa: E402

@@ -905,3 +905,56 @@ EXT_ORACLES["q_curate_incremental"] = f"""
     LEFT JOIN cross_drops cd ON cd.doc_id = f.doc_id
     WHERE cd.doc_id IS NULL
 """
+
+# --- feature extraction (operators/features.py) ---------------------------
+
+EXT_ORACLES["q_tfidf"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok WHERE word <> '' GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+    ),
+    n AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, word, tf, df,
+           round(tf * ln(n_docs / CAST(df AS DOUBLE)), 6) AS tfidf_r,
+           CAST(row_number() OVER (
+                PARTITION BY doc_id
+                ORDER BY tf * ln(n_docs / CAST(df AS DOUBLE)) DESC,
+                         word ASC) AS INT) AS rank
+    FROM tf JOIN df USING (word) CROSS JOIN n
+    QUALIFY rank <= 3
+"""
+
+_CENT_AVGS = ", ".join(f"avg(v[{i + 1}]) AS c{i}" for i in range(64))
+_CENT_LIST = ", ".join(f"c{i}" for i in range(64))
+
+EXT_ORACLES["q_embedding_outlier"] = f"""
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    cm AS (
+        SELECT label, {_CENT_AVGS} FROM e GROUP BY label
+    ),
+    c AS (
+        SELECT label, [{_CENT_LIST}] AS cvec FROM cm
+    )
+    SELECT
+        e.vec_id,
+        e.label,
+        round(list_cosine_similarity(e.v, c.cvec), 6) AS cos_centroid,
+        CAST(row_number() OVER (
+            PARTITION BY e.label
+            ORDER BY list_cosine_similarity(e.v, c.cvec) ASC, e.vec_id ASC
+        ) AS INT) AS outlier_rank
+    FROM e JOIN c USING (label)
+"""

@@ -864,6 +864,30 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 statistical aggregates — stddev/variance/correlation/
+    covariance per group (the descriptive-statistics surface DuckDB and
+    Spark share: stddev_samp / var_samp / corr / covar_samp). All four
+    are partial-aggregable co-moment sketches (one shuffle of constant-
+    size state per group). Doubles are rounded to 6: the normalized
+    stats (corr) and the small-magnitude ones (stddev/var of qty,
+    covar qty·discount) keep cross-engine float noise far below the
+    rounding step."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.stddev_samp(q), 6).alias("stddev_qty"),
+        F.round(F.var_samp(q), 6).alias("var_qty"),
+        F.round(F.corr(q, F.col("l_extendedprice")), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_samp(q, F.col("l_discount")), 6).alias(
+            "covar_qty_disc"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -915,6 +939,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_map_funcs": q_map_funcs,
     "q_udtf_tokenize": q_udtf_tokenize,
     "q_max_by": q_max_by,
+    "q_stats_agg": q_stats_agg,
     "q_revenue_topk": q_revenue_topk,
 }
 
@@ -940,6 +965,9 @@ QUERIES.update(EXT_QUERIES)
 # ---------------------------------------------------------------------------
 
 _NEVER_CHECKED_FIRST = [
+    "q_tfidf",  # new in round 2
+    "q_embedding_outlier",  # new in round 2
+    "q_stats_agg",  # new in round 2
     "q_quality_repetition",  # new in round 2
     "q_decontaminate",  # new in round 2
     "q_percentile_exact",  # new in round 2

@@ -810,7 +810,40 @@ def q_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf × ln(N/df)) — corpus-level
+    term weighting, the feature-extraction counterpart of the per-doc
+    q_text_stats. Exact integer tf/df; the weight is one division + ln,
+    rounded to 6; ranking uses the unrounded weight with a word
+    tie-break (equal (tf, df) ⇒ equal weight in both engines)."""
+    from telecom_competitor_analysis_spark.operators.features import (
+        tfidf_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=3)
+
+
+def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-centroid outlier scoring: cosine of each vector to its
+    label's elementwise-mean centroid + per-label outlier rank (rank 1 =
+    farthest). The embedding-space data-cleaning pass — mislabeled/noise
+    candidates surface as low-cosine rows. Centroids come from ONE
+    partial-aggregated shuffle (64 avg columns, |labels| rows) and join
+    back broadcast; scoring is map-only."""
+    from telecom_competitor_analysis_spark.operators.features import (
+        embedding_centroid_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_centroid_outliers(
+        emb, "vec_id", "embedding", "label", dim=EMBEDDING_DIM
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_tfidf": q_tfidf,
+    "q_embedding_outlier": q_embedding_outlier,
     "q_quality_repetition": q_quality_repetition,
     "q_decontaminate": q_decontaminate,
     "q_percentile_exact": q_percentile_exact,
