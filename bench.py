@@ -47,6 +47,9 @@ HEADLINE = [
     # round 2b: curation quality signals + decontamination sweep
     "q_quality_repetition",
     "q_decontaminate",
+    # round 2c: corpus feature extraction
+    "q_tfidf",
+    "q_embedding_outlier",
 ]
 
 
