@@ -486,6 +486,39 @@ ORACLES: dict[str, str] = {
             FROM orders
         )
     """,
+    "q_ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INT) AS price_quartile,
+               percent_rank() OVER w AS price_pct_rank,
+               cume_dist() OVER w AS price_cume_dist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+    "q_except_all": """
+        WITH c AS (SELECT c_nationkey AS nationkey FROM customer),
+        s AS (SELECT s_nationkey AS nationkey FROM supplier),
+        u AS (
+            SELECT 'except_all' AS op, nationkey FROM
+                (SELECT nationkey FROM c EXCEPT ALL SELECT nationkey FROM s)
+            UNION ALL
+            SELECT 'intersect_all' AS op, nationkey FROM
+                (SELECT nationkey FROM c INTERSECT ALL SELECT nationkey FROM s)
+        )
+        SELECT op, nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM u GROUP BY op, nationkey
+    """,
+    "q_scd2_history": """
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               strftime(l_shipdate, '%Y-%m-%d') AS valid_from,
+               strftime(lead(l_shipdate) OVER w, '%Y-%m-%d') AS valid_to,
+               lead(l_shipdate) OVER w IS NULL AS is_current
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_partkey
+                     ORDER BY l_shipdate ASC, l_orderkey ASC,
+                              l_linenumber ASC)
+    """,
     "q_stats_agg": """
         SELECT
             l_returnflag,

@@ -864,6 +864,72 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
 
 
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 distribution window functions — ntile / percent_rank /
+    cume_dist over a UNIQUE ordering (price, orderkey), so ranks carry no
+    ties and the two ratios are exact integer divisions ((rn-1)/(n-1),
+    rn/n) that both engines compute bit-identically. One shuffle on the
+    priority key shared by all three functions (same partition+order →
+    single Window node)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("int").alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 multiset set-ops — EXCEPT ALL / INTERSECT ALL over the
+    per-customer vs per-supplier nation bags (duplicates preserved, the
+    semantics DISTINCT-based q_except/q_intersect cannot express). Both
+    branches over the same two small scans; union of the two tagged
+    results."""
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey")
+    c = cust.select(F.col("c_nationkey").alias("nationkey"))
+    s = supp.select(F.col("s_nationkey").alias("nationkey"))
+    exc = c.exceptAll(s).withColumn("op", F.lit("except_all"))
+    intr = c.intersectAll(s).withColumn("op", F.lit("intersect_all"))
+    return (
+        exc.unionAll(intr)
+        .groupBy("op", "nationkey")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full SCD-2 history per part: each price observation becomes a
+    [valid_from, valid_to) row, valid_to = next observation's date (NULL
+    while current). The complete-history counterpart of q_scd_detect's
+    change-only view (reference dags/bigquery.py:294-326 keeps only the
+    latest row; this is the standard warehouse formulation of its price
+    tracking). One shuffle on l_partkey; lead() over a UNIQUE ordering
+    (shipdate, orderkey, linenumber) so the timeline is deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_shipdate").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        _cents(F.col("l_extendedprice")).alias("price_cents"),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("l_shipdate").over(w), "yyyy-MM-dd").alias(
+            "valid_to"
+        ),
+        F.lead("l_shipdate").over(w).isNull().alias("is_current"),
+    )
+
+
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.12 statistical aggregates — stddev/variance/correlation/
     covariance per group (the descriptive-statistics surface DuckDB and
@@ -940,6 +1006,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_udtf_tokenize": q_udtf_tokenize,
     "q_max_by": q_max_by,
     "q_stats_agg": q_stats_agg,
+    "q_ntile": q_ntile,
+    "q_except_all": q_except_all,
+    "q_scd2_history": q_scd2_history,
     "q_revenue_topk": q_revenue_topk,
 }
 
@@ -968,6 +1037,9 @@ _NEVER_CHECKED_FIRST = [
     "q_tfidf",  # new in round 2
     "q_embedding_outlier",  # new in round 2
     "q_stats_agg",  # new in round 2
+    "q_ntile",  # new in round 2
+    "q_except_all",  # new in round 2
+    "q_scd2_history",  # new in round 2
     "q_quality_repetition",  # new in round 2
     "q_decontaminate",  # new in round 2
     "q_percentile_exact",  # new in round 2
