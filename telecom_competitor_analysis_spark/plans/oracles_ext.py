@@ -868,12 +868,22 @@ def _neardup_pairs_ctes(p: str, src_cte: str, threshold: float) -> str:
 # Incremental curation: even doc_ids are the existing keep-list, odd are
 # the new batch (so a row's side IS its parity — the oracle uses doc_id % 2
 # where the Spark operator carries an explicit __new tag). Stage mapping to
-# operators/curate.py curate_incremental: nb* = batch-internal curation
-# (curate_corpus over the new batch, including new-new near-dup drops),
-# fresh = digest anti-join vs keep-list, tg* = near-dup pairs over
-# keep-list ∪ fresh with cross-side drops killing the new doc.
+# operators/curate.py curate_incremental: pk*/pd*/pkfinal = curate_corpus
+# over the prev half (scoring + exact dedup + near-dup removal — the SAME
+# pipeline the Spark side's prev_keepers goes through; stopping at exact
+# dedup would make the oracle's keep-list a strict superset of Spark's),
+# nb* = batch-internal curation (curate_corpus over the new batch,
+# including new-new near-dup drops), fresh = digest anti-join vs keep-list,
+# tg* = near-dup pairs over keep-list ∪ fresh with cross-side drops killing
+# the new doc.
 EXT_ORACLES["q_curate_incremental"] = f"""
     WITH {_curate_keepers_ctes("pk", "doc_id % 2 = 0")},
+    {_neardup_pairs_ctes("pd", "pkkeepers", 0.5)},
+    pkfinal AS (
+        SELECT k.* FROM pkkeepers k
+        LEFT JOIN (SELECT DISTINCT id_b FROM pdpairs) d ON d.id_b = k.doc_id
+        WHERE d.id_b IS NULL
+    ),
     {_curate_keepers_ctes("nb", "doc_id % 2 = 1")},
     {_neardup_pairs_ctes("nd", "nbkeepers", 0.5)},
     nbbatch AS (
@@ -884,14 +894,14 @@ EXT_ORACLES["q_curate_incremental"] = f"""
     fresh AS (
         SELECT b.* FROM nbbatch b
         LEFT JOIN (
-            SELECT DISTINCT md5(trim(text)) AS dg FROM pkkeepers
+            SELECT DISTINCT md5(trim(text)) AS dg FROM pkfinal
         ) pd ON pd.dg = md5(trim(b.text))
         WHERE pd.dg IS NULL
     ),
     tagged AS (
         SELECT doc_id, text FROM fresh
         UNION ALL
-        SELECT doc_id, text FROM pkkeepers
+        SELECT doc_id, text FROM pkfinal
     ),
     {_neardup_pairs_ctes("tg", "tagged", 0.5)},
     cross_drops AS (
