@@ -67,18 +67,25 @@ def main() -> None:
     # measured runs (local GC pauses and background load add 1-2s of
     # run-to-run jitter on the heavier queries; the min reports the
     # steady-state cost).
+    # Per-query fault isolation: a query that fails to analyze or execute
+    # records an "err" entry and the run continues — the JSON line is always
+    # emitted, so one sick query can never erase the other 25 measurements.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = QUERIES.get(name)
         if fn is None:
             continue
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate any query fault
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -88,6 +95,8 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink",
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

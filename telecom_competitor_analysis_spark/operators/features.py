@@ -107,11 +107,15 @@ def embedding_centroid_outliers(
     )
     # materialize the cosine ONCE before the window — ordering by the
     # column (not the expression) keeps the O(dim) fold from being
-    # evaluated twice per row (sort key + output)
+    # evaluated twice per row (sort key + output). Rank over the ROUNDED
+    # cosine (the emitted value) with an id tie-break: the raw avg()-derived
+    # cosine depends on float accumulation order, so near-ties could flip
+    # ranks across partition layouts; rounding first makes the rank a pure
+    # function of the emitted columns.
     scored = e.join(F.broadcast(cent), label_col).select(
         id_col,
         label_col,
-        cosine(F.col("v"), F.col("cvec")).alias("_cos"),
+        F.round(cosine(F.col("v"), F.col("cvec")), 6).alias("_cos"),
     )
     w = Window.partitionBy(label_col).orderBy(
         F.col("_cos").asc(), F.col(id_col).asc()
@@ -119,6 +123,6 @@ def embedding_centroid_outliers(
     return scored.select(
         id_col,
         label_col,
-        F.round(F.col("_cos"), 6).alias("cos_centroid"),
+        F.col("_cos").alias("cos_centroid"),
         F.row_number().over(w).cast("int").alias("outlier_rank"),
     )

@@ -964,7 +964,137 @@ EXT_ORACLES["q_embedding_outlier"] = f"""
         round(list_cosine_similarity(e.v, c.cvec), 6) AS cos_centroid,
         CAST(row_number() OVER (
             PARTITION BY e.label
-            ORDER BY list_cosine_similarity(e.v, c.cvec) ASC, e.vec_id ASC
+            ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) ASC,
+                     e.vec_id ASC
         ) AS INT) AS outlier_rank
     FROM e JOIN c USING (label)
+"""
+
+# --- formerly rows-only, now oracle-checked: all three are deterministic
+# by construction (md5-derived hyperplanes / lowest-id anchors / min-label
+# propagation), so a DuckDB mirror is possible — only sketches, ML-seeded
+# sampling, and the stubbed media decode remain legitimately rows-only.
+
+# q_dedup_clusters — connected components over the MinHash-LSH pair graph
+# (operators/dedup.py:346 min-label propagation). The recursive CTE
+# propagates a label along an edge only when it is smaller than the target
+# node: the component-minimum label satisfies that on every path, so each
+# node's MIN(label) is exactly the component minimum, while larger labels
+# are pruned instead of enumerating all |component|² pairs.
+EXT_ORACLES["q_dedup_clusters"] = """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig AS (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh
+        GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+    ),
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+    ),
+    banded_ok AS (
+        SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded_ok a
+        JOIN banded_ok b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, cc.label
+        FROM cc JOIN edges e ON cc.id = e.src
+        WHERE cc.label < e.dst
+    )
+    SELECT id, MIN(label) AS cluster_id
+    FROM cc
+    GROUP BY id
+"""
+
+# q_embedding_lsh_topk — same md5-derived hyperplane buckets as the Spark
+# plan (operators/similarity.py:98, n_planes=4 seed=0), candidates only
+# within the shared bucket, exact cosine rank among candidates.
+EXT_ORACLES["q_embedding_lsh_topk"] = f"""
+    WITH e AS (
+        SELECT
+            vec_id,
+            CAST(embedding AS DOUBLE[]) AS v,
+            {_hyperplane_bucket_sql("embedding", n_planes=4, seed=0)} AS bucket
+        FROM embeddings
+    )
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) AS INT) AS rank
+    FROM e c
+    JOIN (SELECT * FROM e WHERE vec_id < 5) q ON c.bucket = q.bucket
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+"""
+
+# q_embedding_ivf_topk — anchors are the 8 lowest-vec_id corpus vectors
+# (operators/similarity.py:155, deterministic, no fit), nearest-anchor
+# assignment by max dot product with lowest-anchor-id tie-break, nprobe=1.
+EXT_ORACLES["q_embedding_ivf_topk"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    b AS (
+        SELECT vec_id, v, anchor_id AS bucket FROM assign WHERE rn = 1
+    )
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) AS INT) AS rank
+    FROM b c
+    JOIN (SELECT * FROM b WHERE vec_id < 5) q ON c.bucket = q.bucket
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 10
 """

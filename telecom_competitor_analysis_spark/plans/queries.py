@@ -1019,78 +1019,97 @@ QUERIES.update(EXT_QUERIES)
 
 # ---------------------------------------------------------------------------
 # Driver-window ordering. The external driver iterates queries() in dict
-# order and its round-1 correctness file covered exactly the first 50
-# entries, leaving the rest without a hard oracle row. Order therefore
-# encodes verification priority:
-#   1. oracle-checkable queries the round-1 driver never reached
-#      (the LLM-pipeline surface: dedup / text / similarity), plus the
-#      queries whose plans changed this round,
-#   2. the remaining round-1-green queries (re-checked as window allows),
-#   3. the 8 rows-only-by-design queries (sketches / ML-seeded / iterative
-#      / stubbed-decode) LAST — they can only ever yield `no_oracle`, so
-#      they must not occupy oracle-checkable slots in the window.
-# Every oracle-checkable query thus carries a green row from round 1,
-# round 2, or both.
+# order and checks exactly the FIRST 50 entries against their oracles, so
+# dict order IS the verification schedule. The rotation rule, applied each
+# round:
+#   1. any query whose plan/operator code changed since its last green
+#      correctness row goes first (a stale green is not a green),
+#   2. then queries with a brand-new oracle (never driver-hash-checked),
+#   3. then the queries whose only green row is the OLDEST (round-robin
+#      re-verification of the stable surface),
+#   4. recently-green queries fill the middle (outside the window is fine —
+#      they were checked against this exact code),
+#   5. the rows-only-by-design queries (sketches / ML-seeded sampling /
+#      stubbed media decode) LAST — they can only yield `no_oracle`, so
+#      they must never occupy an oracle-checkable slot in the window.
+# History: r1 checked the SURVEY §2 core (46 green), r2/r3 the 50-query
+# extension surface (50 green). Round 4 rotates the §2 core back in,
+# fronted by the four queries whose code changed after their green row
+# (q_sessionize TIMESTAMP_NTZ fix, q_embedding_outlier rounded-rank fix —
+# both changed in r4; q_asof_join / q_salted_join changed in r2) and the
+# three ex-rows-only queries that just gained oracles.
 # ---------------------------------------------------------------------------
 
-_NEVER_CHECKED_FIRST = [
-    "q_tfidf",  # new in round 2
-    "q_embedding_outlier",  # new in round 2
-    "q_stats_agg",  # new in round 2
-    "q_ntile",  # new in round 2
-    "q_except_all",  # new in round 2
-    "q_scd2_history",  # new in round 2
-    "q_quality_repetition",  # new in round 2
-    "q_decontaminate",  # new in round 2
-    "q_percentile_exact",  # new in round 2
-    "q_hopping_window",  # new in round 2
-    "q_curate_incremental",  # new in round 2
-    "q_unpivot",  # new in round 2
+VERIFY_PRIORITY = [
+    # tier 1 — code changed since last green row
+    "q_sessionize",
+    "q_embedding_outlier",
+    "q_asof_join",
+    "q_salted_join",
+    # tier 2 — new oracles, never hash-checked by the driver
+    "q_dedup_clusters",
+    "q_embedding_lsh_topk",
+    "q_embedding_ivf_topk",
+    # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
+    "q_validate",
+    "q_star_split",
+    "q_pack_cross",
+    "q_antijoin_new",
+    "q_lookup_join",
+    "q_scd_detect",
+    "q_first_per_key",
+    "q_topk",
+    "q_union_all",
+    "q_tumbling_window",
+    "q_json_unwrap",
+    "q_window_rank",
+    "q_rollup",
+    "q_cube",
+    "q_pivot",
+    "q_semi_join",
+    "q_except",
+    "q_intersect",
+    "q_distinct_agg",
+    "q_explode",
+    "q_grouping_sets",
+    "q_scalar_subquery",
+    "q_outer_join",
+    "q_date_arith",
+    "q_histogram",
+    "q_array_funcs",
+    "q_map_funcs",
+    "q_udtf_tokenize",
+    "q_max_by",
+    "q_train_test_split",
+    # tier 4 — r3-green composites whose building blocks this round touches
+    # (readers.py timestamp normalization feeds every events query; the
+    # curation/dedup stack shares operators with q_dedup_clusters)
+    "q_hopping_window",
+    "q_stream_join",
+    "q_resample_daily",
+    "q_moving_avg",
+    "q_range_join",
+    "q_corpus_curate",
+    "q_curate_incremental",
     "q_dedup_exact",
     "q_minhash",
     "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
-    "q_simhash",
-    "q_simhash_pairs",  # new in round 2
-    "q_text_stats",
-    "q_token_count",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_embedding_topk",
-    "q_embedding_dup",
-    "q_bm25",
-    "q_median",
-    "q_string_agg",
-    "q_range_join",
-    "q_resample_daily",
-    "q_moving_avg",
-    "q_sentiment",
-    "q_integrity_audit",
-    "q_multimodal_meta",
-    "q_stream_join",  # new in round 2
-    "q_stratified_sample",  # new in round 2
-    "q_sequence_pack",  # new in round 2
-    "q_udaf_weighted",  # new in round 2
-    # changed this round (broadcast-hint removal / df-caps) → re-verify
-    "q_revenue_topk",
-    "q_corpus_curate",
     "q_agg_latest_price",
+    "q_embedding_topk",
 ]
 
 _ROWS_ONLY_LAST = [
     "q_approx_distinct",
     "q_approx_quantile",
     "q_minhash_ml",
-    "q_dedup_clusters",
-    "q_embedding_lsh_topk",
-    "q_embedding_ivf_topk",
     "q_multimodal_decode",
     "q_frame_sample",
 ]
 
 _middle = [
-    n for n in QUERIES if n not in _NEVER_CHECKED_FIRST and n not in _ROWS_ONLY_LAST
+    n for n in QUERIES if n not in VERIFY_PRIORITY and n not in _ROWS_ONLY_LAST
 ]
 QUERIES = {
-    n: QUERIES[n] for n in (_NEVER_CHECKED_FIRST + _middle + _ROWS_ONLY_LAST)
+    n: QUERIES[n] for n in (VERIFY_PRIORITY + _middle + _ROWS_ONLY_LAST)
 }

@@ -54,18 +54,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Runtime-settable confs are pinned here too (not only in session.py) so
     the queries behave identically under a session the driver created:
-    - ``nanosAsLong``: events.parquet stores TIMESTAMP(NANOS), which the
-      vectorized parquet reader rejects; read as long and rebuild the
-      timestamp with integer division (ns are ~1.7e18 — far beyond double's
-      2^53 exact range, so never divide through a double).
+    - ``nanosAsLong``: some testdata generations store events.ts as
+      TIMESTAMP(NANOS), which the vectorized parquet reader rejects; read
+      as long and rebuild the timestamp with integer division (ns are
+      ~1.7e18 — far beyond double's 2^53 exact range, so never divide
+      through a double).
+    - ``timestamp_ntz`` normalization: other generations store
+      ``timestamp[us]`` without the UTC-adjusted flag, which Spark 4 reads
+      as TIMESTAMP_NTZ; functions like ``unix_micros`` reject NTZ. With the
+      session timezone pinned to UTC below, casting NTZ→TIMESTAMP is a
+      value-identical relabel, so every downstream query sees one canonical
+      timestamp type regardless of how the parquet was written.
     - UTC session timezone: keeps ``date_format`` output identical to the
       DuckDB oracle regardless of host timezone.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
