@@ -97,7 +97,16 @@ def compact_gold(
     """Small-file compaction for an append-heavy gold table: incremental
     anti-join appends produce one small file set per run; periodic
     compaction rewrites the table at a sane file count (read → repartition
-    → overwrite-via-staging so a crash never leaves the table truncated).
+    → overwrite-via-staging, swapped in via renames).
+
+    Crash safety: a full copy of the data always exists on disk — either
+    the live table at ``path``, or (between the two renames) the original
+    at ``path__old``. A crash in that window leaves ``path`` briefly
+    missing for readers until the next call runs the recovery below, which
+    renames ``path__old`` back before compacting. This is plain-filesystem
+    compaction: no data is ever lost, but the rename window is
+    reader-visible — concurrent readers need a table format with atomic
+    commit (Delta/Iceberg), not directory swaps.
 
     At cluster scale the same pattern runs per partition directory with
     ``target_files`` derived from bytes/128MB.
@@ -107,12 +116,18 @@ def compact_gold(
 
     staging = f"{path}__compacting"
     old = f"{path}__old"
+    # Recovery from a previous crash between the two renames: the original
+    # table survives at `path__old` while `path` is missing — restore it
+    # before compacting. (If `path` exists, any leftover `path__old` is a
+    # completed swap whose cleanup died; it is deleted below as before.)
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
     df = spark.read.parquet(path)
     df.repartition(target_files).write.mode("overwrite").parquet(staging)
     # Swap via two renames, never delete-then-move: a crash mid-sequence
     # leaves either the original table live (before the first rename) or
     # the full old copy at `path__old` for recovery (between renames) —
-    # never a missing/truncated table the way rmtree-then-move could.
+    # the data is never truncated the way rmtree-then-move could leave it.
     # The delete happens only after the new data is in place.
     if os.path.exists(old):
         shutil.rmtree(old)

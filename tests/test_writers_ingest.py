@@ -53,6 +53,32 @@ def test_compaction_preserves_rows(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compaction_recovers_from_crash_between_renames(spark):
+    """Crash injection: kill the swap after `path` → `path__old` but before
+    `path__compacting` → `path` (the reader-visible window). The next
+    compact_gold call must restore the table from `path__old` and complete."""
+    import os
+
+    from telecom_competitor_analysis_spark.sources.writers import compact_gold
+
+    tmp = tempfile.mkdtemp(prefix="compact_crash_")
+    try:
+        spark.range(0, 1_000).repartition(8).write.parquet(f"{tmp}/t")
+        # simulate the crash state: staging written, first rename done,
+        # second rename never happened
+        spark.read.parquet(f"{tmp}/t").repartition(2).write.parquet(
+            f"{tmp}/t__compacting"
+        )
+        os.rename(f"{tmp}/t", f"{tmp}/t__old")
+        assert not os.path.exists(f"{tmp}/t")
+        compact_gold(spark, f"{tmp}/t", target_files=2)
+        assert spark.read.parquet(f"{tmp}/t").count() == 1_000
+        assert not os.path.exists(f"{tmp}/t__old")
+        assert not os.path.exists(f"{tmp}/t__compacting")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_idempotent_ddl(spark):
     create_table_if_not_exists(spark, "logs_t", "competitor_name STRING, status STRING")
     create_table_if_not_exists(spark, "logs_t", "competitor_name STRING, status STRING")
