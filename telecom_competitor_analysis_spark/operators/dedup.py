@@ -256,6 +256,45 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash — the production signature width (16-bit saturates on
+    large corpora: only 65k distinct signatures). Per word, 64 ±1 decisions
+    come from the high bits of the 64 nibbles of md5(w) ‖ md5(w ‖ '#1')
+    (two md5 calls per word — portable to any engine with md5); bit i of
+    the signature is the sign of the per-document sum. Exact integer sums →
+    fully deterministic; emitted as a 64-char '0'/'1' string. Words keep
+    multiplicity (standard term-frequency weighting)."""
+    tokens = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(words(F.trim(F.col(text_col)))).alias("w"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat(
+                F.md5(F.col("w")), F.md5(F.concat(F.col("w"), F.lit("#1")))
+            ).alias("wh"),
+        )
+    )
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.substring(F.col("wh"), i + 1, 1).isin(*HEX_HIGH_NIBBLES), 1
+            ).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(64)
+    ]
+    summed = tokens.groupBy(id_col).agg(*bit_sums)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(64)
+        ]
+    )
+    return summed.select(F.col(id_col), sig.alias("simhash"))
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -263,9 +302,10 @@ def simhash_candidate_pairs(
     bands: int = 2,
     max_bucket_size: int = 1000,
     max_hamming: int = 1,
+    sig_bits: int = 16,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 16-bit signature into ``bands``
-    contiguous slices; docs sharing any exact band are candidates
+    """SimHash near-dup pairs: band the ``sig_bits``-bit signature into
+    ``bands`` contiguous slices; docs sharing any exact band are candidates
     (pigeonhole: hamming ≤ bands-1 GUARANTEES a shared band, so with the
     default 2 bands every hamming≤1 pair is found); exact hamming
     distance verified on candidates only. Returns (id_a, id_b, hamming).
@@ -273,10 +313,10 @@ def simhash_candidate_pairs(
     Same scale shape as lsh_candidate_pairs: one groupBy per band key,
     per-bucket combination explode carrying both signatures (so the
     verify stage needs NO join back), ``max_bucket_size`` drops
-    degenerate buckets before pairing. A 16-bit signature saturates on
-    large corpora — production would widen the signature with the corpus
-    (64-bit standard) — but the plan shape is width-independent."""
-    width = 16 // bands
+    degenerate buckets before pairing. Production width is 64 bits
+    (``simhash64`` + ``sig_bits=64``, 4 bands → hamming ≤ 3 complete);
+    the plan shape is width-independent."""
+    width = sig_bits // bands
     banded = signatures.select(
         F.col(id_col).alias("id"),
         F.col(sig_col).alias("sig"),
@@ -334,7 +374,7 @@ def simhash_candidate_pairs(
             != F.substring(F.col("sig_b"), i + 1, 1),
             1,
         ).otherwise(0)
-        for i in range(16)
+        for i in range(sig_bits)
     ).cast("int")
     return (
         pairs.withColumn("hamming", hamming)

@@ -1062,6 +1062,213 @@ EXT_ORACLES["q_embedding_lsh_topk"] = f"""
     QUALIFY rank <= 10
 """
 
+# --- round 4 additions ----------------------------------------------------
+
+# q_simhash64 — 64-bit signature: per-word nibble source is
+# md5(w) || md5(w || '#1') (64 hex chars), bit i = sign of the summed ±1
+# high-bits of nibble i (operators/dedup.py::simhash64).
+_SIMHASH64_SUMS = ",\n            ".join(
+    "SUM(CASE WHEN substr(wh, {i}, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{j}".format(
+        i=i + 1, j=i
+    )
+    for i in range(64)
+)
+_SIMHASH64_BITS = " || ".join(
+    f"(CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END)" for i in range(64)
+)
+_SIMHASH64_TOKENS = """
+        SELECT doc_id, md5(w) || md5(w || '#1') AS wh
+        FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        )
+"""
+
+EXT_ORACLES["q_simhash64"] = f"""
+    WITH tokens AS ({_SIMHASH64_TOKENS}),
+    sums AS (
+        SELECT
+            doc_id,
+            {_SIMHASH64_SUMS}
+        FROM tokens
+        GROUP BY doc_id
+    )
+    SELECT doc_id, {_SIMHASH64_BITS} AS simhash
+    FROM sums
+"""
+
+_HAMMING64 = " + ".join(
+    f"(CASE WHEN substr(sig_a, {i + 1}, 1) != "
+    f"substr(sig_b, {i + 1}, 1) THEN 1 ELSE 0 END)"
+    for i in range(64)
+)
+
+EXT_ORACLES["q_simhash64_pairs"] = f"""
+    WITH tokens AS ({_SIMHASH64_TOKENS}),
+    sums AS (
+        SELECT
+            doc_id,
+            {_SIMHASH64_SUMS}
+        FROM tokens
+        GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id, {_SIMHASH64_BITS} AS simhash FROM sums
+    ),
+    banded AS (
+        SELECT doc_id, simhash, b.band_idx,
+               substr(simhash, b.band_idx * 16 + 1, 16) AS band_key
+        FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_idx) b
+    ),
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+    ),
+    banded_ok AS (
+        SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
+    ),
+    cand AS (
+        SELECT DISTINCT
+            a.doc_id AS id_a, a.simhash AS sig_a,
+            b.doc_id AS id_b, b.simhash AS sig_b
+        FROM banded_ok a
+        JOIN banded_ok b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming
+    FROM (
+        SELECT id_a, id_b,
+               CAST({_HAMMING64} AS INT) AS hamming
+        FROM cand
+    )
+    WHERE hamming <= 3
+"""
+
+# q_minhash_jaccard_est — signature-agreement Jaccard estimate for the
+# MinHash-LSH candidate pairs (fraction of the 4 components that agree).
+EXT_ORACLES["q_minhash_jaccard_est"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig AS (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh
+        GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+    ),
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+    ),
+    banded_ok AS (
+        SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded_ok a
+        JOIN banded_ok b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT
+        p.id_a,
+        p.id_b,
+        CAST((CASE WHEN sa.h0 = sb.h0 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.h1 = sb.h1 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.h2 = sb.h2 THEN 1 ELSE 0 END)
+           + (CASE WHEN sa.h3 = sb.h3 THEN 1 ELSE 0 END) AS DOUBLE) / 4.0
+            AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+"""
+
+# q_word_freq — corpus top-50 words by occurrence with doc frequency.
+EXT_ORACLES["q_word_freq"] = """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    c AS (
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM tok GROUP BY word
+    )
+    SELECT
+        CAST(row_number() OVER (
+            ORDER BY n_occurrences DESC, word ASC) AS INT) AS rank,
+        word, n_occurrences, n_docs
+    FROM c
+    QUALIFY rank <= 50
+"""
+
+# q_common_ngrams — top-20 3-word shingles by distinct-document frequency.
+EXT_ORACLES["q_common_ngrams"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS ngram
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    c AS (
+        SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM sh GROUP BY ngram
+    )
+    SELECT
+        CAST(row_number() OVER (ORDER BY n_docs DESC, ngram ASC) AS INT)
+            AS rank,
+        ngram, n_docs
+    FROM c
+    QUALIFY rank <= 20
+"""
+
+# q_pii_scrub — identical synthetic PII injection, then regex masking.
+EXT_ORACLES["q_pii_scrub"] = r"""
+    WITH s AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS synth
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        regexp_replace(
+            regexp_replace(
+                synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+            '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS scrubbed_text,
+        CAST(len(regexp_extract_all(
+            synth, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+            AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(synth, '\b555-[0-9]{4}\b'))
+            AS BIGINT) AS n_phones
+    FROM s
+"""
+
 # q_embedding_ivf_topk — anchors are the 8 lowest-vec_id corpus vectors
 # (operators/similarity.py:155, deterministic, no fit), nearest-anchor
 # assignment by max dot product with lowest-anchor-id tie-break, nprobe=1.

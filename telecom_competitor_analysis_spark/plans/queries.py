@@ -1046,10 +1046,16 @@ VERIFY_PRIORITY = [
     "q_embedding_outlier",
     "q_asof_join",
     "q_salted_join",
-    # tier 2 — new oracles, never hash-checked by the driver
+    # tier 2 — new oracles / new queries, never hash-checked by the driver
     "q_dedup_clusters",
     "q_embedding_lsh_topk",
     "q_embedding_ivf_topk",
+    "q_simhash64",
+    "q_simhash64_pairs",
+    "q_minhash_jaccard_est",
+    "q_word_freq",
+    "q_common_ngrams",
+    "q_pii_scrub",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.functions.text import (
@@ -26,7 +26,9 @@ from telecom_competitor_analysis_spark.operators.dedup import (
     minhash_signature,
     shingle_jaccard_pairs,
     simhash16,
+    simhash64,
 )
+from telecom_competitor_analysis_spark.functions.text import words
 from telecom_competitor_analysis_spark.operators.multimodal import (
     as_media_table,
     decode_media,
@@ -92,6 +94,143 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from an inverted-index join on shingles (only colliding docs pair)."""
     docs = load_table(spark, sf_dir, "documents")
     return shingle_jaccard_pairs(docs, "doc_id", "text", w=3, threshold=0.2)
+
+
+def q_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures — the production width (16-bit saturates
+    at ~65k distinct signatures on a large corpus). Same exact-integer-sum
+    construction as the 16-bit variant, two md5 calls per word."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs: 4-band bucketing (pigeonhole-complete
+    for hamming ≤ 3) + exact hamming verify on candidates only. The
+    production-width twin of q_simhash_pairs."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(
+        simhash64(docs, "doc_id", "text"),
+        "doc_id",
+        bands=4,
+        max_hamming=3,
+        sig_bits=64,
+    )
+
+
+def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signature-based Jaccard ESTIMATION for the LSH candidate pairs:
+    est = fraction of the 4 MinHash components that agree (the property
+    LSH banding exploits). At 100 TB this replaces the exact
+    shingle-set intersection on candidates — signature agreement is O(k)
+    per pair on 4 hex strings, no second pass over the documents."""
+    sig = minhash_signature(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=4
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    a = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(4)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(4)],
+    )
+    agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(4)
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (agree.cast("double") / F.lit(4.0)).alias("est_jaccard"),
+        )
+    )
+
+
+def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide top-50 words by occurrence count
+    with document frequency. One explode + one partial-aggregated groupBy
+    on the word (the classic first step of tokenizer/vocab training);
+    top-k via a single global window over the 50-row aggregate, not a
+    global sort of the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    counts = tok.groupBy("word").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "word", "n_occurrences", "n_docs")
+    )
+
+
+def q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram mining: top-20 3-word shingles by the number of
+    DISTINCT documents containing them (the CCNet-style boilerplate
+    signal — an n-gram present in many documents is template text, not
+    content). Distinct-per-doc explode, then one groupBy on the shingle."""
+    from telecom_competitor_analysis_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", w=3).distinct()
+    counts = sh.groupBy(F.col("word").alias("ngram")).agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("ngram").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "ngram", "n_docs")
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-mask emails and phone numbers, with per-doc
+    match counts for audit. The testdata corpus contains no PII, so a
+    deterministic synthetic email + phone is appended per document (both
+    engines construct the identical string) — the scrub then provably
+    removes it. Map-only regexp_replace / regexp_extract_all; at 100 TB
+    this is a pure narrow stage with zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    masked = F.regexp_replace(
+        F.regexp_replace(synth, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        masked.alias("scrubbed_text"),
+        F.size(F.regexp_extract_all(synth, F.lit(_EMAIL_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(synth, F.lit(_PHONE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phones"),
+    )
 
 
 # --- text analysis -------------------------------------------------------
@@ -871,6 +1010,12 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_simhash64": q_simhash64,
+    "q_simhash64_pairs": q_simhash64_pairs,
+    "q_minhash_jaccard_est": q_minhash_jaccard_est,
+    "q_word_freq": q_word_freq,
+    "q_common_ngrams": q_common_ngrams,
+    "q_pii_scrub": q_pii_scrub,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
