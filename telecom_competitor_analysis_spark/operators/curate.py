@@ -243,6 +243,65 @@ def stratified_sample(
     return df.filter(frac < bound)
 
 
+def sample_exact_n(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n: int,
+    salt: str = "bal",
+) -> DataFrame:
+    """Exactly-N-per-stratum sampling: within each stratum keep the ``n``
+    rows whose md5(id || '|' || salt) sorts lowest (id tie-break; md5 of
+    distinct ids never actually ties). The rate-gated ``stratified_sample``
+    gives each row an independent keep probability — binomially-noisy
+    stratum sizes; this variant delivers EXACT quota sizes for eval-set
+    carve-outs and per-source caps.
+
+    Scale shape: one shuffle on the stratum; the constant rank bound lets
+    the WindowGroupLimit rule keep per-partition top-n before the exchange,
+    so no stratum is ever fully sorted."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def rebalance_to_min(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    salt: str = "bal",
+) -> DataFrame:
+    """Mix rebalancing: downsample every stratum to the SMALLEST stratum's
+    row count (a uniform class-balanced corpus), membership by the same
+    deterministic md5 rank as ``sample_exact_n``. The quota is
+    data-dependent (min over stratum counts, a one-row broadcast), so
+    re-running after new data arrives re-balances automatically.
+
+    The dynamic bound defeats WindowGroupLimit (each stratum is rank-
+    numbered in full — one shuffle + per-stratum sort); when the quota is
+    known ahead of time, prefer ``sample_exact_n`` which prunes map-side.
+    """
+    from pyspark.sql import Window
+
+    target = df.groupBy(strata_col).count().agg(
+        F.min("count").alias("__target")
+    )
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{salt}")))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("__rn") <= F.col("__target"))
+        .drop("__rn", "__target")
+    )
+
+
 def sequence_pack(
     df: DataFrame,
     id_col: str,

@@ -1269,6 +1269,31 @@ EXT_ORACLES["q_pii_scrub"] = r"""
     FROM s
 """
 
+# q_sample_exact_n — exactly 50 per language by md5 rank (id tie-break).
+EXT_ORACLES["q_sample_exact_n"] = """
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '|bal') ASC, doc_id ASC
+    ) <= 50
+"""
+
+# q_mix_rebalance — every language downsampled to the smallest language's
+# count, same md5 rank ordering.
+EXT_ORACLES["q_mix_rebalance"] = """
+    WITH c AS (
+        SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    m AS (SELECT MIN(n) AS target FROM c)
+    SELECT doc_id, lang, source
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang
+        ORDER BY md5(CAST(doc_id AS VARCHAR) || '|bal') ASC, doc_id ASC
+    ) <= (SELECT target FROM m)
+"""
+
 # q_embedding_ivf_topk — anchors are the 8 lowest-vec_id corpus vectors
 # (operators/similarity.py:155, deterministic, no fit), nearest-anchor
 # assignment by max dot product with lowest-anchor-id tie-break, nprobe=1.

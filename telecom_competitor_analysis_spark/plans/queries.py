@@ -1056,6 +1056,8 @@ VERIFY_PRIORITY = [
     "q_word_freq",
     "q_common_ngrams",
     "q_pii_scrub",
+    "q_sample_exact_n",
+    "q_mix_rebalance",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

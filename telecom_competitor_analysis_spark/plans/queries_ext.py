@@ -767,6 +767,35 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
+def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-50-per-language sample by deterministic md5 rank — the
+    exact-quota twin of q_stratified_sample (eval-set carve-outs need
+    exact sizes, not binomial ones). Constant bound → WindowGroupLimit
+    prunes map-side."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        sample_exact_n,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_exact_n(docs, "doc_id", "lang", n=50).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced corpus: every language downsampled to the smallest
+    language's count (data-dependent quota, broadcast one-row min),
+    membership by deterministic md5 rank."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        rebalance_to_min,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return rebalance_to_min(docs, "doc_id", "lang").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: documents concatenated in
     (source, doc_id) order and cut every 2048 whitespace tokens; emits
@@ -992,6 +1021,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curate_incremental": q_curate_incremental,
     "q_train_test_split": q_train_test_split,
     "q_stratified_sample": q_stratified_sample,
+    "q_sample_exact_n": q_sample_exact_n,
+    "q_mix_rebalance": q_mix_rebalance,
     "q_sequence_pack": q_sequence_pack,
     "q_udaf_weighted": q_udaf_weighted,
     "q_dedup_clusters": q_dedup_clusters,
