@@ -315,11 +315,28 @@ def simhash_candidate_pairs(
     verify stage needs NO join back), ``max_bucket_size`` drops
     degenerate buckets before pairing. Production width is 64 bits
     (``simhash64`` + ``sig_bits=64``, 4 bands → hamming ≤ 3 complete);
-    the plan shape is width-independent."""
+    the plan shape is width-independent.
+
+    The O(candidates) verify stage carries the signature as packed 16-bit
+    integer chunks, not the bit string: hamming is then
+    Σ bit_count(chunk_a XOR chunk_b) — 4 codegen'd integer ops per
+    64-bit pair instead of 128 substring compares (measured 4-5× on the
+    whole plan at sf0.1, where candidates ≈ Σ bucket² ≈ 1M), and the
+    pair shuffle payload shrinks from two 64-char strings to two int
+    arrays."""
     width = sig_bits // bands
+    n_chunks = (sig_bits + 15) // 16
+    chunks = F.array(
+        *[
+            F.conv(F.substring(F.col(sig_col), c * 16 + 1, 16), 2, 10).cast(
+                "long"
+            )
+            for c in range(n_chunks)
+        ]
+    )
     banded = signatures.select(
         F.col(id_col).alias("id"),
-        F.col(sig_col).alias("sig"),
+        chunks.alias("ks"),
         F.explode(
             F.array(
                 *[
@@ -333,9 +350,9 @@ def simhash_candidate_pairs(
                 ]
             )
         ).alias("band"),
-    ).select("id", "sig", "band.band_idx", "band.band_key")
+    ).select("id", "ks", "band.band_idx", "band.band_key")
     members = F.array_sort(
-        F.collect_list(F.struct(F.col("id"), F.col("sig")))
+        F.collect_list(F.struct(F.col("id"), F.col("ks")))
     )
     pairs = (
         banded.groupBy("band_idx", "band_key")
@@ -356,25 +373,23 @@ def simhash_candidate_pairs(
                             ),
                             lambda y: F.struct(
                                 x["id"].alias("id_a"),
-                                x["sig"].alias("sig_a"),
+                                x["ks"].alias("ks_a"),
                                 y["id"].alias("id_b"),
-                                y["sig"].alias("sig_b"),
+                                y["ks"].alias("ks_b"),
                             ),
                         ),
                     )
                 )
             ).alias("p")
         )
-        .select("p.id_a", "p.sig_a", "p.id_b", "p.sig_b")
+        .select("p.id_a", "p.ks_a", "p.id_b", "p.ks_b")
         .distinct()
     )
     hamming = sum(
-        F.when(
-            F.substring(F.col("sig_a"), i + 1, 1)
-            != F.substring(F.col("sig_b"), i + 1, 1),
-            1,
-        ).otherwise(0)
-        for i in range(sig_bits)
+        F.bit_count(
+            F.col("ks_a")[c].bitwiseXOR(F.col("ks_b")[c])
+        )
+        for c in range(n_chunks)
     ).cast("int")
     return (
         pairs.withColumn("hamming", hamming)

@@ -1046,6 +1046,7 @@ VERIFY_PRIORITY = [
     "q_embedding_outlier",
     "q_asof_join",
     "q_salted_join",
+    "q_simhash_pairs",  # verify stage re-expressed as XOR+bit_count in r4
     # tier 2 — new oracles / new queries, never hash-checked by the driver
     "q_dedup_clusters",
     "q_embedding_lsh_topk",
