@@ -102,6 +102,34 @@ def test_partitioned_write_prunes(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_exact_n_sample_uses_partial_topk(spark, sf_dir):
+    # constant rank bound → WindowGroupLimit keeps per-partition top-n
+    # BEFORE the exchange; no stratum is ever fully sorted
+    assert "WindowGroupLimit" in _plan(QUERIES["q_sample_exact_n"](spark, sf_dir))
+
+
+def test_word_freq_topk_avoids_global_sort(spark, sf_dir):
+    # the global rank<=50 filter must become a distributed top-k
+    # (TakeOrderedAndProject), never a single-partition sort of the vocab
+    assert "TakeOrderedAndProject" in _plan(QUERIES["q_word_freq"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in _plan(
+        QUERIES["q_common_ngrams"](spark, sf_dir)
+    )
+
+
+def test_simhash_pair_verify_is_integer_hamming(spark, sf_dir):
+    # the O(candidates) verify stage must run on packed int chunks
+    # (XOR+bit_count), not 2×sig_bits substring compares
+    plan = _plan(QUERIES["q_simhash64_pairs"](spark, sf_dir))
+    assert "bit_count" in plan
+    assert "substring(sig_a" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    # pure narrow stage: no exchange anywhere in the plan
+    assert "Exchange" not in _plan(QUERIES["q_pii_scrub"](spark, sf_dir))
+
+
 def test_salted_join_rejects_replication_unsafe_how(spark, sf_dir):
     import pytest
 
