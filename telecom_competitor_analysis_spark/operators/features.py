@@ -80,6 +80,50 @@ def tfidf_topk(
     )
 
 
+def random_projection(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    in_dim: int = 64,
+    out_dim: int = 16,
+    seed: int = 0,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim`` dimensions
+    with a deterministic ±1 matrix (sign of the high bit of
+    md5('rp|{seed}|{j}|{i}')) scaled by 1/√out_dim — the standard cheap
+    dimensionality reduction in front of ANN indexing / clustering.
+
+    No fitted model to store or broadcast: the matrix is a pure function
+    of (seed, j, i), computed driver-side and shipped as ``out_dim``
+    literal weight arrays (same trick as
+    similarity.hyperplane_sign_bucket — per-dimension Column objects
+    would cost thousands of py4j round-trips). Map-only: zero shuffles
+    at any scale. Output columns d0..d{out_dim-1}, rounded to 6 so the
+    values are engine-portable (sequential fold == DuckDB
+    list_dot_product order)."""
+    import hashlib
+    import math
+
+    v = F.col(vec_col)
+    scale = 1.0 / math.sqrt(out_dim)
+    out_cols = []
+    for j in range(out_dim):
+        w = [
+            1.0
+            if hashlib.md5(f"rp|{seed}|{j}|{i}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1.0
+            for i in range(in_dim)
+        ]
+        proj = F.aggregate(
+            F.zip_with(v, F.lit(w), lambda x, wgt: x.cast("double") * wgt),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out_cols.append(F.round(proj * F.lit(scale), 6).alias(f"d{j}"))
+    return emb.select(F.col(id_col), *out_cols)
+
+
 def embedding_centroid_outliers(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -1269,6 +1269,38 @@ EXT_ORACLES["q_pii_scrub"] = r"""
     FROM s
 """
 
+# q_random_projection — same md5-derived ±1 JL matrix as
+# operators/features.py::random_projection, inlined as literal arrays;
+# DuckDB list_dot_product sums in index order = Spark's sequential fold,
+# and both round to 6 → bit-identical output.
+def _rp_cols_sql(in_dim: int = 64, out_dim: int = 16, seed: int = 0) -> str:
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    cols = []
+    for j in range(out_dim):
+        w = [
+            "1.0"
+            if hashlib.md5(f"rp|{seed}|{j}|{i}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else "-1.0"
+            for i in range(in_dim)
+        ]
+        arr = "[" + ", ".join(w) + "]"
+        cols.append(
+            f"round(list_dot_product(CAST(embedding AS DOUBLE[]), {arr})"
+            f" * {scale!r}, 6) AS d{j}"
+        )
+    return ",\n        ".join(cols)
+
+
+EXT_ORACLES["q_random_projection"] = f"""
+    SELECT
+        vec_id,
+        {_rp_cols_sql()}
+    FROM embeddings
+"""
+
 # q_sample_exact_n — exactly 50 per language by md5 rank (id tie-break).
 EXT_ORACLES["q_sample_exact_n"] = """
     SELECT doc_id, lang, source

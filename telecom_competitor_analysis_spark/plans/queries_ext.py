@@ -305,6 +305,20 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection 64→16 dims (md5-derived
+    deterministic matrix, map-only, zero shuffles) — the cheap
+    dimensionality reduction in front of ANN indexing."""
+    from telecom_competitor_analysis_spark.operators.features import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(
+        emb, "vec_id", "embedding", in_dim=EMBEDDING_DIM, out_dim=16
+    )
+
+
 # --- multimodal ----------------------------------------------------------
 
 
@@ -1053,6 +1067,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
     "q_embedding_topk": q_embedding_topk,
+    "q_random_projection": q_random_projection,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_multimodal_meta": q_multimodal_meta,
