@@ -1301,6 +1301,20 @@ EXT_ORACLES["q_random_projection"] = f"""
     FROM embeddings
 """
 
+# q_chunk_overlap — 32-token windows at stride 16; DuckDB list_slice is
+# inclusive-end and clamps, matching Spark slice(arr, start, 32).
+EXT_ORACLES["q_chunk_overlap"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    )
+    SELECT
+        doc_id,
+        CAST((i - 1) // 16 AS INT) AS chunk_idx,
+        array_to_string(list_slice(arr, i, i + 31), ' ') AS chunk_text,
+        CAST(len(list_slice(arr, i, i + 31)) AS INT) AS n_tokens
+    FROM t, unnest(generate_series(1, len(arr), 16)) AS g(i)
+"""
+
 # q_sample_exact_n — exactly 50 per language by md5 rank (id tie-break).
 EXT_ORACLES["q_sample_exact_n"] = """
     SELECT doc_id, lang, source

@@ -1060,6 +1060,7 @@ VERIFY_PRIORITY = [
     "q_sample_exact_n",
     "q_mix_rebalance",
     "q_random_projection",
+    "q_chunk_overlap",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

@@ -305,6 +305,33 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (RAG / context-window prep): word
+    windows of 32 tokens at stride 16, emitted as
+    (doc_id, chunk_idx, chunk_text, n_tokens). One tokenize + one
+    sequence-explode — map-only, zero shuffles; trailing short chunks
+    kept (standard chunker behavior)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w, s = 32, 16
+    d = docs.select(
+        "doc_id",
+        words(F.trim(F.col("text"))).alias("arr"),
+    ).select(
+        "doc_id",
+        "arr",
+        F.posexplode(
+            F.sequence(F.lit(1), F.size("arr"), F.lit(s))
+        ).alias("chunk_idx", "start"),
+    )
+    chunk = F.slice(F.col("arr"), F.col("start"), w)
+    return d.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("int").alias("n_tokens"),
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection 64→16 dims (md5-derived
     deterministic matrix, map-only, zero shuffles) — the cheap
@@ -1068,6 +1095,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_embedding_topk": q_embedding_topk,
     "q_random_projection": q_random_projection,
+    "q_chunk_overlap": q_chunk_overlap,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_multimodal_meta": q_multimodal_meta,
