@@ -1301,6 +1301,51 @@ EXT_ORACLES["q_random_projection"] = f"""
     FROM embeddings
 """
 
+# q_session_stats — per-user aggregates over gap-sessionized events
+# (same sessionization CTE as q_sessionize, then two grouping levels).
+EXT_ORACLES["q_session_stats"] = """
+    WITH flagged AS (
+        SELECT
+            user_id,
+            ts,
+            event_id,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      > 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+        SELECT
+            user_id,
+            ts,
+            CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_idx
+        FROM flagged
+    ),
+    sessions AS (
+        SELECT
+            user_id,
+            session_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_events,
+            CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000
+                 AS BIGINT) AS dur_sec
+        FROM numbered
+        GROUP BY user_id, session_idx
+    )
+    SELECT
+        user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        CAST(SUM(n_events) AS BIGINT) AS total_events,
+        round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+            AS avg_events_per_session,
+        MAX(dur_sec) AS max_session_sec
+    FROM sessions
+    GROUP BY user_id
+"""
+
 # q_chunk_overlap — 32-token windows at stride 16; DuckDB list_slice is
 # inclusive-end and clamps, matching Spark slice(arr, start, 32).
 EXT_ORACLES["q_chunk_overlap"] = """

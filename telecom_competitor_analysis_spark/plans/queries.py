@@ -1061,6 +1061,7 @@ VERIFY_PRIORITY = [
     "q_mix_rebalance",
     "q_random_projection",
     "q_chunk_overlap",
+    "q_session_stats",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

@@ -944,6 +944,48 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session behavior profile on top of the sessionizer:
+    session count, total events, events/session, longest session
+    duration. The window shuffle on user_id is shared by the lag pass,
+    the running sum, AND both aggregations — one exchange end-to-end
+    (the groupBy keys are prefixes of the window partition key)."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    us = F.unix_micros(F.col("ts"))
+    flagged = events.withColumn(
+        "new_session",
+        F.when(us - F.lag(us).over(w) > 1800 * 1_000_000, 1)
+        .otherwise(0)
+        .cast("int"),
+    ).withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    # integer µs → whole seconds via `div` (exact bigint floor-division;
+    # a double divide risks an off-by-one against the oracle's `//`)
+    sessions = flagged.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 1000000")
+        .cast("bigint")
+        .alias("dur_sec"),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("total_events"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events_per_session"),
+        F.max("dur_sec").alias("max_session_sec"),
+    )
+
+
 def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-curation — the 100 TB path made driver-checkable:
     even doc_ids play the already-curated keep-list, odd doc_ids arrive
@@ -1057,6 +1099,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate": q_decontaminate,
     "q_percentile_exact": q_percentile_exact,
     "q_sessionize": q_sessionize,
+    "q_session_stats": q_session_stats,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_curate_incremental": q_curate_incremental,
