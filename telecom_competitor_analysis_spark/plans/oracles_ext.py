@@ -1222,6 +1222,26 @@ EXT_ORACLES["q_word_freq"] = """
     QUALIFY rank <= 50
 """
 
+# q_group_topk_words — per-language top-10 words by occurrence.
+EXT_ORACLES["q_group_topk_words"] = """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM tok GROUP BY lang, word
+    )
+    SELECT
+        lang,
+        CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY n_occurrences DESC, word ASC) AS INT) AS rank,
+        word, n_occurrences
+    FROM c
+    QUALIFY rank <= 10
+"""
+
 # q_common_ngrams — top-20 3-word shingles by distinct-document frequency.
 EXT_ORACLES["q_common_ngrams"] = """
     WITH t AS (

@@ -1062,6 +1062,7 @@ VERIFY_PRIORITY = [
     "q_random_projection",
     "q_chunk_overlap",
     "q_session_stats",
+    "q_group_topk_words",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

@@ -177,6 +177,28 @@ def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_topk_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 words (the per-stratum variant of
+    q_word_freq — per-language vocab/stopword profiling). Constant rank
+    bound → WindowGroupLimit keeps map-side top-10 per lang before the
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    counts = tok.groupBy("lang", "word").agg(
+        F.count("*").alias("n_occurrences")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_occurrences").desc(), F.col("word").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "word", "n_occurrences")
+    )
+
+
 def q_common_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate n-gram mining: top-20 3-word shingles by the number of
     DISTINCT documents containing them (the CCNet-style boilerplate
@@ -1129,6 +1151,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_simhash64_pairs": q_simhash64_pairs,
     "q_minhash_jaccard_est": q_minhash_jaccard_est,
     "q_word_freq": q_word_freq,
+    "q_group_topk_words": q_group_topk_words,
     "q_common_ngrams": q_common_ngrams,
     "q_pii_scrub": q_pii_scrub,
     "q_ngram_jaccard": q_ngram_jaccard,
