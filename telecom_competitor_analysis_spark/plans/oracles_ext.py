@@ -1380,6 +1380,25 @@ EXT_ORACLES["q_chunk_overlap"] = """
     FROM t, unnest(generate_series(1, len(arr), 16)) AS g(i)
 """
 
+# q_embedding_quantize — symmetric int8 per-vector max-abs quantization,
+# exploded to scalar rows; same (x*127)/m expression order → identical FP.
+EXT_ORACLES["q_embedding_quantize"] = """
+    WITH e AS (
+        SELECT
+            vec_id,
+            CAST(embedding AS DOUBLE[]) AS v,
+            list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> abs(x))) AS m
+        FROM embeddings
+    )
+    SELECT
+        vec_id,
+        CAST(i - 1 AS INT) AS dim_idx,
+        CAST(CASE WHEN m = 0 THEN 0
+                  ELSE round(v[i] * 127.0 / m, 0) END AS INT) AS q
+    FROM e, unnest(generate_series(1, len(v))) AS g(i)
+"""
+
 # q_sample_exact_n — exactly 50 per language by md5 rank (id tie-break).
 EXT_ORACLES["q_sample_exact_n"] = """
     SELECT doc_id, lang, source

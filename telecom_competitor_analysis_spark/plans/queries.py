@@ -1063,6 +1063,7 @@ VERIFY_PRIORITY = [
     "q_chunk_overlap",
     "q_session_stats",
     "q_group_topk_words",
+    "q_embedding_quantize",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

@@ -354,6 +354,30 @@ def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, the storage-efficiency op for 100 TB embedding
+    tables: 4 bytes/dim → 1). Emitted exploded as (vec_id, dim_idx, q)
+    so the check is value-exact; map-only, zero shuffles. Zero vectors
+    quantize to zeros (guarded divide)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    d = emb.select(
+        "vec_id",
+        F.posexplode(v).alias("dim_idx", "x"),
+        maxabs.alias("m"),
+    )
+    q = F.when(F.col("m") == 0, F.lit(0)).otherwise(
+        F.round(F.col("x").cast("double") * 127.0 / F.col("m"), 0)
+    )
+    return d.select(
+        "vec_id",
+        F.col("dim_idx").cast("int").alias("dim_idx"),
+        q.cast("int").alias("q"),
+    )
+
+
 def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection 64→16 dims (md5-derived
     deterministic matrix, map-only, zero shuffles) — the cheap
@@ -1161,6 +1185,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     "q_embedding_topk": q_embedding_topk,
     "q_random_projection": q_random_projection,
+    "q_embedding_quantize": q_embedding_quantize,
     "q_chunk_overlap": q_chunk_overlap,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
