@@ -46,6 +46,30 @@ def test_simhash_near_dup_distance(spark):
     assert ham(sigs[1], sigs[3]) <= ham(sigs[1], sigs[4])  # near ≤ far
 
 
+def test_simhash64_near_dup_distance_and_pairs(spark):
+    """64-bit signatures: identical docs share a signature, near beats far,
+    and the 4-band pair path (pigeonhole-complete for hamming ≤ 3) finds
+    the identical pair with hamming 0 while never pairing unrelated docs."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        simhash64,
+        simhash_candidate_pairs,
+    )
+
+    sigs = {r.doc_id: r.simhash for r in
+            simhash64(_docs(spark), "doc_id", "text").collect()}
+    assert all(len(s) == 64 for s in sigs.values())
+    ham = lambda a, b: sum(x != y for x, y in zip(a, b))  # noqa: E731
+    assert sigs[1] == sigs[2]
+    assert ham(sigs[1], sigs[3]) <= ham(sigs[1], sigs[4])
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_candidate_pairs(
+        simhash64(_docs(spark), "doc_id", "text"), "doc_id",
+        bands=4, max_hamming=3, sig_bits=64,
+    ).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
 def test_dedup_clusters_transitive(spark):
     """A chain a-b, b-c must land in ONE cluster labeled by the min id —
     the transitivity the greedy pairwise drop can't see."""
