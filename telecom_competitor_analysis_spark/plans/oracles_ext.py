@@ -1366,6 +1366,42 @@ EXT_ORACLES["q_session_stats"] = """
     GROUP BY user_id
 """
 
+# q_event_funnel — chained first-qualifying-event windows, then counts.
+EXT_ORACLES["q_event_funnel"] = """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    w1 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'view' THEN us END)
+                  OVER (PARTITION BY user_id) AS fv
+        FROM e
+    ),
+    w2 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'click' AND us >= fv
+                           THEN us END)
+                  OVER (PARTITION BY user_id) AS fc
+        FROM w1
+    ),
+    w3 AS (
+        SELECT *, MIN(CASE WHEN event_type = 'purchase' AND us >= fc
+                           THEN us END)
+                  OVER (PARTITION BY user_id) AS fp
+        FROM w2
+    ),
+    u AS (
+        SELECT user_id, MAX(fv) AS fv, MAX(fc) AS fc, MAX(fp) AS fp
+        FROM w3 GROUP BY user_id
+    )
+    SELECT
+        CAST(COUNT(CASE WHEN fv IS NOT NULL THEN 1 END) AS BIGINT)
+            AS n_view,
+        CAST(COUNT(CASE WHEN fc IS NOT NULL THEN 1 END) AS BIGINT)
+            AS n_view_click,
+        CAST(COUNT(CASE WHEN fp IS NOT NULL THEN 1 END) AS BIGINT)
+            AS n_view_click_purchase
+    FROM u
+"""
+
 # q_chunk_overlap — 32-token windows at stride 16; DuckDB list_slice is
 # inclusive-end and clamps, matching Spark slice(arr, start, 32).
 EXT_ORACLES["q_chunk_overlap"] = """

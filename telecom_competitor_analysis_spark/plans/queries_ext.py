@@ -1032,6 +1032,53 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel analysis (view → click-after-view →
+    purchase-after-that-click): per-user first-qualifying-event times via
+    three chained unbounded window aggregates over ONE user_id
+    partitioning (no orderBy → no sort, one exchange total), then a
+    single global count. The product-analytics op that's awkward in
+    plain SQL but natural as window algebra."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    us = F.unix_micros(F.col("ts"))
+    e = events.select("user_id", "event_type", us.alias("us"))
+    s1 = e.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("us"))).over(w)
+    )
+    s2 = s1.withColumn(
+        "fc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") >= F.col("fv")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    s3 = s2.withColumn(
+        "fp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("fc")),
+                F.col("us"),
+            )
+        ).over(w),
+    )
+    users = s3.groupBy("user_id").agg(
+        F.max("fv").alias("fv"), F.max("fc").alias("fc"), F.max("fp").alias("fp")
+    )
+    return users.agg(
+        F.count(F.when(F.col("fv").isNotNull(), 1)).alias("n_view"),
+        F.count(F.when(F.col("fc").isNotNull(), 1)).alias("n_view_click"),
+        F.count(F.when(F.col("fp").isNotNull(), 1)).alias(
+            "n_view_click_purchase"
+        ),
+    )
+
+
 def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-curation — the 100 TB path made driver-checkable:
     even doc_ids play the already-curated keep-list, odd doc_ids arrive
@@ -1146,6 +1193,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentile_exact": q_percentile_exact,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
+    "q_event_funnel": q_event_funnel,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_curate_incremental": q_curate_incremental,
