@@ -1,0 +1,29 @@
+"""bench.py fault isolation: one broken query must not erase the other
+measurements — the harness records an err entry and still prints the
+JSON line (round-3's BENCH was a DNF because q_sessionize's analysis
+error aborted the whole run)."""
+
+from __future__ import annotations
+
+import json
+
+import bench
+from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+
+def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
+    def broken(_spark, _sf_dir):
+        raise RuntimeError("deliberately broken for the isolation test")
+
+    monkeypatch.setitem(QUERIES, "q_broken_test_only", broken)
+    monkeypatch.setattr(bench, "HEADLINE", ["q_topk", "q_broken_test_only"])
+    monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    bench.main()
+
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    parsed = json.loads(out)
+    assert "q_topk" in parsed["queries"]
+    assert parsed["queries"]["q_topk"] > 0
+    assert "q_broken_test_only" not in parsed["queries"]
+    assert "deliberately broken" in parsed["errors"]["q_broken_test_only"]
