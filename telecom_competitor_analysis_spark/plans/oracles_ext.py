@@ -1366,6 +1366,31 @@ EXT_ORACLES["q_session_stats"] = """
     GROUP BY user_id
 """
 
+# q_corpus_diff — full-outer digest join between two deterministic
+# snapshot slices, classified and counted.
+EXT_ORACLES["q_corpus_diff"] = """
+    WITH old AS (
+        SELECT doc_id, md5(trim(text)) AS dig_a
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 5 = 0 THEN trim(text) || ' v2'
+                        ELSE trim(text) END) AS dig_b
+        FROM documents WHERE doc_id % 3 != 0
+    ),
+    j AS (
+        SELECT
+            CASE WHEN dig_a IS NULL THEN 'added'
+                 WHEN dig_b IS NULL THEN 'removed'
+                 WHEN dig_a != dig_b THEN 'changed'
+                 ELSE 'unchanged' END AS status
+        FROM old FULL OUTER JOIN new USING (doc_id)
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY status
+"""
+
 # q_event_funnel — chained first-qualifying-event windows, then counts.
 EXT_ORACLES["q_event_funnel"] = """
     WITH e AS (

@@ -1065,6 +1065,7 @@ VERIFY_PRIORITY = [
     "q_group_topk_words",
     "q_embedding_quantize",
     "q_event_funnel",
+    "q_corpus_diff",
     # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
     "q_validate",
     "q_star_split",

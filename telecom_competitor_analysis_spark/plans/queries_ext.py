@@ -1032,6 +1032,39 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff (dataset versioning): classify every doc as
+    added / removed / changed / unchanged between two snapshots via ONE
+    full-outer join on doc_id comparing content digests — the corpus-
+    level generalization of the reference's per-row change detection
+    (C1). Snapshots are deterministic slices of the documents table:
+    old = even ids, new = ids not divisible by 3, with every 5th id's
+    text revised (so all four classes occur). Digest-only shuffle — the
+    bodies never move."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.md5(F.trim(F.col("text"))).alias("dig_a")
+    )
+    new_text = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(F.trim(F.col("text")), F.lit(" v2"))
+    ).otherwise(F.trim(F.col("text")))
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", F.md5(new_text).alias("dig_b")
+    )
+    j = old.join(new, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("dig_a").isNull(), F.lit("added"))
+        .when(F.col("dig_b").isNull(), F.lit("removed"))
+        .when(F.col("dig_a") != F.col("dig_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential funnel analysis (view → click-after-view →
     purchase-after-that-click): per-user first-qualifying-event times via
@@ -1194,6 +1227,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
     "q_event_funnel": q_event_funnel,
+    "q_corpus_diff": q_corpus_diff,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_curate_incremental": q_curate_incremental,
