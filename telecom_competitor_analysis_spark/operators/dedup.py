@@ -229,6 +229,93 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def minhash_est_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 4,
+    bands: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs WITH the signature-agreement Jaccard estimate
+    (est = fraction of MinHash components that agree), computed map-side.
+
+    Same banding/bucketing as ``lsh_candidate_pairs``, but the bucket
+    member structs carry the signature array, so the estimate is a pure
+    expression over the exploded pair rows — no join back to the
+    signature table (which would re-evaluate the signature aggregation
+    for each side and add two shuffle joins; the pattern
+    ``simhash_candidate_pairs`` uses for the same reason). Returns
+    (id_a, id_b, est_jaccard)."""
+    rows_per_band = n_hashes // bands
+    hs = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
+    banded = signatures.select(
+        F.col(id_col).alias("id"),
+        hs.alias("hs"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.col(f"h{b * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "hs", "band.band_idx", "band.band_key")
+    members = F.array_sort(
+        F.collect_list(F.struct(F.col("id"), F.col("hs")))
+    )
+    pairs = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(members.alias("ms"))
+        .filter(
+            (F.size("ms") > 1) & (F.size("ms") <= F.lit(max_bucket_size))
+        )
+        .select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.col("ms"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ms"),
+                                (i + 2).cast("int"),
+                                F.size(F.col("ms")),
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("id_a"),
+                                x["hs"].alias("hs_a"),
+                                y["id"].alias("id_b"),
+                                y["hs"].alias("hs_b"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.hs_a", "p.id_b", "p.hs_b")
+        .distinct()
+    )
+    agree = sum(
+        F.when(F.col("hs_a")[i] == F.col("hs_b")[i], 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.lit(float(n_hashes))).alias("est_jaccard"),
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: bit i = sign of Σ over words of (±1 by the high bit
     of md5 nibble i). Exact integer sums → fully deterministic; emitted as
@@ -411,9 +498,13 @@ def dedup_clusters(
 
     Iterative algorithm, driver-side loop of Spark jobs (the sanctioned
     shape for iteration — each step is a shuffle-joined plan, lineage
-    truncated per step via localCheckpoint). Converges in O(component
-    diameter) steps; near-dup components are tiny, so ``max_iters=10`` is
-    generous. Returns (id, cluster_id)."""
+    truncated per step via localCheckpoint). Each iteration combines the
+    edge-propagation step with a POINTER-DOUBLING shortcut (adopt the
+    label of your current label), so convergence is O(log diameter), not
+    O(diameter): ``max_iters=10`` covers component diameters up to ~2^10,
+    far beyond any real near-dup cluster. Raises on non-convergence
+    rather than silently returning partial labels. Returns
+    (id, cluster_id)."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(
@@ -427,33 +518,51 @@ def dedup_clusters(
     ).localCheckpoint(eager=False)
 
     for _ in range(max_iters):
+        # step 1: min label over graph neighbors
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("min_neighbor"))
         )
-        new_labels = (
-            labels.join(msgs, on="id", how="left")
+        stepped = labels.join(msgs, on="id", how="left").select(
+            "id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("min_neighbor"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # step 2: pointer doubling — adopt the label of my label, halving
+        # the remaining propagation distance each iteration
+        parent = stepped.select(
+            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
+        )
+        doubled = (
+            stepped.join(
+                parent, stepped.cluster_id == parent.p_id, how="left"
+            )
             .select(
                 "id",
                 F.least(
                     F.col("cluster_id"),
-                    F.coalesce(F.col("min_neighbor"), F.col("cluster_id")),
+                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
-                (~F.col("cluster_id").eqNullSafe(
-                    F.least(
-                        F.col("cluster_id"),
-                        F.coalesce(F.col("min_neighbor"), F.col("cluster_id")),
-                    )
-                )).alias("__changed"),
             )
             .localCheckpoint(eager=False)
         )
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), on="id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iters} iterations "
+        "(component diameter > 2^{max_iters}) — raise max_iters"
+    )
 
 
 def shingle_jaccard_pairs(

@@ -1033,20 +1033,30 @@ QUERIES.update(EXT_QUERIES)
 #      stubbed media decode) LAST — they can only yield `no_oracle`, so
 #      they must never occupy an oracle-checkable slot in the window.
 # History: r1 checked the SURVEY §2 core (46 green), r2/r3 the 50-query
-# extension surface (50 green). Round 4 rotates the §2 core back in,
-# fronted by the four queries whose code changed after their green row
-# (q_sessionize TIMESTAMP_NTZ fix, q_embedding_outlier rounded-rank fix —
-# both changed in r4; q_asof_join / q_salted_join changed in r2) and the
-# three ex-rows-only queries that just gained oracles.
+# extension surface (50 green). Round 4's window: every query whose code
+# OR input type changed this round (readers.py now casts events.ts from
+# TIMESTAMP_NTZ — every ts-consuming query is "changed" under rule 1),
+# all new queries/oracles, then oldest-green rotations to fill 50.
+# The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # tier 1 — code changed since last green row
+    # tier 1a — operator code changed since last green row
     "q_sessionize",
     "q_embedding_outlier",
     "q_asof_join",
     "q_salted_join",
     "q_simhash_pairs",  # verify stage re-expressed as XOR+bit_count in r4
+    # tier 1b — input type changed since last green: these consume
+    # events.ts, which readers.py now normalizes from TIMESTAMP_NTZ; the
+    # ts-consuming queries NOT otherwise in the window go here
+    "q_hopping_window",
+    "q_stream_join",
+    "q_range_join",
+    "q_string_agg",
+    "q_median",
+    "q_udaf_weighted",
+    "q_max_by",
     # tier 2 — new oracles / new queries, never hash-checked by the driver
     "q_dedup_clusters",
     "q_embedding_lsh_topk",
@@ -1066,45 +1076,44 @@ VERIFY_PRIORITY = [
     "q_embedding_quantize",
     "q_event_funnel",
     "q_corpus_diff",
-    # tier 3 — green only in round 1, unchanged since: re-verify oldest-first
+    # tier 3 — green only in round 1, unchanged since: re-verify
+    # oldest-first, events-consumers first (they see the normalized ts)
+    "q_scd_detect",
+    "q_first_per_key",
+    "q_tumbling_window",
+    "q_json_unwrap",
+    "q_window_rank",
+    "q_pivot",
+    "q_map_funcs",
+    "q_histogram",
     "q_validate",
     "q_star_split",
     "q_pack_cross",
     "q_antijoin_new",
     "q_lookup_join",
-    "q_scd_detect",
-    "q_first_per_key",
     "q_topk",
     "q_union_all",
-    "q_tumbling_window",
-    "q_json_unwrap",
-    "q_window_rank",
     "q_rollup",
     "q_cube",
-    "q_pivot",
     "q_semi_join",
     "q_except",
     "q_intersect",
+    # --- window boundary: entries below are outside the first 50.
+    # q_sentinel_map / q_regex_extract also read events but emit no
+    # ts-derived columns, and both are r3-green — accepted outside. ---
     "q_distinct_agg",
     "q_explode",
     "q_grouping_sets",
     "q_scalar_subquery",
     "q_outer_join",
     "q_date_arith",
-    "q_histogram",
     "q_array_funcs",
-    "q_map_funcs",
     "q_udtf_tokenize",
-    "q_max_by",
     "q_train_test_split",
-    # tier 4 — r3-green composites whose building blocks this round touches
-    # (readers.py timestamp normalization feeds every events query; the
-    # curation/dedup stack shares operators with q_dedup_clusters)
-    "q_hopping_window",
-    "q_stream_join",
+    # tier 4 — r3-green, unchanged code and inputs (non-events tables or
+    # re-verified operators); fine outside the window
     "q_resample_daily",
     "q_moving_avg",
-    "q_range_join",
     "q_corpus_curate",
     "q_curate_incremental",
     "q_dedup_exact",

@@ -19,6 +19,7 @@ from telecom_competitor_analysis_spark.functions.text import (
     n_words,
     stopword_count,
     sum_word_len,
+    words,
 )
 from telecom_competitor_analysis_spark.operators.dedup import (
     exact_dedup_groups,
@@ -28,7 +29,6 @@ from telecom_competitor_analysis_spark.operators.dedup import (
     simhash16,
     simhash64,
 )
-from telecom_competitor_analysis_spark.functions.text import words
 from telecom_competitor_analysis_spark.operators.multimodal import (
     as_media_table,
     decode_media,
@@ -127,32 +127,17 @@ def q_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = fraction of the 4 MinHash components that agree (the property
     LSH banding exploits). At 100 TB this replaces the exact
     shingle-set intersection on candidates — signature agreement is O(k)
-    per pair on 4 hex strings, no second pass over the documents."""
+    per pair on 4 hex strings, no second pass over the documents. The
+    bucket explode carries the signatures, so the estimate is map-side —
+    no join back to the signature table."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        minhash_est_pairs,
+    )
+
     sig = minhash_signature(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", n_hashes=4
     )
-    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
-    a = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"h{i}").alias(f"a{i}") for i in range(4)],
-    )
-    b = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"h{i}").alias(f"b{i}") for i in range(4)],
-    )
-    agree = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(4)
-    )
-    return (
-        pairs.join(a, "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (agree.cast("double") / F.lit(4.0)).alias("est_jaccard"),
-        )
-    )
+    return minhash_est_pairs(sig, "doc_id", n_hashes=4, bands=2)
 
 
 def q_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,8 +303,11 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets (the 100 TB
-    path: bucket join instead of full cross join). Rows-only check:
-    approximate recall is engine-defined, not oracle-defined."""
+    path: bucket join instead of full cross join). ORACLE-CHECKED since
+    round 4: the md5-derived planes are deterministic, so the DuckDB
+    mirror reproduces the exact bucket assignment and ranking — don't
+    change tie-breaks or FP expression order without updating the
+    oracle."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return lsh_bucketed_topk(
@@ -397,8 +385,10 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (anchor-quantized buckets, nprobe=1) — the
-    second scale path next to hyperplane LSH. Rows-only: approximate
-    recall is engine-defined."""
+    second scale path next to hyperplane LSH. ORACLE-CHECKED since
+    round 4: lowest-id anchors make the quantization deterministic and
+    SQL-reproducible — keep tie-breaks and expression order in sync
+    with the oracle."""
     from telecom_competitor_analysis_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -764,10 +754,12 @@ def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup connected components (iterative min-label propagation over
-    the MinHash-LSH pair graph). Rows-only per the contract for iterative
-    algorithms; behavior pinned by tests/test_dedup.py on planted
-    clusters."""
+    """Near-dup connected components (min-label propagation with pointer
+    doubling over the MinHash-LSH pair graph). ORACLE-CHECKED since
+    round 4 via a DuckDB recursive CTE computing the exact component
+    minimum — the Spark loop must fully converge (it raises if not), and
+    behavior is additionally pinned by tests/test_dedup.py on planted
+    clusters and a 13-hop chain."""
     from telecom_competitor_analysis_spark.operators.dedup import (
         dedup_clusters,
         lsh_candidate_pairs,

@@ -84,6 +84,25 @@ def test_dedup_clusters_transitive(spark):
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
 
 
+def test_dedup_clusters_long_chain_converges(spark):
+    """A 13-hop chain must fully converge to the min label within the
+    default iteration budget — pointer doubling makes propagation
+    O(log diameter), and non-convergence raises instead of silently
+    returning partial labels."""
+    from telecom_competitor_analysis_spark.operators.dedup import dedup_clusters
+
+    n = 13
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame(
+        [(i,) for i in range(1, n + 1)], "doc_id long"
+    )
+    got = {r.id: r.cluster_id
+           for r in dedup_clusters(pairs, vertices, "doc_id").collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
 def test_shingle_jaccard_ranks_near_above_far(spark):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in
              shingle_jaccard_pairs(_docs(spark), "doc_id", "text",
