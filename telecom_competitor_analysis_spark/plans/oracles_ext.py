@@ -1391,6 +1391,40 @@ EXT_ORACLES["q_corpus_diff"] = """
     FROM j GROUP BY status
 """
 
+# q_session_window — built-in session_window twin: same gap split as
+# q_sessionize EXCEPT the boundary (session_window's end is exclusive, so
+# a gap of exactly 30:00 starts a NEW session; >= not >).
+EXT_ORACLES["q_session_window"] = """
+    WITH flagged AS (
+        SELECT
+            user_id,
+            ts,
+            event_id,
+            CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= 1800 * 1000000
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    numbered AS (
+        SELECT
+            user_id,
+            ts,
+            CAST(SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM numbered
+    GROUP BY user_id, session_idx
+"""
+
 # q_event_funnel — chained first-qualifying-event windows, then counts.
 EXT_ORACLES["q_event_funnel"] = """
     WITH e AS (

@@ -1104,6 +1104,34 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's BUILT-IN ``session_window`` (the
+    idiomatic Structured-Streaming form, here in its batch twin): one
+    groupBy(user, session_window(ts, '30 minutes')) aggregation — the
+    engine merges events within the gap. Emits the same sessions as the
+    hand-rolled window-algebra q_sessionize (session_window.end is
+    last-event + gap by definition, so we emit min/max event times for
+    comparability)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+        )
+        .select(
+            "user_id", "n_events", "session_start", "session_end"
+        )
+    )
+
+
 def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-curation — the 100 TB path made driver-checkable:
     even doc_ids play the already-curated keep-list, odd doc_ids arrive
@@ -1218,6 +1246,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentile_exact": q_percentile_exact,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
+    "q_session_window": q_session_window,
     "q_event_funnel": q_event_funnel,
     "q_corpus_diff": q_corpus_diff,
     "q_minhash_ml": q_minhash_ml,
