@@ -498,11 +498,13 @@ def dedup_clusters(
 
     Iterative algorithm, driver-side loop of Spark jobs (the sanctioned
     shape for iteration — each step is a shuffle-joined plan, lineage
-    truncated per step via localCheckpoint). Each iteration combines the
-    edge-propagation step with a POINTER-DOUBLING shortcut (adopt the
-    label of your current label), so convergence is O(log diameter), not
-    O(diameter): ``max_iters=10`` covers component diameters up to ~2^10,
-    far beyond any real near-dup cluster. Raises on non-convergence
+    truncated per step via localCheckpoint). The first three iterations
+    are plain min-label propagation (one join each — converges every
+    real near-dup component at minimum cost); if labels are still moving
+    after that, each further iteration adds a POINTER-DOUBLING shortcut
+    (adopt the label of your current label), making the tail O(log
+    diameter) — ``max_iters=10`` then covers diameters in the hundreds
+    (3 plain hops, then doubling from there). Raises on non-convergence
     rather than silently returning partial labels. Returns
     (id, cluster_id)."""
     edges = (
@@ -517,8 +519,10 @@ def dedup_clusters(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster_id")
     ).localCheckpoint(eager=False)
 
-    for _ in range(max_iters):
-        # step 1: min label over graph neighbors
+    for it in range(max_iters):
+        # step 1: min label over graph neighbors (original label carried
+        # through as __orig so change detection below is a flag filter,
+        # not an old-vs-new join)
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -526,42 +530,49 @@ def dedup_clusters(
         )
         stepped = labels.join(msgs, on="id", how="left").select(
             "id",
+            F.col("cluster_id").alias("__orig"),
             F.least(
                 F.col("cluster_id"),
                 F.coalesce(F.col("min_neighbor"), F.col("cluster_id")),
             ).alias("cluster_id"),
         )
-        # step 2: pointer doubling — adopt the label of my label, halving
-        # the remaining propagation distance each iteration
-        parent = stepped.select(
-            F.col("id").alias("p_id"), F.col("cluster_id").alias("p_label")
-        )
-        doubled = (
-            stepped.join(
-                parent, stepped.cluster_id == parent.p_id, how="left"
+        if it < 3:
+            new_labels = stepped.withColumn(
+                "__changed", F.col("cluster_id") != F.col("__orig")
+            ).localCheckpoint(eager=False)
+        else:
+            # step 2 (only if still unconverged after the plain hops):
+            # pointer doubling — adopt the label of my label, halving the
+            # remaining propagation distance each iteration. Checkpoint
+            # before the self-join so the msgs join above isn't
+            # recomputed for both sides.
+            stepped = stepped.localCheckpoint(eager=False)
+            parent = stepped.select(
+                F.col("id").alias("p_id"),
+                F.col("cluster_id").alias("p_label"),
             )
-            .select(
-                "id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("p_label"), F.col("cluster_id")),
-                ).alias("cluster_id"),
+            new_label = F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("p_label"), F.col("cluster_id")),
             )
-            .localCheckpoint(eager=False)
-        )
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), on="id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .limit(1)
-            .count()
-        )
-        labels = doubled
+            new_labels = (
+                stepped.join(
+                    parent, stepped.cluster_id == parent.p_id, how="left"
+                )
+                .select(
+                    "id",
+                    new_label.alias("cluster_id"),
+                    (new_label != F.col("__orig")).alias("__changed"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.select("id", "cluster_id")
         if changed == 0:
             return labels
     raise RuntimeError(
-        f"dedup_clusters did not converge in {max_iters} iterations "
-        "(component diameter > 2^{max_iters}) — raise max_iters"
+        f"dedup_clusters did not converge in {max_iters} iterations — "
+        "raise max_iters"
     )
 
 
