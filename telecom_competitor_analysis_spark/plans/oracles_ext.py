@@ -1366,6 +1366,35 @@ EXT_ORACLES["q_session_stats"] = """
     GROUP BY user_id
 """
 
+# q_winsorize — per-group [p1, p99] clip; quantile_cont's linear
+# interpolation matches Spark's exact percentile on integer inputs.
+EXT_ORACLES["q_winsorize"] = """
+    WITH d AS (
+        SELECT
+            l_orderkey,
+            l_linenumber,
+            l_returnflag,
+            CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS price_cents
+        FROM lineitem
+    ),
+    b AS (
+        SELECT *,
+               quantile_cont(price_cents, 0.01)
+                   OVER (PARTITION BY l_returnflag) AS p01,
+               quantile_cont(price_cents, 0.99)
+                   OVER (PARTITION BY l_returnflag) AS p99
+        FROM d
+    )
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        l_returnflag,
+        price_cents,
+        round(least(greatest(CAST(price_cents AS DOUBLE), p01), p99), 2)
+            AS clipped_cents
+    FROM b
+"""
+
 # q_corpus_diff — full-outer digest join between two deterministic
 # snapshot slices, classified and counted.
 EXT_ORACLES["q_corpus_diff"] = """

@@ -1077,6 +1077,7 @@ VERIFY_PRIORITY = [
     "q_event_funnel",
     "q_corpus_diff",
     "q_session_window",
+    "q_winsorize",
     # tier 3 — green only in round 1, unchanged since: re-verify
     # oldest-first, events-consumers first (they see the normalized ts)
     "q_scd_detect",
@@ -1097,10 +1098,10 @@ VERIFY_PRIORITY = [
     "q_rollup",
     "q_cube",
     "q_semi_join",
-    "q_except",
     # --- window boundary: entries below are outside the first 50.
     # q_sentinel_map / q_regex_extract also read events but emit no
     # ts-derived columns, and both are r3-green — accepted outside. ---
+    "q_except",
     "q_intersect",
     "q_distinct_agg",
     "q_explode",

@@ -1024,6 +1024,40 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (clip to the per-group [p1, p99] band) — the
+    outlier-capping step before stats/training. Exact percentiles as
+    window aggregates over the group partition (one shuffle, shared by
+    both bounds); prices in integer cents, clip arithmetic in double
+    with an explicit round so both engines emit identical values."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
+    w = Window.partitionBy("l_returnflag")
+    d = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        cents.alias("price_cents"),
+    )
+    p01 = F.percentile(F.col("price_cents"), F.lit(0.01)).over(w)
+    p99 = F.percentile(F.col("price_cents"), F.lit(0.99)).over(w)
+    clipped = F.round(
+        F.least(
+            F.greatest(F.col("price_cents").cast("double"), p01), p99
+        ),
+        2,
+    )
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "price_cents",
+        clipped.alias("clipped_cents"),
+    )
+
+
 def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff (dataset versioning): classify every doc as
     added / removed / changed / unchanged between two snapshots via ONE
@@ -1249,6 +1283,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_session_window": q_session_window,
     "q_event_funnel": q_event_funnel,
     "q_corpus_diff": q_corpus_diff,
+    "q_winsorize": q_winsorize,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_curate_incremental": q_curate_incremental,
