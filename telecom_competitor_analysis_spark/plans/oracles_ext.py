@@ -1366,6 +1366,77 @@ EXT_ORACLES["q_session_stats"] = """
     GROUP BY user_id
 """
 
+# q_dup_graph_stats — degree histogram of the MinHash-LSH pair graph.
+EXT_ORACLES["q_dup_graph_stats"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig AS (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh
+        GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+    ),
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+    ),
+    banded_ok AS (
+        SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded_ok a
+        JOIN banded_ok b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (
+            SELECT id_a AS id FROM pairs
+            UNION ALL
+            SELECT id_b AS id FROM pairs
+        )
+        GROUP BY id
+    )
+    SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM deg GROUP BY degree
+"""
+
+# q_key_skew — top-10 hottest join keys with share of total rows.
+EXT_ORACLES["q_key_skew"] = """
+    WITH c AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_partkey
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem)
+    SELECT
+        CAST(row_number() OVER (
+            ORDER BY n_rows DESC, l_partkey ASC) AS INT) AS rank,
+        l_partkey,
+        n_rows,
+        round(CAST(n_rows AS DOUBLE) / n_total, 8) AS share
+    FROM c CROSS JOIN t
+    QUALIFY rank <= 10
+"""
+
 # q_winsorize — per-group [p1, p99] clip; quantile_cont's linear
 # interpolation matches Spark's exact percentile on integer inputs.
 EXT_ORACLES["q_winsorize"] = """

@@ -1078,6 +1078,8 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_winsorize",
+    "q_dup_graph_stats",
+    "q_key_skew",
     # tier 3 — green only in round 1, unchanged since: re-verify
     # oldest-first, events-consumers first (they see the normalized ts)
     "q_scd_detect",
@@ -1096,11 +1098,11 @@ VERIFY_PRIORITY = [
     "q_topk",
     "q_union_all",
     "q_rollup",
-    "q_cube",
-    "q_semi_join",
     # --- window boundary: entries below are outside the first 50.
     # q_sentinel_map / q_regex_extract also read events but emit no
     # ts-derived columns, and both are r3-green — accepted outside. ---
+    "q_cube",
+    "q_semi_join",
     "q_except",
     "q_intersect",
     "q_distinct_agg",

@@ -1024,6 +1024,56 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph observability: degree distribution of the
+    MinHash-LSH pair graph (how many docs have 1, 2, … near-dup
+    neighbors). The dedup-health dashboard query — a fat tail here means
+    boilerplate contamination upstream. Pairs → symmetric explode →
+    per-doc degree → degree histogram."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    deg = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select("degree", "n_docs")
+    )
+
+
+def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter detection on a join key (the pre-flight check before
+    deciding to salt): top-10 hottest l_partkey values with their share
+    of total rows. Partial-agg count + distributed top-k + one-row
+    broadcast total — the diagnostic is itself scale-safe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = li.select(F.count(F.lit(1)).alias("n_total"))
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "l_partkey",
+            "n_rows",
+            F.round(
+                F.col("n_rows").cast("double") / F.col("n_total"), 8
+            ).alias("share"),
+        )
+    )
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization (clip to the per-group [p1, p99] band) — the
     outlier-capping step before stats/training. Exact percentiles as
@@ -1284,6 +1334,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_funnel": q_event_funnel,
     "q_corpus_diff": q_corpus_diff,
     "q_winsorize": q_winsorize,
+    "q_dup_graph_stats": q_dup_graph_stats,
+    "q_key_skew": q_key_skew,
     "q_minhash_ml": q_minhash_ml,
     "q_corpus_curate": q_corpus_curate,
     "q_curate_incremental": q_curate_incremental,
