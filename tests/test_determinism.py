@@ -20,6 +20,9 @@ FLOAT_SENSITIVE = [
     "q_moving_avg",
     "q_minhash_jaccard_est",
     "q_random_projection",
+    "q_winsorize",
+    "q_embedding_quantize",
+    "q_key_skew",
 ]
 
 
