@@ -1491,9 +1491,10 @@ EXT_ORACLES["q_corpus_diff"] = """
     FROM j GROUP BY status
 """
 
-# q_session_window — built-in session_window twin: same gap split as
-# q_sessionize EXCEPT the boundary (session_window's end is exclusive, so
-# a gap of exactly 30:00 starts a NEW session; >= not >).
+# q_session_window — built-in session_window twin: SAME gap split as
+# q_sessionize (empirically verified on Spark 4.1.2: an event exactly
+# gap after the previous one MERGES into the session — the split
+# condition is strictly >, matching the hand-rolled form).
 EXT_ORACLES["q_session_window"] = """
     WITH flagged AS (
         SELECT
@@ -1501,7 +1502,7 @@ EXT_ORACLES["q_session_window"] = """
             ts,
             event_id,
             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                      >= 1800 * 1000000
+                      > 1800 * 1000000
                  THEN 1 ELSE 0 END AS new_session
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)

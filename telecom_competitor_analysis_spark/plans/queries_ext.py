@@ -928,8 +928,6 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day trailing moving average over the gap-filled daily series —
     window frame spec (ROWS BETWEEN 6 PRECEDING AND CURRENT ROW); exact
     integer sums divided once at the end."""
-    from pyspark.sql import Window
-
     daily = _daily_counts(spark, sf_dir)
     w = (
         Window.partitionBy("user_id")
@@ -955,8 +953,6 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful operator via applyInPandasWithState) lives in
     streaming/sessionize.py; this batch form is the oracle-checked
     semantics."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     flagged = events.withColumn(
@@ -988,8 +984,6 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration. The window shuffle on user_id is shared by the lag pass,
     the running sum, AND both aggregations — one exchange end-to-end
     (the groupBy keys are prefixes of the window partition key)."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
@@ -1037,9 +1031,12 @@ def q_dup_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
     pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    # symmetric explode of each pair — NOT a union of two selects, which
+    # would evaluate the whole signature+LSH pipeline once per branch
     deg = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionAll(pairs.select(F.col("id_b").alias("id")))
+        pairs.select(
+            F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("id")
+        )
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -1057,11 +1054,17 @@ def q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast total — the diagnostic is itself scale-safe."""
     li = load_table(spark, sf_dir, "lineitem")
     counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
-    total = li.select(F.count(F.lit(1)).alias("n_total"))
+    # total from the counts aggregate itself — no second scan of lineitem
+    total = counts.agg(F.sum("n_rows").alias("n_total"))
+    # top-10 via orderBy+limit (TakeOrderedAndProject: per-partition
+    # top-k, k-row merge); rank assigned over the 10 surviving rows —
+    # never a global-window sort of every distinct key
+    top = counts.orderBy(
+        F.col("n_rows").desc(), F.col("l_partkey").asc()
+    ).limit(10)
     w = Window.orderBy(F.col("n_rows").desc(), F.col("l_partkey").asc())
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 10)
+        top.withColumn("rank", F.row_number().over(w).cast("int"))
         .crossJoin(F.broadcast(total))
         .select(
             "rank",
@@ -1080,8 +1083,6 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window aggregates over the group partition (one shuffle, shared by
     both bounds); prices in integer cents, clip arithmetic in double
     with an explicit round so both engines emit identical values."""
-    from pyspark.sql import Window
-
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
     w = Window.partitionBy("l_returnflag")
@@ -1148,8 +1149,6 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning (no orderBy → no sort, one exchange total), then a
     single global count. The product-analytics op that's awkward in
     plain SQL but natural as window algebra."""
-    from pyspark.sql import Window
-
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id")
     us = F.unix_micros(F.col("ts"))
@@ -1192,10 +1191,11 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessionization via Spark's BUILT-IN ``session_window`` (the
     idiomatic Structured-Streaming form, here in its batch twin): one
     groupBy(user, session_window(ts, '30 minutes')) aggregation — the
-    engine merges events within the gap. Emits the same sessions as the
-    hand-rolled window-algebra q_sessionize (session_window.end is
-    last-event + gap by definition, so we emit min/max event times for
-    comparability)."""
+    engine merges events within the gap (an event exactly gap after the
+    previous one merges — split is strictly >, same as q_sessionize).
+    Emits the same sessions as the hand-rolled window-algebra
+    q_sessionize (session_window.end is last-event + gap by definition,
+    so we emit min/max event times for comparability)."""
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy(
