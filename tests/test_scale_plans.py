@@ -125,6 +125,12 @@ def test_simhash_pair_verify_is_integer_hamming(spark, sf_dir):
     assert "substring(sig_a" not in plan
 
 
+def test_key_skew_topk_avoids_global_sort(spark, sf_dir):
+    # heavy-hitter diagnostic must itself be scale-safe: distributed
+    # top-k, never a global-window sort of every distinct key
+    assert "TakeOrderedAndProject" in _plan(QUERIES["q_key_skew"](spark, sf_dir))
+
+
 def test_pii_scrub_is_map_only(spark, sf_dir):
     # pure narrow stage: no exchange anywhere in the plan
     assert "Exchange" not in _plan(QUERIES["q_pii_scrub"](spark, sf_dir))
