@@ -27,15 +27,29 @@ def click_attribution_join(
     clicks: DataFrame,
     watermark: str = "1 hour",
     horizon: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: purchases ⋈ same-user clicks
+    """Watermarked stream-stream join: purchases ⋈ same-user clicks
     with ``c_ts`` in ``[p_ts - horizon, p_ts]``.
+
+    ``how="leftOuter"`` keeps unattributed purchases (null click) — the
+    streaming-outer-join subtlety: the null row for a purchase is only
+    EMITTED once the watermark passes ``p_ts`` (no earlier click can
+    still arrive); in a bounded ``availableNow`` run that means a
+    watermark-advancing later event must exist or trailing unmatched
+    purchases stay buffered at termination (pinned by
+    tests/test_stream_join.py).
 
     Inputs must carry the renamed columns (purchase side: purchase_id,
     user_id, p_ts; click side: click_id, c_user_id, c_ts) — renaming
     before the join keeps the two event-time columns distinct, which the
     state manager requires. Works identically on batch DataFrames (the
     oracle path) and streaming ones."""
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(
+            "click_attribution_join supports how='inner'|'leftOuter', "
+            f"got {how!r}"
+        )
     p = purchases.withWatermark("p_ts", watermark)
     c = clicks.withWatermark("c_ts", watermark)
     cond = (
@@ -43,7 +57,7 @@ def click_attribution_join(
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return p.join(c, cond, "inner").select(
+    return p.join(c, cond, how).select(
         "purchase_id",
         "click_id",
         "user_id",

@@ -109,3 +109,65 @@ def test_stream_stream_join_across_restart(spark, dirs):
         for r in out.collect()
     }
     assert got_full == want
+
+
+def test_stream_stream_left_outer_emits_null_after_watermark(spark, dirs):
+    """leftOuter: the unattributed purchase (104, 12:30) emits its
+    null-click row only once the GLOBAL watermark (min over both inputs
+    of max-event − delay) passes 12:30 — and a micro-batch runs with
+    that watermark. Three bounded runs make the mechanics explicit:
+    run A ingests the data (watermark still at its initial value during
+    the batch), run B ingests watermark-pump events on BOTH sides
+    (advancing the stored watermark to 13:00 at batch end), run C's
+    batch then executes WITH watermark 13:00 > 12:30 and evicts/emits
+    the null row. This is the real operational behavior of streaming
+    outer joins: unmatched rows surface late, only after both inputs'
+    event time moves on."""
+    def drop(rows, schema, path):
+        spark.createDataFrame(rows, schema).write.mode("append").json(path)
+
+    def run_once():
+        q = (
+            click_attribution_join(
+                spark.readStream.schema(P_SCHEMA).json(dirs["purchases"]),
+                spark.readStream.schema(C_SCHEMA).json(dirs["clicks"]),
+                how="leftOuter",
+            )
+            .writeStream.format("parquet")
+            .option("path", dirs["out"])
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop(P1 + P2, P_SCHEMA, dirs["purchases"])
+    drop(C1 + C2, C_SCHEMA, dirs["clicks"])
+    run_once()
+
+    # watermark pumps on both sides (min across inputs governs):
+    # clicks → 14:00−1h = 13:00, purchases → 14:10−1h = 13:10
+    drop([(998, 98, _ts(14, 10))], P_SCHEMA, dirs["purchases"])
+    drop([(299, 99, _ts(14, 0))], C_SCHEMA, dirs["clicks"])
+    run_once()
+
+    # a further batch must run for eviction at watermark 13:00
+    drop([(997, 97, _ts(15, 10))], P_SCHEMA, dirs["purchases"])
+    drop([(298, 96, _ts(15, 0))], C_SCHEMA, dirs["clicks"])
+    run_once()
+
+    got = {
+        (r.purchase_id, r.click_id)
+        for r in spark.read.parquet(dirs["out"]).collect()
+    }
+    assert (104, None) in got, "null row for the unattributed purchase"
+    assert EXPECTED <= got
+
+
+def test_stream_join_rejects_unsupported_how(spark):
+    import pytest as _pytest
+
+    p = spark.createDataFrame(P1, P_SCHEMA)
+    c = spark.createDataFrame(C1, C_SCHEMA)
+    with _pytest.raises(ValueError, match="inner.*leftOuter"):
+        click_attribution_join(p, c, how="full")
