@@ -169,6 +169,12 @@ def lsh_candidate_pairs(
     pairs and sink the job. Docs in a dropped bucket can still pair through
     their other bands; a corpus-scale bucket means near-identical
     boilerplate, which exact dedup already collapses upstream."""
+    if bands <= 0 or n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into bands ({bands}):"
+            " a remainder would silently exclude trailing hash components"
+            " from every band key, weakening the LSH collision guarantee"
+        )
     rows_per_band = n_hashes // bands
     banded = signatures.select(
         F.col(id_col),
@@ -246,6 +252,12 @@ def minhash_est_pairs(
     for each side and add two shuffle joins; the pattern
     ``simhash_candidate_pairs`` uses for the same reason). Returns
     (id_a, id_b, est_jaccard)."""
+    if bands <= 0 or n_hashes % bands:
+        raise ValueError(
+            f"n_hashes ({n_hashes}) must divide evenly into bands ({bands}):"
+            " a remainder would silently exclude trailing hash components"
+            " from every band key, weakening the LSH collision guarantee"
+        )
     rows_per_band = n_hashes // bands
     hs = F.array(*[F.col(f"h{i}") for i in range(n_hashes)])
     banded = signatures.select(
@@ -411,6 +423,13 @@ def simhash_candidate_pairs(
     whole plan at sf0.1, where candidates ≈ Σ bucket² ≈ 1M), and the
     pair shuffle payload shrinks from two 64-char strings to two int
     arrays."""
+    if bands <= 0 or sig_bits % bands:
+        raise ValueError(
+            f"sig_bits ({sig_bits}) must divide evenly into bands ({bands}):"
+            " a remainder would silently exclude the trailing bits from"
+            " every band key, so the pigeonhole guarantee (hamming <="
+            " bands-1 implies a shared band) would not hold on those bits"
+        )
     width = sig_bits // bands
     n_chunks = (sig_bits + 15) // 16
     chunks = F.array(

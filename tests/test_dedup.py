@@ -182,3 +182,24 @@ def test_simhash_pairs_find_identical_and_respect_cap(spark):
     )
     capped = simhash_candidate_pairs(big, "doc_id", max_bucket_size=5)
     assert capped.count() == 0
+
+
+def test_band_divisibility_guards():
+    """Indivisible band configs fail fast instead of silently dropping the
+    trailing signature bits/components from every band key (ADVICE r4)."""
+    import pytest
+
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_est_pairs,
+        simhash_candidate_pairs,
+    )
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_candidate_pairs(None, "doc_id", sig_bits=16, bands=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        minhash_est_pairs(None, "doc_id", n_hashes=4, bands=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        lsh_candidate_pairs(None, "doc_id", n_hashes=4, bands=3)
+    with pytest.raises(ValueError, match="divide evenly"):
+        simhash_candidate_pairs(None, "doc_id", sig_bits=64, bands=0)
