@@ -156,3 +156,13 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = li.join(part, "l_partkey").count()
     salted = salted_join(li, part, ["l_partkey"], salt=4).count()
     assert plain == salted
+
+
+def test_winsorize_avoids_whole_partition_window(spark, sf_dir):
+    """q_winsorize must compute the per-group percentiles as a groupBy agg
+    + broadcast join-back, never as a window over the 3-value group key
+    (which buffers ~1/3 of the table per window partition at any scale)."""
+    plan = _plan(QUERIES["q_winsorize"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "percentile" in plan
