@@ -276,18 +276,37 @@ def rebalance_to_min(
     id_col: str,
     strata_col: str,
     salt: str = "bal",
+    precompute_quota: bool = True,
 ) -> DataFrame:
     """Mix rebalancing: downsample every stratum to the SMALLEST stratum's
     row count (a uniform class-balanced corpus), membership by the same
     deterministic md5 rank as ``sample_exact_n``. The quota is
-    data-dependent (min over stratum counts, a one-row broadcast), so
-    re-running after new data arrives re-balances automatically.
+    data-dependent (min over stratum counts), so re-running after new
+    data arrives re-balances automatically.
 
-    The dynamic bound defeats WindowGroupLimit (each stratum is rank-
-    numbered in full — one shuffle + per-stratum sort); when the quota is
-    known ahead of time, prefer ``sample_exact_n`` which prunes map-side.
-    """
+    Two-pass by default (``precompute_quota=True``): pass 1 runs the tiny
+    count-min aggregation eagerly — the aggregation itself is distributed
+    and partial-aggregable; only the single-row quota comes to the driver,
+    exactly like the runtime statistics AQE already collects between
+    stages — then pass 2 re-plans with the quota as a LITERAL rank bound,
+    which restores the WindowGroupLimit rule (map-side top-quota per
+    stratum before the exchange; plan asserted in test_scale_plans.py).
+
+    ``precompute_quota=False`` keeps the single-plan form (dynamic bound
+    via one-row broadcast join) for callers that must stay lazy — e.g. a
+    plan built once and re-executed per incremental batch, where an eager
+    pass would freeze the quota at build time. Its trade-off: the dynamic
+    bound defeats WindowGroupLimit, so every stratum is rank-numbered in
+    full (one shuffle + per-stratum sort)."""
     from pyspark.sql import Window
+
+    if precompute_quota:
+        quota = (
+            df.groupBy(strata_col).count().agg(F.min("count")).first()[0]
+        )
+        return sample_exact_n(
+            df, id_col, strata_col, n=int(quota or 0), salt=salt
+        )
 
     target = df.groupBy(strata_col).count().agg(
         F.min("count").alias("__target")

@@ -863,8 +863,10 @@ def q_sample_exact_n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Class-balanced corpus: every language downsampled to the smallest
-    language's count (data-dependent quota, broadcast one-row min),
-    membership by deterministic md5 rank."""
+    language's count, membership by deterministic md5 rank. Two-pass form
+    (round 5): the quota agg runs eagerly, then the sample re-plans with
+    a literal bound so WindowGroupLimit prunes map-side — see
+    rebalance_to_min for the lazy single-plan alternative."""
     from telecom_competitor_analysis_spark.operators.curate import (
         rebalance_to_min,
     )

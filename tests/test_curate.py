@@ -125,3 +125,22 @@ def test_stratified_sample_tiny_rates_survive_quantization(spark):
     near_one = float.fromhex("0x1.fffffffffffffp-1")  # largest double < 1
     b = _hex_bound(near_one)
     assert len(b) == 8 and b == "ffffffff"  # keeps all but 1/2^32
+
+
+def test_rebalance_two_pass_matches_one_pass(spark):
+    from telecom_competitor_analysis_spark.operators.curate import (
+        rebalance_to_min,
+    )
+
+    rows = [(i, "en" if i % 3 else "fr") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    two = rebalance_to_min(df, "doc_id", "lang", precompute_quota=True)
+    one = rebalance_to_min(df, "doc_id", "lang", precompute_quota=False)
+    got_two = sorted((r.doc_id, r.lang) for r in two.collect())
+    got_one = sorted((r.doc_id, r.lang) for r in one.collect())
+    assert got_two == got_one
+    # both languages at the min stratum size (20 'fr' rows)
+    counts = {}
+    for _, lang in got_two:
+        counts[lang] = counts.get(lang, 0) + 1
+    assert counts == {"en": 20, "fr": 20}

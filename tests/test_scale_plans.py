@@ -166,3 +166,10 @@ def test_winsorize_avoids_whole_partition_window(spark, sf_dir):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "percentile" in plan
+
+
+def test_mix_rebalance_two_pass_uses_partial_topk(spark, sf_dir):
+    """The two-pass rebalance re-plans with a literal quota, restoring
+    map-side WindowGroupLimit pruning (the r4 verdict's watch item: the
+    one-pass dynamic bound rank-numbers every stratum in full)."""
+    assert "WindowGroupLimit" in _plan(QUERIES["q_mix_rebalance"](spark, sf_dir))
