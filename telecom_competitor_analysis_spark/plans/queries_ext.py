@@ -416,10 +416,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling: explode the sampled frame index space (every 2nd
-    frame). Rows-only (depends on the stub decode)."""
+    frame). ORACLE-CHECKED since round 5: the frame count comes from
+    container metadata (with_frame_count — a pure column expression over
+    byte_len, the way real containers expose their frame count in the
+    header), so the whole plan is SQL-expressible; only
+    q_multimodal_decode still exercises the stubbed byte-decode path."""
+    from telecom_competitor_analysis_spark.operators.multimodal import (
+        with_frame_count,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     media = as_media_table(docs, "doc_id", "text")
-    return frame_sample(decode_media(media), every_nth=2)
+    return frame_sample(with_frame_count(media), every_nth=2)
 
 
 EMBEDDING_LSH_BANDS = 2  # OR-amplification: pair found if ANY band collides

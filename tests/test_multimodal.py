@@ -40,3 +40,21 @@ def test_metadata_query_prunes_payload(spark, sf_dir):
     meta_only = media.select("media_id", "media_type")
     plan = meta_only._jdf.queryExecution().optimizedPlan().toString()
     assert "payload" not in plan, "binary payload must be pruned from metadata plans"
+
+
+def test_frame_sample_metadata_matches_decode(spark, sf_dir):
+    """The metadata path (with_frame_count — header-derived frame count,
+    SQL-expressible) must agree row-for-row with the decode path on the
+    deterministic fixtures."""
+    from telecom_competitor_analysis_spark.operators.multimodal import (
+        with_frame_count,
+    )
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = as_media_table(docs, "doc_id", "text")
+    via_meta = frame_sample(with_frame_count(media), every_nth=2)
+    via_decode = frame_sample(decode_media(media), every_nth=2)
+    a = sorted(map(tuple, via_meta.collect()))
+    b = sorted(map(tuple, via_decode.collect()))
+    assert a == b and len(a) > 0
