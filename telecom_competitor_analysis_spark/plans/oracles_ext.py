@@ -1679,3 +1679,9 @@ EXT_ORACLES["q_frame_sample"] = """
          unnest(generate_series(
              0, CAST(1 + byte_len % 8 AS BIGINT) - 1, 2)) AS t(f)
 """
+
+# q_incremental_topk — the two-batch incremental replay must converge to
+# the batch brute-force answer (top-k(top-k(A) ∪ B) == top-k(A ∪ B) under
+# the strict cos DESC / neighbor_id ASC order), so the oracle IS the
+# brute-force top-10 (same SQL as q_embedding_topk).
+EXT_ORACLES["q_incremental_topk"] = EXT_ORACLES["q_embedding_topk"]

@@ -315,6 +315,37 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental top-k maintenance (similarity.py::incremental_topk)
+    exercised end-to-end as a deterministic two-batch replay: batch 1 =
+    even vec_ids, batch 2 = odd vec_ids; the kept top-10 state after
+    batch 2 must equal the brute-force top-10 over the full corpus —
+    top-k(top-k(A) ∪ B) == top-k(A ∪ B) under the strict
+    (cos DESC, neighbor_id ASC) total order, since any global winner
+    drawn from A survives A's own top-k. The oracle is therefore the
+    same brute-force SQL as q_embedding_topk: the incremental path
+    converging to the batch answer IS the correctness property. Output
+    re-ranked and the float cos dropped (rank-only compare)."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        incremental_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    batch1 = emb.filter(F.col("vec_id") % 2 == 0)
+    batch2 = emb.filter(F.col("vec_id") % 2 == 1)
+    state = incremental_topk(None, batch1, queries, k=10)
+    state = incremental_topk(state, batch2, queries, k=10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return state.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
 def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (RAG / context-window prep): word
     windows of 32 tokens at stride 16, emitted as
@@ -1396,6 +1427,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_quantize": q_embedding_quantize,
     "q_chunk_overlap": q_chunk_overlap,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
+    "q_incremental_topk": q_incremental_topk,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
