@@ -52,6 +52,36 @@ HEADLINE = [
     "q_embedding_outlier",
 ]
 
+# Second headline list (byte-stable since round 5): the round-4 operator
+# wave, promoted from ad-hoc NOTES measurements so regressions on the new
+# surface are machine-checkable round-over-round exactly like the original
+# 26. Reported separately (queries_ext / value_ext) to keep the original
+# headline total apples-to-apples with BENCH_r02/r04.
+HEADLINE_EXT = [
+    "q_simhash64",
+    "q_simhash64_pairs",
+    "q_minhash_jaccard_est",
+    "q_dedup_clusters",
+    "q_embedding_lsh_topk",
+    "q_embedding_ivf_topk",
+    "q_word_freq",
+    "q_common_ngrams",
+    "q_group_topk_words",
+    "q_pii_scrub",
+    "q_sample_exact_n",
+    "q_mix_rebalance",
+    "q_random_projection",
+    "q_chunk_overlap",
+    "q_embedding_quantize",
+    "q_session_window",
+    "q_session_stats",
+    "q_event_funnel",
+    "q_corpus_diff",
+    "q_winsorize",
+    "q_dup_graph_stats",
+    "q_key_skew",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -70,30 +100,40 @@ def main() -> None:
     # Per-query fault isolation: a query that fails to analyze or execute
     # records an "err" entry and the run continues — the JSON line is always
     # emitted, so one sick query can never erase the other 25 measurements.
-    timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
-        fn = QUERIES.get(name)
-        if fn is None:
-            continue
-        try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = float("inf")
-            for _ in range(3):
-                t0 = time.perf_counter()
+
+    def run_list(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = QUERIES.get(name)
+            if fn is None:
+                continue
+            try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.perf_counter() - t0)
-            timings[name] = round(best, 3)
-        except Exception as exc:  # noqa: BLE001 — isolate any query fault
-            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    best = min(best, time.perf_counter() - t0)
+                timings[name] = round(best, 3)
+            except Exception as exc:  # noqa: BLE001 — isolate any query fault
+                errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+        return timings
+
+    timings = run_list(HEADLINE)
+    timings_ext = run_list(HEADLINE_EXT)
 
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "value_ext": round(sum(timings_ext.values()), 3),
+        "queries_ext": timings_ext,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink",
+        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the byte-stable r4-operator list added in r5",
     }
     if errors:
         out["errors"] = errors

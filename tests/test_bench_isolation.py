@@ -17,6 +17,7 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
 
     monkeypatch.setitem(QUERIES, "q_broken_test_only", broken)
     monkeypatch.setattr(bench, "HEADLINE", ["q_topk", "q_broken_test_only"])
+    monkeypatch.setattr(bench, "HEADLINE_EXT", ["q_key_skew"])
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     bench.main()
@@ -27,3 +28,5 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
     assert parsed["queries"]["q_topk"] > 0
     assert "q_broken_test_only" not in parsed["queries"]
     assert "deliberately broken" in parsed["errors"]["q_broken_test_only"]
+    assert parsed["queries_ext"]["q_key_skew"] > 0
+    assert parsed["value_ext"] > 0
