@@ -353,6 +353,96 @@ def sequence_pack(
     )
 
 
+def canonical_per_cluster(
+    clusters: DataFrame,
+    quality: DataFrame,
+    id_col: str,
+    quality_col: str,
+) -> DataFrame:
+    """Canonical-document selection: for each near-dup cluster keep the
+    highest-quality member (ties → lowest id). The keep-best refinement
+    of min-id cluster dedup: when a page exists in N near-identical
+    crawls, train on the best-scoring copy, not the accidental min-id.
+
+    ``clusters`` = (id, cluster_id) (dedup_clusters output);
+    ``quality`` = (id_col, quality_col) — any per-doc score (word count,
+    LM logprob, composite). Returns
+    (cluster_id, keeper_id, keeper_quality, n_members).
+
+    Scale shape: one shuffle on cluster_id; the constant rank-1 bound is
+    WindowGroupLimit-prunable (map-side top-1 per cluster), and the
+    member count rides the same exchange as a window count."""
+    q = quality.select(
+        F.col(id_col).alias("id"),
+        F.col(quality_col).alias("__q"),
+    )
+    joined = clusters.join(q, on="id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("__q").desc(), F.col("id").asc()
+    )
+    return (
+        joined.select(
+            "cluster_id",
+            "id",
+            "__q",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("cluster_id"))
+            .alias("n_members"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("id").alias("keeper_id"),
+            F.col("__q").alias("keeper_quality"),
+            "n_members",
+        )
+    )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, k per
+    stratum: the Efraimidis–Spirakis A-ES scheme — draw key u^(1/w) per
+    row and keep the stratum's top-k keys. Inclusion probability scales
+    with weight (here: up-sample long/high-quality docs in a corpus
+    mix), yet the draw is a pure column expression, reproducible across
+    engines and re-runs.
+
+    u comes from a Knuth multiplicative hash of the id
+    (h = (id * 2654435761) mod 2^32; u = (h + 0.5) / 2^32 — never 0 or
+    1), NOT a seeded RNG: portability and re-run stability matter more
+    here than hash quality, and the docstring marks exactly where a
+    production pipeline would swap in xxhash64. Returns
+    (id_col, strata_col, rank) — rank-only output keeps the compare
+    float-free.
+
+    Scale shape: map-only key computation, one shuffle on the stratum,
+    constant rank bound → WindowGroupLimit map-side top-k."""
+    h = F.pmod(
+        F.col(id_col).cast("bigint") * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    u = (h.cast("double") + 0.5) / 4294967296.0
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    w = Window.partitionBy(strata_col).orderBy(
+        key.desc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hash_split(
     id_col: Column, salt: str = "split", train_hex_bound: str = "cd"
 ) -> Column:

@@ -1,0 +1,93 @@
+"""BM25 keyword retrieval over a document corpus.
+
+The training-data use case: given a handful of probe terms (benchmark
+leakage probes, topical filters, quality keywords), rank the corpus by
+BM25 and keep the top hits — the retrieval step of retrieval-augmented
+curation. Reference parity: the reference has no retrieval operator at
+all (its "search" is N+1 point queries against a warehouse,
+/root/reference/dags/bigquery.py:100-122); this is the engine-native
+generalization.
+
+Scale shape: the token explode is filtered to the probe terms BEFORE any
+shuffle (an inverted-index probe — only postings for the query terms ever
+leave the map side), term frequencies and document frequencies are
+partial-aggregable groupBys, and the corpus-level stats (N, avgdl) are a
+one-row broadcast. Nothing in the plan is proportional to vocabulary
+size; candidate volume is Σ df(term), exactly an inverted index's cost.
+
+Determinism contract: per-(doc, term) partial scores are rounded to
+integer micro-units BEFORE the cross-term sum (summing raw doubles is
+order-dependent in a distributed agg — the repo-wide "integer cents"
+rule), so the final score is an exact BIGINT both engines agree on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.functions.text import words
+
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k docs by BM25 over ``terms``. Returns
+    (id, score_micro BIGINT) — score in 1e-6 units, ties broken by id
+    via the sort (order-insensitive compare downstream).
+
+    idf uses the +1-inside-log form (Lucene's non-negative variant):
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5)).
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    d = docs.select(F.col(id_col).alias("id"), F.trim(F.col(text_col)).alias("t"))
+    dl = d.select("id", F.size(words(F.col("t"))).cast("double").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    postings = (
+        d.select("id", F.explode(words(F.col("t"))).alias("term"))
+        .filter(F.col("term").isin(*terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_ = F.broadcast(
+        postings.groupBy("term").agg(
+            F.count(F.lit(1)).cast("double").alias("df")
+        )
+    )
+    scored = (
+        postings.join(df_, on="term")
+        .join(dl, on="id")
+        .crossJoin(stats)
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    s = (
+        idf
+        * F.col("tf")
+        * (k1 + 1.0)
+        / (
+            F.col("tf")
+            + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    per_term_micro = F.round(s * 1e6, 0).cast("bigint")
+    return (
+        scored.groupBy("id")
+        .agg(F.sum(per_term_micro).alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), F.col("id").asc())
+        .limit(k)
+    )

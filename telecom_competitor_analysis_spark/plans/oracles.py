@@ -535,3 +535,15 @@ ORACLES: dict[str, str] = {
 from telecom_competitor_analysis_spark.plans.oracles_ext import EXT_ORACLES  # noqa: E402
 
 ORACLES.update(EXT_ORACLES)
+
+# q_pivot_dynamic — the discovered value list at any SF is F/O/P (the
+# Spark side discovers it with a distinct scan; SQL states it).
+ORACLES["q_pivot_dynamic"] = """
+    SELECT
+        o_orderpriority,
+        CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS "F",
+        CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS "O",
+        CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS "P"
+    FROM orders
+    GROUP BY o_orderpriority
+"""

@@ -1685,3 +1685,214 @@ EXT_ORACLES["q_frame_sample"] = """
 # the strict cos DESC / neighbor_id ASC order), so the oracle IS the
 # brute-force top-10 (same SQL as q_embedding_topk).
 EXT_ORACLES["q_incremental_topk"] = EXT_ORACLES["q_embedding_topk"]
+
+# q_bm25_search — inverted-index BM25 (operators/search.py::bm25_topk,
+# k1=1.2 b=0.75, Lucene +1-inside-log idf, probe terms join/filter/window).
+# Per-(doc,term) scores round to integer micro-units BEFORE the cross-term
+# sum (double sums are order-dependent); expression order mirrors the
+# Spark plan left-to-right so both engines emit identical doubles.
+EXT_ORACLES["q_bm25_search"] = """
+    WITH d AS (
+        SELECT doc_id AS id, trim(text) AS t FROM documents
+    ),
+    dl AS (
+        SELECT id, CAST(len(string_split(t, ' ')) AS DOUBLE) AS dl FROM d
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl
+    ),
+    tf AS (
+        SELECT id, w, CAST(COUNT(*) AS DOUBLE) AS tf
+        FROM d, unnest(string_split(t, ' ')) AS u(w)
+        WHERE w IN ('join', 'filter', 'window')
+        GROUP BY id, w
+    ),
+    dfreq AS (
+        SELECT w, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY w
+    )
+    SELECT
+        id AS doc_id,
+        CAST(SUM(CAST(round(
+            ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+              * tf * 2.2
+              / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+            * 1000000.0, 0) AS BIGINT)) AS BIGINT) AS score_micro
+    FROM tf
+    JOIN dfreq USING (w)
+    JOIN dl USING (id)
+    CROSS JOIN stats
+    GROUP BY id
+    ORDER BY score_micro DESC, id ASC
+    LIMIT 20
+"""
+
+# q_bigram_lm — add-one-smoothed bigram LM self-scoring (operators/lm.py).
+EXT_ORACLES["q_bigram_lm"] = """
+    WITH t AS (
+        SELECT doc_id AS id, string_split(trim(text), ' ') AS arr
+        FROM documents
+    ),
+    bg AS (
+        SELECT id, arr[i] AS w1, arr[i + 1] AS w2
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    cbg AS (
+        SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c_bg
+        FROM bg GROUP BY w1, w2
+    ),
+    cctx AS (
+        SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c_ctx FROM bg GROUP BY w1
+    ),
+    v AS (
+        SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+        FROM t, unnest(arr) AS u(w)
+    )
+    SELECT
+        id AS doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        round(
+            CAST(SUM(CAST(round(
+                ln((c_bg + 1.0) / (c_ctx + v)) * 1000000.0, 0
+            ) AS BIGINT)) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * 1000000.0),
+            6
+        ) AS avg_logp
+    FROM bg
+    JOIN cbg USING (w1, w2)
+    JOIN cctx USING (w1)
+    CROSS JOIN v
+    GROUP BY id
+"""
+
+# q_fuzzy_join — deletion-neighborhood blocking is COMPLETE for edit
+# distance <= 1 (operators/fuzzy.py docstring), so the oracle is the
+# brute-force quadratic levenshtein filter: same answer, different plan.
+EXT_ORACLES["q_fuzzy_join"] = """
+    WITH dirty AS (
+        SELECT
+            p_partkey AS dirty_id,
+            substr(p_name, 1, CAST(pos AS INT) - 1)
+              || substr(p_name, CAST(pos AS INT) + 1,
+                        strlen(p_name)) AS dirty_name
+        FROM (
+            SELECT p_partkey, p_name,
+                   (p_partkey % strlen(p_name)) + 1 AS pos
+            FROM part WHERE p_partkey % 7 = 0
+        )
+    )
+    SELECT
+        d.dirty_id,
+        p.p_partkey,
+        d.dirty_name,
+        p.p_name,
+        CAST(levenshtein(d.dirty_name, p.p_name) AS INT) AS distance
+    FROM dirty d
+    CROSS JOIN part p
+    WHERE levenshtein(d.dirty_name, p.p_name) <= 1
+"""
+
+# q_canonical_docs — same cluster CTE as q_dedup_clusters, then keep-best
+# (quality = word count, ties -> lowest id) per cluster.
+EXT_ORACLES["q_canonical_docs"] = """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig AS (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh
+        GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+    ),
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+    ),
+    banded_ok AS (
+        SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded_ok a
+        JOIN banded_ok b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    cc(id, label) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.dst, cc.label
+        FROM cc JOIN edges e ON cc.id = e.src
+        WHERE cc.label < e.dst
+    ),
+    cl AS (
+        SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id
+    ),
+    q AS (
+        SELECT doc_id AS id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS qual
+        FROM documents
+    ),
+    j AS (
+        SELECT
+            cl.cluster_id,
+            cl.id,
+            q.qual,
+            row_number() OVER (
+                PARTITION BY cl.cluster_id
+                ORDER BY q.qual DESC, cl.id ASC
+            ) AS rn,
+            COUNT(*) OVER (PARTITION BY cl.cluster_id) AS n_members
+        FROM cl JOIN q USING (id)
+    )
+    SELECT
+        cluster_id,
+        id AS keeper_id,
+        qual AS keeper_quality,
+        CAST(n_members AS BIGINT) AS n_members
+    FROM j
+    WHERE rn = 1
+"""
+
+# q_weighted_sample — Efraimidis-Spirakis A-ES keys u^(1/w); u from the
+# portable Knuth multiplicative hash (curate.py::weighted_sample_topk).
+EXT_ORACLES["q_weighted_sample"] = """
+    WITH d AS (
+        SELECT
+            doc_id,
+            lang,
+            CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS wt,
+            (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+                / 4294967296.0 AS u
+        FROM documents
+    )
+    SELECT
+        doc_id,
+        lang,
+        CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY pow(u, 1.0 / wt) DESC, doc_id ASC
+        ) AS INT) AS rank
+    FROM d
+    QUALIFY rank <= 20
+"""

@@ -541,6 +541,34 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase DYNAMIC pivot: phase 1 discovers the pivot values with a
+    tiny distinct aggregation (partial-aggregable; only the value list
+    reaches the driver — the same runtime-statistics shape as AQE and
+    the two-pass rebalance_to_min), phase 2 re-plans a STATIC pivot over
+    the discovered, sorted list. This is how a dynamic pivot must be
+    built at scale: Spark's one-arg pivot() does the same distinct scan
+    internally but with no cap or visibility; here the value list is
+    explicit, ordered, and could be bounded/validated before the wide
+    plan is compiled."""
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = sorted(
+        r[0] for r in orders.select("o_orderstatus").distinct().collect()
+    )
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s)
+            for s in statuses
+        ],
+    )
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt — the inverse of q_pivot: wide lineitem measures to
     (key, metric, value) long form, the shape feature stores and metric
@@ -986,6 +1014,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rollup": q_rollup,
     "q_cube": q_cube,
     "q_pivot": q_pivot,
+    "q_pivot_dynamic": q_pivot_dynamic,
     "q_unpivot": q_unpivot,
     "q_semi_join": q_semi_join,
     "q_except": q_except,

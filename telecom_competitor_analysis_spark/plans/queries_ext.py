@@ -1371,7 +1371,115 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (operators/search.py): top-20 documents for
+    the probe terms join/filter/window — the retrieval step of
+    retrieval-augmented curation. Inverted-index shape: only postings for
+    the probe terms leave the map side; corpus stats ride a one-row
+    broadcast. Scores in integer micro-units (summed AFTER rounding —
+    raw-double sums are order-dependent)."""
+    from telecom_competitor_analysis_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", terms=["join", "filter", "window"], k=20
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under the add-one-
+    smoothed corpus bigram model (operators/lm.py) — the exact,
+    portable stand-in for CCNet's KenLM perplexity filter. Map-only
+    bigram zip; counts partial-aggregate; per-bigram log-probs rounded
+    to micro-units before the per-doc sum."""
+    from telecom_competitor_analysis_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 record linkage (operators/fuzzy.py): every 7th
+    part name gets one deterministically-chosen character deleted (a
+    typo'd catalog re-scrape), then is matched back to the clean catalog
+    through the deletion-neighborhood equi-join. Blocking is complete
+    for distance ≤ 1 (a theorem, not a recall knob), so the DuckDB
+    oracle is the brute-force quadratic levenshtein filter — same
+    answer, different plan."""
+    from telecom_competitor_analysis_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+
+    part = load_table(spark, sf_dir, "part")
+    pos = F.pmod(F.col("p_partkey"), F.length(F.col("p_name"))) + F.lit(1)
+    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("dirty_id"),
+        F.concat(
+            F.col("p_name").substr(F.lit(1), pos - F.lit(1)),
+            F.col("p_name").substr(pos + F.lit(1), F.length(F.col("p_name"))),
+        ).alias("dirty_name"),
+    )
+    return edit_distance_join(
+        dirty, part, "dirty_id", "dirty_name", "p_partkey", "p_name"
+    )
+
+
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonical selection per near-dup cluster
+    (operators/curate.py::canonical_per_cluster): clusters from the
+    MinHash-LSH pair graph (same graph as q_dedup_clusters), quality =
+    word count, keeper = highest-quality member (ties → lowest id).
+    The refinement of min-id dedup: train on the best copy of each
+    near-identical group, not the accidental first."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        canonical_per_cluster,
+    )
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    quality = docs.select(
+        "doc_id",
+        F.size(words(F.trim(F.col("text")))).cast("long").alias("n_words"),
+    )
+    return canonical_per_cluster(clusters, quality, "doc_id", "n_words")
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES,
+    operators/curate.py::weighted_sample_topk): top-20 docs per language
+    with inclusion probability ∝ word count — the corpus-mix up-weighting
+    step, reproducible across engines (portable arithmetic hash, rank-
+    only output)."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        weighted_sample_topk,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words(F.trim(F.col("text")))).alias("n_words"),
+    )
+    return weighted_sample_topk(d, "doc_id", "lang", "n_words", k=20)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_bm25_search": q_bm25_search,
+    "q_bigram_lm": q_bigram_lm,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_canonical_docs": q_canonical_docs,
+    "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,
     "q_quality_repetition": q_quality_repetition,

@@ -173,3 +173,20 @@ def test_mix_rebalance_two_pass_uses_partial_topk(spark, sf_dir):
     map-side WindowGroupLimit pruning (the r4 verdict's watch item: the
     one-pass dynamic bound rank-numbers every stratum in full)."""
     assert "WindowGroupLimit" in _plan(QUERIES["q_mix_rebalance"](spark, sf_dir))
+
+
+def test_bm25_topk_avoids_global_sort(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(QUERIES["q_bm25_search"](spark, sf_dir))
+
+
+def test_fuzzy_join_is_equi_join(spark, sf_dir):
+    """Deletion-neighborhood blocking must produce a plain equi-join on
+    the variant key — never a nested-loop/cartesian theta-join (the
+    naive levenshtein-predicate join would be O(n*m) comparisons)."""
+    plan = _plan(QUERIES["q_fuzzy_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_uses_partial_topk(spark, sf_dir):
+    assert "WindowGroupLimit" in _plan(QUERIES["q_weighted_sample"](spark, sf_dir))

@@ -1,0 +1,168 @@
+"""Round-5 operator tests: BM25 retrieval, bigram-LM scoring, edit-
+distance join (deletion-neighborhood blocking), canonical-per-cluster
+selection, weighted sampling, dynamic pivot."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_ranks_term_dense_docs_first(spark):
+    from telecom_competitor_analysis_spark.operators.search import bm25_topk
+
+    rows = [
+        (1, "join join join filter other words here"),
+        (2, "join other words here pad pad pad"),
+        (3, "nothing relevant at all pad pad pad"),
+        (4, "filter window join filter window join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_topk(
+        docs, "doc_id", "text", terms=["join", "filter", "window"], k=10
+    ).collect()
+    ids = [r.id for r in got]
+    assert 3 not in ids  # no probe terms -> no postings -> absent
+    assert ids[0] == 4  # hits all three terms, highest idf mass
+    scores = {r.id: r.score_micro for r in got}
+    assert scores[1] > scores[2]  # higher tf at equal df
+
+
+def test_bm25_requires_terms():
+    from telecom_competitor_analysis_spark.operators.search import bm25_topk
+
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(None, "id", "t", terms=[])
+
+
+def test_bigram_lm_prefers_formulaic_text(spark):
+    from telecom_competitor_analysis_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    common = "the cat sat on the mat"
+    rows = (
+        [(i, common) for i in range(10)]
+        + [(100, "zebra quark flux omega nebula prism")]
+        + [(200, "x")]  # single token: no bigrams
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in bigram_lm_scores(docs, "doc_id", "text").collect()}
+    assert 200 not in got  # nothing to score
+    assert got[0].n_bigrams == 5
+    # bigrams repeated 10x across the corpus are far more probable than
+    # the one-off sequence
+    assert got[0].avg_logp > got[100].avg_logp
+    # sanity: log-probs are negative
+    assert got[100].avg_logp < 0
+
+
+def test_edit_distance_join_blocking_is_complete(spark):
+    """Deletion-neighborhood candidates must find EVERY pair at
+    levenshtein <= 1 (equal, substitution, insertion, deletion) and the
+    verify stage must reject distance-2 pairs the blocking may emit."""
+    from telecom_competitor_analysis_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "widget"), (2, "wídget"), (3, "wdget"), (4, "widgets"),
+         (5, "totally different")],
+        "lid long, lname string",
+    )
+    right = spark.createDataFrame(
+        [(10, "widget"), (11, "gadget")], "rid long, rname string"
+    )
+    got = {
+        (r.lid, r.rid): r.distance
+        for r in edit_distance_join(
+            left, right, "lid", "lname", "rid", "rname"
+        ).collect()
+    }
+    assert got == {
+        (1, 10): 0,  # equal
+        (2, 10): 1,  # substitution
+        (3, 10): 1,  # deletion
+        (4, 10): 1,  # insertion
+    }
+
+
+def test_edit_distance_join_rejects_wider_distance():
+    from telecom_competitor_analysis_spark.operators.fuzzy import (
+        edit_distance_join,
+    )
+
+    with pytest.raises(ValueError, match="max_distance=1"):
+        edit_distance_join(None, None, "a", "b", "c", "d", max_distance=2)
+
+
+def test_canonical_per_cluster_keeps_best_quality(spark):
+    from telecom_competitor_analysis_spark.operators.curate import (
+        canonical_per_cluster,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7), (9, 9)],
+        "id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (8, 5), (9, 1)],
+        "id long, q long",
+    )
+    got = {
+        r.cluster_id: (r.keeper_id, r.keeper_quality, r.n_members)
+        for r in canonical_per_cluster(clusters, quality, "id", "q").collect()
+    }
+    assert got[1] == (2, 50, 3)  # quality tie 2 vs 3 -> lowest id
+    assert got[7] == (7, 5, 2)
+    assert got[9] == (9, 1, 1)  # singleton keeps itself
+
+
+def test_weighted_sample_matches_reference_formula(spark):
+    """The Spark plan must reproduce the exact A-ES ranking computed
+    independently in Python (same Knuth hash, same pow key)."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, "s" + str(i % 2), 1 + (i * 7) % 13) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, strat string, wt long")
+    got = {
+        (r.doc_id, r.strat): r.rank
+        for r in weighted_sample_topk(df, "doc_id", "strat", "wt", k=5)
+        .collect()
+    }
+
+    def key(i: int, w: int) -> float:
+        h = (i * 2654435761) % 4294967296
+        u = (h + 0.5) / 4294967296.0
+        return math.pow(u, 1.0 / w)
+
+    expect = {}
+    for strat in ("s0", "s1"):
+        members = [(i, w) for (i, s, w) in rows if s == strat]
+        ordered = sorted(members, key=lambda t: (-key(t[0], t[1]), t[0]))
+        for rank, (i, _) in enumerate(ordered[:5], start=1):
+            expect[(i, strat)] = rank
+    assert got == expect
+
+
+def test_pivot_dynamic_matches_static(spark, sf_dir):
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+
+    dyn = QUERIES["q_pivot_dynamic"](spark, sf_dir)
+    assert set(dyn.columns) == {"o_orderpriority", "F", "O", "P"}
+    orders = load_table(spark, sf_dir, "orders")
+    static = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    a = sorted(map(tuple, dyn.collect()))
+    b = sorted(map(tuple, static.collect()))
+    assert a == b
