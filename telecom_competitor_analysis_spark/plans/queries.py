@@ -1062,74 +1062,39 @@ QUERIES.update(EXT_QUERIES)
 #      stubbed media decode) LAST — they can only yield `no_oracle`, so
 #      they must never occupy an oracle-checkable slot in the window.
 # History: r1 checked the SURVEY §2 core (46 green), r2/r3 the 50-query
-# extension surface (50 green). Round 4's window: every query whose code
-# OR input type changed this round (readers.py now casts events.ts from
-# TIMESTAMP_NTZ — every ts-consuming query is "changed" under rule 1),
-# all new queries/oracles, then oldest-green rotations to fill 50.
+# extension surface (50 green), r4 the changed/new operators + oldest
+# rotations (50 green). Round 5's window: the changed dedup/percentile/
+# rebalance consumers, the 8 new r5 oracles, the 13 r1-green stragglers
+# (r4 verdict item 1), then the oldest r3 greens — after r5 no oracle-
+# checkable query's newest green should be older than two rounds.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # tier 1a — operator code changed since last green row
-    "q_sessionize",
-    "q_embedding_outlier",
-    "q_asof_join",
-    "q_salted_join",
-    "q_simhash_pairs",  # verify stage re-expressed as XOR+bit_count in r4
-    # tier 1b — input type changed since last green: these consume
-    # events.ts, which readers.py now normalizes from TIMESTAMP_NTZ; the
-    # ts-consuming queries NOT otherwise in the window go here
-    "q_hopping_window",
-    "q_stream_join",
-    "q_range_join",
-    "q_string_agg",
-    "q_median",
-    "q_udaf_weighted",
-    "q_max_by",
-    # tier 2 — new oracles / new queries, never hash-checked by the driver
-    "q_dedup_clusters",
-    "q_embedding_lsh_topk",
-    "q_embedding_ivf_topk",
-    "q_simhash64",
+    # ============ ROUND-5 WINDOW (first 50) ============
+    # tier 1 — operator code changed since last green row:
+    # q_winsorize (percentile groupBy+broadcast rewrite), q_mix_rebalance
+    # (two-pass quota), and every consumer of the banded-pair functions
+    # that gained divisibility guards (lsh_candidate_pairs /
+    # minhash_est_pairs / simhash_candidate_pairs in dedup.py)
+    "q_winsorize",
+    "q_mix_rebalance",
+    "q_simhash_pairs",
     "q_simhash64_pairs",
     "q_minhash_jaccard_est",
-    "q_word_freq",
-    "q_common_ngrams",
-    "q_pii_scrub",
-    "q_sample_exact_n",
-    "q_mix_rebalance",
-    "q_random_projection",
-    "q_chunk_overlap",
-    "q_session_stats",
-    "q_group_topk_words",
-    "q_embedding_quantize",
-    "q_event_funnel",
-    "q_corpus_diff",
-    "q_session_window",
-    "q_winsorize",
-    "q_dup_graph_stats",
-    "q_key_skew",
-    # tier 3 — green only in round 1, unchanged since: re-verify
-    # oldest-first, events-consumers first (they see the normalized ts)
-    "q_scd_detect",
-    "q_first_per_key",
-    "q_tumbling_window",
-    "q_json_unwrap",
-    "q_window_rank",
-    "q_pivot",
-    "q_map_funcs",
-    "q_histogram",
-    "q_validate",
-    "q_star_split",
-    "q_pack_cross",
-    "q_antijoin_new",
-    "q_lookup_join",
-    "q_topk",
-    "q_union_all",
-    "q_rollup",
-    # --- window boundary: entries below are outside the first 50.
-    # q_sentinel_map / q_regex_extract also read events but emit no
-    # ts-derived columns, and both are r3-green — accepted outside. ---
+    "q_minhash_lsh_pairs",
+    "q_dedup_clusters",
+    # tier 2 — new queries / new oracles, never driver-hash-checked
+    "q_frame_sample",  # oracle since r5 (metadata-derived frame count)
+    "q_incremental_topk",
+    "q_bm25_search",
+    "q_bigram_lm",
+    "q_fuzzy_join",
+    "q_canonical_docs",
+    "q_weighted_sample",
+    "q_pivot_dynamic",
+    # tier 3 — the 13 queries whose only green row is ROUND 1 (code
+    # unchanged; r4 verdict item 1 — retire the oldest verification debt)
     "q_cube",
     "q_semi_join",
     "q_except",
@@ -1143,18 +1108,85 @@ VERIFY_PRIORITY = [
     "q_array_funcs",
     "q_udtf_tokenize",
     "q_train_test_split",
-    # tier 4 — r3-green, unchanged code and inputs (non-events tables or
-    # re-verified operators); fine outside the window
+    # tier 3b — oldest remaining greens (r3), starting with the two
+    # events-consumers the r4 ADVICE flagged as rotation-rule exceptions
+    # (q_resample_daily/q_moving_avg consume events.ts via _daily_counts)
+    # and q_embedding_dup (its multi-band rewrite landed in r3 — its r3
+    # green is valid but deserves a fresh row on current code)
     "q_resample_daily",
     "q_moving_avg",
+    "q_embedding_dup",
     "q_corpus_curate",
     "q_curate_incremental",
     "q_dedup_exact",
     "q_minhash",
-    "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
     "q_agg_latest_price",
     "q_embedding_topk",
+    "q_except_all",
+    "q_ntile",
+    "q_revenue_topk",
+    "q_scd2_history",
+    "q_stats_agg",
+    "q_sequence_pack",
+    "q_stratified_sample",
+    "q_decontaminate",
+    "q_quality_repetition",
+    "q_tfidf",
+    "q_percentile_exact",
+    "q_integrity_audit",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # Remaining r3 greens (scalar cleaners and single-table text ops,
+    # byte-unchanged since r1/r2): next in line for the r6 rotation.
+    "q_ascii_strip",
+    "q_bm25",
+    "q_concat_key",
+    "q_convert_speed",
+    "q_date_stamp",
+    "q_digits_only",
+    "q_filter_contains",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_multimodal_meta",
+    "q_regex_extract",
+    "q_sentinel_map",
+    "q_sentiment",
+    "q_simhash",
+    "q_string_clean",
+    "q_surrogate_key",
+    "q_text_stats",
+    "q_token_count",
+    "q_unpivot",
+    # tier 4 — r4-green on byte-identical code (the entire round-4
+    # window re-verified last round); fine outside the window
+    "q_sessionize",
+    "q_embedding_outlier",
+    "q_asof_join",
+    "q_salted_join",
+    "q_hopping_window",
+    "q_stream_join",
+    "q_range_join",
+    "q_string_agg",
+    "q_median",
+    "q_udaf_weighted",
+    "q_max_by",
+    "q_embedding_lsh_topk",
+    "q_embedding_ivf_topk",
+    "q_simhash64",
+    "q_word_freq",
+    "q_common_ngrams",
+    "q_pii_scrub",
+    "q_sample_exact_n",
+    "q_random_projection",
+    "q_chunk_overlap",
+    "q_session_stats",
+    "q_group_topk_words",
+    "q_embedding_quantize",
+    "q_event_funnel",
+    "q_corpus_diff",
+    "q_session_window",
+    "q_dup_graph_stats",
+    "q_key_skew",
 ]
 
 _ROWS_ONLY_LAST = [
@@ -1162,7 +1194,6 @@ _ROWS_ONLY_LAST = [
     "q_approx_quantile",
     "q_minhash_ml",
     "q_multimodal_decode",
-    "q_frame_sample",
 ]
 
 _middle = [

@@ -1380,6 +1380,11 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw-double sums are order-dependent)."""
     from telecom_competitor_analysis_spark.operators.search import bm25_topk
 
+    # Complements q_bm25 (above): that one is the MAP-ONLY wide-column
+    # form (per-term tf columns, full scored set — right for 2-3 fixed
+    # terms fused into a scan); this is the INVERTED-INDEX form (postings
+    # explode + top-k — right when the term list or k grows, the shape a
+    # retrieval service actually runs).
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(
         docs, "doc_id", "text", terms=["join", "filter", "window"], k=20
