@@ -547,3 +547,7 @@ ORACLES["q_pivot_dynamic"] = """
     FROM orders
     GROUP BY o_orderpriority
 """
+
+# q_cogroup_asof — the cogrouped merge_asof plan must equal the JVM
+# union+window asof plan, so it shares q_asof_join's DuckDB ASOF oracle.
+ORACLES["q_cogroup_asof"] = ORACLES["q_asof_join"]

@@ -1896,3 +1896,53 @@ EXT_ORACLES["q_weighted_sample"] = """
     FROM d
     QUALIFY rank <= 20
 """
+
+# q_cdc_apply — latest-seq-wins MERGE semantics over snapshot + derived
+# change feed (updates %10, tombstones %17, key+1e6 inserts %25).
+EXT_ORACLES["q_cdc_apply"] = """
+    WITH feed AS (
+        SELECT p_partkey AS key,
+               CAST(round(p_retailprice * 100.0, 0) AS BIGINT) AS price_cents,
+               CAST(0 AS INT) AS seq, 'I' AS op
+        FROM part
+        UNION ALL
+        SELECT p_partkey,
+               CAST(round(p_retailprice * 100.0, 0) AS BIGINT) + 100,
+               CAST(1 AS INT), 'U'
+        FROM part WHERE p_partkey % 10 = 0
+        UNION ALL
+        SELECT p_partkey, CAST(NULL AS BIGINT), CAST(2 AS INT), 'D'
+        FROM part WHERE p_partkey % 17 = 0
+        UNION ALL
+        SELECT p_partkey + 1000000,
+               CAST(round(p_retailprice * 100.0, 0) AS BIGINT),
+               CAST(1 AS INT), 'I'
+        FROM part WHERE p_partkey % 25 = 0
+    )
+    SELECT key, price_cents, seq AS last_seq
+    FROM feed
+    QUALIFY row_number() OVER (PARTITION BY key ORDER BY seq DESC) = 1
+        AND op != 'D'
+"""
+
+# q_retention_cohorts — weekly cohort retention (long form). Both engines
+# truncate to ISO Monday; offsets are exact multiples of 7 days so the
+# division is exact in both.
+EXT_ORACLES["q_retention_cohorts"] = """
+    WITH firstw AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    )
+    SELECT
+        strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+        CAST((week - cohort_week) / 7 AS INT) AS week_offset,
+        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN firstw USING (user_id)
+    GROUP BY 1, 2
+"""

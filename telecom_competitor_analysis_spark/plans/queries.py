@@ -1093,6 +1093,9 @@ VERIFY_PRIORITY = [
     "q_canonical_docs",
     "q_weighted_sample",
     "q_pivot_dynamic",
+    "q_cdc_apply",
+    "q_retention_cohorts",
+    "q_cogroup_asof",
     # tier 3 — the 13 queries whose only green row is ROUND 1 (code
     # unchanged; r4 verdict item 1 — retire the oldest verification debt)
     "q_cube",
@@ -1132,10 +1135,13 @@ VERIFY_PRIORITY = [
     "q_stratified_sample",
     "q_decontaminate",
     "q_quality_repetition",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # (q_tfidf/q_percentile_exact/q_integrity_audit yielded their slots
+    # to the three late-round-5 queries; they are r3-green on unchanged
+    # code and lead the r6 rotation together with the scalar cleaners.)
     "q_tfidf",
     "q_percentile_exact",
     "q_integrity_audit",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
     # Remaining r3 greens (scalar cleaners and single-table text ops,
     # byte-unchanged since r1/r2): next in line for the r6 rotation.
     "q_ascii_strip",

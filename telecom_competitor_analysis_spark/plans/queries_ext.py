@@ -1371,6 +1371,152 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / change-feed application (MERGE semantics as a plan): apply a
+    deterministic feed of updates, deletes, and inserts to the part
+    snapshot — latest sequence number wins per key, tombstones drop the
+    key. The set-based generalization of the reference's row-at-a-time
+    load loop (reference dags/bigquery.py:100-122 re-queries the
+    warehouse once per record; here the whole feed applies in one
+    window pass).
+
+    Feed (derived from the snapshot so every SF exercises all paths):
+    seq 1 = price +100 cents for keys % 10 == 0; seq 2 = tombstone for
+    keys % 17 == 0; seq 1 = insert of key+1_000_000 twins for keys
+    % 25 == 0.
+
+    Scale shape: snapshot ∪ feed, ONE shuffle on the key, rank-1 window
+    (WindowGroupLimit-prunable) — never a per-row probe. Prices integer
+    cents."""
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(F.col("p_retailprice") * 100.0, 0).cast("bigint")
+    snap = part.select(
+        F.col("p_partkey").alias("key"),
+        cents.alias("price_cents"),
+        F.lit(0).cast("int").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = part.filter(F.col("p_partkey") % 10 == 0).select(
+        F.col("p_partkey").alias("key"),
+        (cents + 100).alias("price_cents"),
+        F.lit(1).cast("int").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    tomb = part.filter(F.col("p_partkey") % 17 == 0).select(
+        F.col("p_partkey").alias("key"),
+        F.lit(None).cast("bigint").alias("price_cents"),
+        F.lit(2).cast("int").alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = part.filter(F.col("p_partkey") % 25 == 0).select(
+        (F.col("p_partkey") + 1_000_000).alias("key"),
+        cents.alias("price_cents"),
+        F.lit(1).cast("int").alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    feed = snap.unionByName(upd).unionByName(tomb).unionByName(ins)
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    return (
+        feed.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("op") != "D"))
+        .select("key", "price_cents", F.col("seq").alias("last_seq"))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention-cohort matrix (long form): users cohorted by the
+    ISO week of their first event; one output row per (cohort_week,
+    week_offset) with the distinct active users — the product-analytics
+    staple over the events stream.
+
+    Scale shape: first-event agg and the activity join both shuffle on
+    user_id (one key, reusable partitioning); the final cohort agg is
+    partial-aggregable over ~|weeks|² cells. No window over the whole
+    table."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("week")
+    ).distinct()
+    return (
+        active.join(first, on="user_id")
+        .groupBy(
+            F.date_format(F.col("cohort_week"), "yyyy-MM-dd").alias(
+                "cohort_week"
+            ),
+            (
+                F.datediff(F.col("week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed through the COGROUP API
+    (``df.groupBy(k).cogroup(other.groupBy(k)).applyInPandas`` +
+    ``pd.merge_asof``) — §2.10 coverage for the two-sided Arrow escape
+    hatch, the documented fallback when an operator's per-key logic
+    outgrows window algebra. Same inputs, semantics, and ORACLE as
+    q_asof_join (queries.py): the pure-JVM union+window formulation in
+    operators/asof.py remains the production path (no Python workers,
+    one shuffle instead of two); equality of the two plans is exactly
+    what the shared oracle checks."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.merge import (
+        latest_per_key,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    clicks = latest_per_key(clicks, ["user_id", "ts"], "click_event_id")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts")
+        right = right.sort_values("ts")
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            on="ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return pd.DataFrame(
+            {
+                "event_id": out["event_id"],
+                "user_id": out["user_id"],
+                "purchase_ts": out["ts"].dt.strftime("%Y-%m-%d %H:%M:%S"),
+                "last_click_event_id": pd.array(
+                    out["click_event_id"], dtype="Int64"
+                ),
+                "last_click_value": out["click_value"],
+            }
+        )
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            schema=(
+                "event_id long, user_id long, purchase_ts string,"
+                " last_click_event_id long, last_click_value double"
+            ),
+        )
+    )
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval (operators/search.py): top-20 documents for
     the probe terms join/filter/window — the retrieval step of
@@ -1481,6 +1627,9 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_search": q_bm25_search,
+    "q_cdc_apply": q_cdc_apply,
+    "q_retention_cohorts": q_retention_cohorts,
+    "q_cogroup_asof": q_cogroup_asof,
     "q_bigram_lm": q_bigram_lm,
     "q_fuzzy_join": q_fuzzy_join,
     "q_canonical_docs": q_canonical_docs,
