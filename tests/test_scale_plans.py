@@ -190,3 +190,9 @@ def test_fuzzy_join_is_equi_join(spark, sf_dir):
 
 def test_weighted_sample_uses_partial_topk(spark, sf_dir):
     assert "WindowGroupLimit" in _plan(QUERIES["q_weighted_sample"](spark, sf_dir))
+
+
+def test_cdc_apply_uses_partial_topk(spark, sf_dir):
+    """Latest-seq-wins must prune map-side (rank-1 WindowGroupLimit),
+    never sort whole partitions of the merged feed."""
+    assert "WindowGroupLimit" in _plan(QUERIES["q_cdc_apply"](spark, sf_dir))

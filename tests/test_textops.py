@@ -166,3 +166,59 @@ def test_pivot_dynamic_matches_static(spark, sf_dir):
     a = sorted(map(tuple, dyn.collect()))
     b = sorted(map(tuple, static.collect()))
     assert a == b
+
+
+def test_cdc_apply_semantics(spark, sf_dir):
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+
+    got = {r.key: (r.price_cents, r.last_seq)
+           for r in QUERIES["q_cdc_apply"](spark, sf_dir).collect()}
+    part = {
+        r.p_partkey: int(round(r.p_retailprice * 100))
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    for k, cents in list(part.items())[:200]:
+        if k % 17 == 0:
+            assert k not in got  # tombstone wins (seq 2 > 1 > 0)
+        elif k % 10 == 0:
+            assert got[k] == (cents + 100, 1)  # update applied
+        else:
+            assert got[k] == (cents, 0)  # untouched snapshot row
+        if k % 25 == 0:
+            assert got[k + 1_000_000] == (cents, 1)  # insert landed
+
+
+def test_retention_cohort_week0_is_everyone(spark, sf_dir):
+    """Every user is active in their own first week, so for each cohort
+    the week-0 cell must equal the cohort's total user count."""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+
+    rows = QUERIES["q_retention_cohorts"](spark, sf_dir).collect()
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F2
+
+    cohort_sizes = {
+        r.cohort_week: r.n
+        for r in ev.groupBy("user_id")
+        .agg(F2.date_format(
+            F2.date_trunc("week", F2.min("ts")), "yyyy-MM-dd"
+        ).alias("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .collect()
+    }
+    assert week0 == cohort_sizes
+    assert all(r.week_offset >= 0 for r in rows)
+
+
+def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
+    """The cogrouped merge_asof plan and the union+window JVM plan are
+    two formulations of the same operator — identical output required."""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+    a = sorted(map(tuple, QUERIES["q_cogroup_asof"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["q_asof_join"](spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
