@@ -492,13 +492,16 @@ def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # The signature table (label, id, per-band buckets, norm, vector) is
-    # materialized ONCE (localCheckpoint — the local stand-in for writing
+    # materialized ONCE (persist — the local stand-in for writing
     # signatures to a table, which every production LSH pipeline does):
     # the per-band self-joins and the scoring joins all read it, instead
     # of re-running the interpreted array-fold bucket computation for
-    # every join side (4× otherwise). ensure_parallelism: a small parquet
-    # arrives as ONE split, which would serialize the fold work onto a
-    # single core; no-op (conf-gated) on a real cluster.
+    # every join side (4× otherwise). persist(), not a lazy
+    # localCheckpoint: checkpoint physically plans at build time (~2 s,
+    # r5 profile) while persist defers everything to first execution.
+    # ensure_parallelism: a small parquet arrives as ONE split, which
+    # would serialize the fold work onto a single core; no-op
+    # (conf-gated) on a real cluster.
     base = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     sigs = base.select(
         "label",
@@ -511,7 +514,7 @@ def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         l2_norm(F.col("embedding")).alias("nrm"),
         "embedding",
-    ).localCheckpoint(eager=False)
+    ).persist()
 
     cand = None
     for band in range(EMBEDDING_LSH_BANDS):
@@ -1282,7 +1285,7 @@ def q_curate_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
     prev_keepers = (
-        curate_corpus(prev)
+        curate_corpus(prev, reuse_via="checkpoint")
         .join(prev.select("doc_id", "text"), on="doc_id")
         .select("doc_id", "text")
     )
