@@ -1769,26 +1769,32 @@ EXT_ORACLES["q_bigram_lm"] = """
 # brute-force quadratic levenshtein filter: same answer, different plan.
 EXT_ORACLES["q_fuzzy_join"] = """
     WITH dirty AS (
-        SELECT
-            p_partkey AS dirty_id,
-            substr(p_name, 1, CAST(pos AS INT) - 1)
-              || substr(p_name, CAST(pos AS INT) + 1,
-                        strlen(p_name)) AS dirty_name
+        SELECT dirty_name, MIN(p_partkey) AS dirty_id
         FROM (
-            SELECT p_partkey, p_name,
-                   (p_partkey % strlen(p_name)) + 1 AS pos
-            FROM part WHERE p_partkey % 7 = 0
+            SELECT p_partkey,
+                   substr(p_name, 1, CAST(pos AS INT) - 1)
+                     || substr(p_name, CAST(pos AS INT) + 1,
+                               strlen(p_name)) AS dirty_name
+            FROM (
+                SELECT p_partkey, p_name,
+                       (p_partkey % strlen(p_name)) + 1 AS pos
+                FROM part WHERE p_partkey % 7 = 0
+            )
         )
+        GROUP BY dirty_name
+    ),
+    clean AS (
+        SELECT p_name, MIN(p_partkey) AS p_partkey FROM part GROUP BY p_name
     )
     SELECT
         d.dirty_id,
-        p.p_partkey,
+        c.p_partkey,
         d.dirty_name,
-        p.p_name,
-        CAST(levenshtein(d.dirty_name, p.p_name) AS INT) AS distance
+        c.p_name,
+        CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS distance
     FROM dirty d
-    CROSS JOIN part p
-    WHERE levenshtein(d.dirty_name, p.p_name) <= 1
+    CROSS JOIN clean c
+    WHERE levenshtein(d.dirty_name, c.p_name) <= 1
 """
 
 # q_canonical_docs — same cluster CTE as q_dedup_clusters, then keep-best

@@ -1563,22 +1563,39 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the deletion-neighborhood equi-join. Blocking is complete
     for distance ≤ 1 (a theorem, not a recall knob), so the DuckDB
     oracle is the brute-force quadratic levenshtein filter — same
-    answer, different plan."""
+    answer, different plan.
+
+    Linkage is between DISTINCT NAME VALUES (min id as representative),
+    not raw rows: part names repeat heavily, and row-level pairing would
+    emit |dup_a|×|dup_b| rows per matched name pair (measured 915k rows
+    at sf0.1 before this dedup — quadratic in duplicate multiplicity).
+    Dedupe-then-match is the standard record-linkage shape at scale; the
+    name→rows fan-out is a plain equi-join afterwards if needed."""
     from telecom_competitor_analysis_spark.operators.fuzzy import (
         edit_distance_join,
     )
 
     part = load_table(spark, sf_dir, "part")
     pos = F.pmod(F.col("p_partkey"), F.length(F.col("p_name"))) + F.lit(1)
-    dirty = part.filter(F.col("p_partkey") % 7 == 0).select(
-        F.col("p_partkey").alias("dirty_id"),
-        F.concat(
-            F.col("p_name").substr(F.lit(1), pos - F.lit(1)),
-            F.col("p_name").substr(pos + F.lit(1), F.length(F.col("p_name"))),
-        ).alias("dirty_name"),
+    dirty = (
+        part.filter(F.col("p_partkey") % 7 == 0)
+        .select(
+            F.col("p_partkey"),
+            F.concat(
+                F.col("p_name").substr(F.lit(1), pos - F.lit(1)),
+                F.col("p_name").substr(
+                    pos + F.lit(1), F.length(F.col("p_name"))
+                ),
+            ).alias("dirty_name"),
+        )
+        .groupBy("dirty_name")
+        .agg(F.min("p_partkey").alias("dirty_id"))
+    )
+    clean = part.groupBy("p_name").agg(
+        F.min("p_partkey").alias("p_partkey")
     )
     return edit_distance_join(
-        dirty, part, "dirty_id", "dirty_name", "p_partkey", "p_name"
+        dirty, clean, "dirty_id", "dirty_name", "p_partkey", "p_name"
     )
 
 
