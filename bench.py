@@ -82,6 +82,22 @@ HEADLINE_EXT = [
     "q_key_skew",
 ]
 
+# Third list (byte-stable since round 5): the round-5 operator wave,
+# measured from birth so round 6 inherits a baseline immediately.
+HEADLINE_R5 = [
+    "q_bm25_search",
+    "q_bigram_lm",
+    "q_fuzzy_join",
+    "q_canonical_docs",
+    "q_weighted_sample",
+    "q_pivot_dynamic",
+    "q_incremental_topk",
+    "q_frame_sample",
+    "q_cdc_apply",
+    "q_retention_cohorts",
+    "q_cogroup_asof",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -124,6 +140,7 @@ def main() -> None:
 
     timings = run_list(HEADLINE)
     timings_ext = run_list(HEADLINE_EXT)
+    timings_r5 = run_list(HEADLINE_R5)
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -132,8 +149,10 @@ def main() -> None:
         "queries": timings,
         "value_ext": round(sum(timings_ext.values()), 3),
         "queries_ext": timings_ext,
+        "value_r5": round(sum(timings_r5.values()), 3),
+        "queries_r5": timings_r5,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the byte-stable r4-operator list added in r5",
+        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the r4-operator list, value_r5/queries_r5 = the r5-operator list",
     }
     if errors:
         out["errors"] = errors
