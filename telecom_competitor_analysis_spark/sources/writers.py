@@ -89,6 +89,42 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_range_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_col: str,
+    n_files: int = 8,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout: ``repartitionByRange`` on the
+    cluster column + ``sortWithinPartitions`` before the write, so each
+    output file covers a DISJOINT value range and every row group inside
+    is ordered.
+
+    This is the data-layout lever for 100 TB scans (the single-column
+    special case of Z-ordering): parquet stores per-row-group min/max
+    stats, so a range predicate on the cluster column prunes whole files
+    and row groups at planning/scan time instead of reading and
+    filtering. Hash bucketing (``write_bucketed``) optimizes JOINS on
+    the key; range clustering optimizes RANGE SCANS — time ranges, id
+    ranges, price bands. RangePartitioner samples with a deterministic
+    partition-seeded XORShift, so the layout is stable run-over-run for
+    the same input.
+
+    File-level disjointness is asserted from the written parquet footers
+    in tests (tests/test_formats.py) — the claim is checked against the
+    actual artifact, not the plan."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col, *sort_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def compact_gold(
     spark: "SparkSession",
     path: str,

@@ -58,3 +58,50 @@ def test_operator_api_surface():
         "salted_join", "pack_cross_join", "star_split",
     ):
         assert callable(getattr(ops, name)), name
+
+
+def test_range_clustered_write_produces_disjoint_files(spark, sf_dir, tmp_path):
+    """write_range_clustered must produce parquet files whose min/max
+    ranges on the cluster column are pairwise disjoint (checked from the
+    actual footers), so range predicates prune whole files at scan time."""
+    import pyarrow.parquet as pq
+
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+    from telecom_competitor_analysis_spark.sources.writers import (
+        write_range_clustered,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    out = str(tmp_path / "clustered")
+    write_range_clustered(li, out, "l_extendedprice", n_files=6)
+
+    import glob
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        meta = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema
+                == "l_extendedprice"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 3  # actually split into multiple files
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a <= lo_b  # disjoint (boundary equality allowed)
+
+    # a narrow range predicate must be pushed to the scan
+    back = spark.read.parquet(out).filter(
+        "l_extendedprice > 100.0 AND l_extendedprice < 200.0"
+    )
+    plan = back._jdf.queryExecution().toString()
+    assert "PushedFilters" in plan and "l_extendedprice" in plan
