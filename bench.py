@@ -96,6 +96,7 @@ HEADLINE_R5 = [
     "q_cdc_apply",
     "q_retention_cohorts",
     "q_cogroup_asof",
+    "q_range_window",
 ]
 
 

@@ -1952,3 +1952,26 @@ EXT_ORACLES["q_retention_cohorts"] = """
     FROM active JOIN firstw USING (user_id)
     GROUP BY 1, 2
 """
+
+# q_range_window — value-based RANGE frame (trailing 3599 s inclusive)
+# over per-user epoch seconds; both engines floor ts to whole seconds.
+EXT_ORACLES["q_range_window"] = """
+    WITH d AS (
+        SELECT
+            event_id,
+            user_id,
+            CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+            CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT
+        event_id,
+        user_id,
+        CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        CAST(SUM(cents) OVER w AS BIGINT) AS sum_cents_1h
+    FROM d
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_s
+        RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
+    )
+"""

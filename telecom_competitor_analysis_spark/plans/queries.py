@@ -1096,6 +1096,7 @@ VERIFY_PRIORITY = [
     "q_cdc_apply",
     "q_retention_cohorts",
     "q_cogroup_asof",
+    "q_range_window",
     # tier 3 — the 13 queries whose only green row is ROUND 1 (code
     # unchanged; r4 verdict item 1 — retire the oldest verification debt)
     "q_cube",
@@ -1134,11 +1135,12 @@ VERIFY_PRIORITY = [
     "q_sequence_pack",
     "q_stratified_sample",
     "q_decontaminate",
-    "q_quality_repetition",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # (q_tfidf/q_percentile_exact/q_integrity_audit yielded their slots
-    # to the three late-round-5 queries; they are r3-green on unchanged
-    # code and lead the r6 rotation together with the scalar cleaners.)
+    # (q_quality_repetition/q_tfidf/q_percentile_exact/q_integrity_audit
+    # yielded their slots to the four late-round-5 queries; they are
+    # r3-green on unchanged code and lead the r6 rotation together with
+    # the scalar cleaners.)
+    "q_quality_repetition",
     "q_tfidf",
     "q_percentile_exact",
     "q_integrity_audit",

@@ -1374,6 +1374,34 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time (§2.12 frame-spec coverage
+    beyond ROWS): per event, the count and integer-cents value sum of
+    the same user's events in the trailing hour — value-based frames
+    ([t-3599 s, t] on the epoch-second ORDER BY, peers included by
+    value, unlike the ROWS frame in q_moving_avg). One shuffle on
+    user_id; both engines floor the timestamp to epoch seconds so the
+    frame boundaries are exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.round(F.col("value") * 100.0, 0).cast("bigint").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3599, 0)
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("cents").over(w).alias("sum_cents_1h"),
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC / change-feed application (MERGE semantics as a plan): apply a
     deterministic feed of updates, deletes, and inserts to the part
@@ -1648,6 +1676,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_search": q_bm25_search,
     "q_cdc_apply": q_cdc_apply,
+    "q_range_window": q_range_window,
     "q_retention_cohorts": q_retention_cohorts,
     "q_cogroup_asof": q_cogroup_asof,
     "q_bigram_lm": q_bigram_lm,
