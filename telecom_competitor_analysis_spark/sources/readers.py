@@ -49,6 +49,37 @@ def read_ndjson(
     return spark.read.schema(schema).option("mode", mode).json(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fail_fast: bool = True,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """Schema-enforced CSV source — the remaining interchange format a
+    user migrating from the reference's file handoffs would bring
+    (reference passes raw JSON / cleaned NDJSON between stages; partner
+    price feeds and warehouse EXPORTs are CSV). Same validation contract
+    as ``read_ndjson``: explicit ``schema=`` (never inferSchema — a
+    second full scan AND type drift between runs), FAILFAST to abort on
+    malformed rows, or PERMISSIVE + a ``_corrupt_record`` column as the
+    bad-row side channel.
+
+    Scale note: uncompressed/bzip2 CSV is splittable, gzip is NOT (one
+    task per .gz file — repartition right after read or re-stage the
+    drop); schema-on-read keeps the scan a single pass either way."""
+    mode = "FAILFAST" if fail_fast else "PERMISSIVE"
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", mode)
+        .option("header", str(header).lower())
+    )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver testdata table (TESTDATA.md).
 

@@ -86,3 +86,52 @@ def test_ndjson_failfast_aborts_on_garbage(spark, tmpdir):
     # permissive mode: the bad row surfaces as nulls instead of aborting
     ok = read_ndjson(spark, path, RAW_PRODUCT, fail_fast=False)
     assert ok.count() == 2
+
+
+def test_csv_roundtrip_and_validation(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from telecom_competitor_analysis_spark.sources.readers import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "product_id,price_cents\n1,1999\n2,2599\n3,999\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("product_id", T.LongType(), True),
+            T.StructField("price_cents", T.LongType(), True),
+        ]
+    )
+    got = sorted(
+        (r.product_id, r.price_cents)
+        for r in read_csv(spark, str(p), schema).collect()
+    )
+    assert got == [(1, 1999), (2, 2599), (3, 999)]
+
+
+def test_csv_failfast_aborts_and_permissive_captures(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    from telecom_competitor_analysis_spark.sources.readers import read_csv
+
+    p = tmp_path / "bad.csv"
+    p.write_text("product_id,price_cents\n1,1999\n2,not_a_number\n")
+    schema = T.StructType(
+        [
+            T.StructField("product_id", T.LongType(), True),
+            T.StructField("price_cents", T.LongType(), True),
+        ]
+    )
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_csv(spark, str(p), schema).collect()
+
+    permissive_schema = schema.add("_corrupt_record", T.StringType(), True)
+    rows = read_csv(
+        spark, str(p), permissive_schema, fail_fast=False
+    ).collect()
+    bad = [r for r in rows if r._corrupt_record is not None]
+    good = [r for r in rows if r._corrupt_record is None]
+    assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
+    assert [(r.product_id, r.price_cents) for r in good] == [(1, 1999)]
