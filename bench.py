@@ -97,6 +97,7 @@ HEADLINE_R5 = [
     "q_retention_cohorts",
     "q_cogroup_asof",
     "q_range_window",
+    "q_ann_recall",
 ]
 
 

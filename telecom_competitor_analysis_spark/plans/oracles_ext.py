@@ -1975,3 +1975,19 @@ EXT_ORACLES["q_range_window"] = """
         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW
     )
 """
+
+# q_ann_recall — recall@10 of the LSH approximate ranking vs the exact
+# brute-force ranking, composed from the two existing deterministic
+# mirrors as CTEs.
+EXT_ORACLES["q_ann_recall"] = f"""
+    WITH exact AS ({EXT_ORACLES["q_embedding_topk"]}),
+    approx AS ({EXT_ORACLES["q_embedding_lsh_topk"]})
+    SELECT
+        e.query_id,
+        CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matched,
+        round(COUNT(a.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+"""

@@ -315,6 +315,42 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality observability: recall@10 of the hyperplane-LSH top-k
+    against the brute-force exact top-k, per query, as ONE DataFrame
+    plan (left join exact→approx on the pair, count hits). The metric a
+    production ANN pipeline tracks continuously — approximation quality
+    becomes a driver-checkable number instead of a docstring claim.
+    Both rankings are deterministic, so the oracle composes the two
+    existing SQL mirrors as CTEs."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+    approx = lsh_bucketed_topk(
+        emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
+    )
+    j = exact.select("query_id", "neighbor_id").join(
+        approx.select(
+            "query_id", "neighbor_id", F.lit(1).alias("__hit")
+        ),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 10.0, 6
+        ).alias("recall_at_10"),
+    )
+
+
 def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental top-k maintenance (similarity.py::incremental_topk)
     exercised end-to-end as a deterministic two-batch replay: batch 1 =
@@ -1739,6 +1775,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_chunk_overlap": q_chunk_overlap,
     "q_embedding_lsh_topk": q_embedding_lsh_topk,
     "q_incremental_topk": q_incremental_topk,
+    "q_ann_recall": q_ann_recall,
     "q_embedding_ivf_topk": q_embedding_ivf_topk,
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
