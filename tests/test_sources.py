@@ -135,3 +135,31 @@ def test_csv_failfast_aborts_and_permissive_captures(spark, tmp_path):
     good = [r for r in rows if r._corrupt_record is None]
     assert len(bad) == 1 and "not_a_number" in bad[0]._corrupt_record
     assert [(r.product_id, r.price_cents) for r in good] == [(1, 1999)]
+
+
+def test_python_datasource_matches_native_reader(spark, tmpdir):
+    """The Spark 4 Python DataSource path (sources/pyds.py) must produce
+    exactly what the Catalyst multiLine+explode path produces for the
+    same wrapped-JSON documents, and must parallelize file-per-task."""
+    from telecom_competitor_analysis_spark.sources.pyds import (
+        WrappedJsonDataSource,
+    )
+
+    for i, name in enumerate(["a", "b"]):
+        with open(f"{tmpdir}/{name}_products.json", "w") as f:
+            json.dump({"products": ROWS}, f, indent=2)
+
+    spark.dataSource.register(WrappedJsonDataSource)
+    via_pyds = (
+        spark.read.format("wrapped_json")
+        .schema(RAW_PRODUCT)
+        .option("header", "products")
+        .load(f"{tmpdir}/*_products.json")
+    )
+    assert via_pyds.rdd.getNumPartitions() == 2  # one per file
+    via_native = read_wrapped_json(
+        spark, f"{tmpdir}/*_products.json", "products", RAW_PRODUCT
+    )
+    a = sorted(map(tuple, via_pyds.collect()))
+    b = sorted(map(tuple, via_native.collect()))
+    assert a == b and len(a) == 4
