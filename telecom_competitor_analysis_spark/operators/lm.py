@@ -50,11 +50,17 @@ def bigram_lm_scores(
     this exactly like a perplexity filter. Docs with < 2 tokens have no
     bigrams and are absent from the output (nothing to score)."""
     bg = bigram_rows(docs, id_col, text_col)
+    # c_bg is vocab²-bounded (small); c_ctx derives from it —
+    # C(w1 ·) = Σ_w2 C(w1 w2) — so the corpus-wide bigram explode feeds
+    # only TWO consumers (this agg + the scoring join), not three.
+    # Not persisted: caching pins the exchange's partition count and
+    # blocks AQE coalescing under default confs (NOTES r5); at scale
+    # the count tables are the trained model you WRITE once.
     c_bg = bg.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("double").alias("c_bg")
     )
-    c_ctx = bg.groupBy("w1").agg(
-        F.count(F.lit(1)).cast("double").alias("c_ctx")
+    c_ctx = c_bg.groupBy("w1").agg(
+        F.sum("c_bg").alias("c_ctx")
     )
     vocab = F.broadcast(
         docs.select(

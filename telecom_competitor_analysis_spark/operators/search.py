@@ -55,6 +55,15 @@ def bm25_topk(
             F.avg("dl").alias("avgdl"),
         )
     )
+    # The postings table feeds BOTH the df aggregation and the scoring
+    # join, so the corpus tokenize+filter scan runs twice (exchange
+    # reuse doesn't apply — the two consumers aggregate differently).
+    # Deliberately NOT persisted: a cached exchange pins its partition
+    # count and blocks AQE coalescing (measured 2.2→4.8 s under a
+    # default-conf session, the curate lesson in NOTES), and the
+    # re-scan is a narrow map pass. At warehouse scale the postings
+    # table is the inverted index you MATERIALIZE once (write, not
+    # cache) and share across every probe batch.
     postings = (
         d.select("id", F.explode(words(F.col("t"))).alias("term"))
         .filter(F.col("term").isin(*terms))
