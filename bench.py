@@ -98,6 +98,7 @@ HEADLINE_R5 = [
     "q_cogroup_asof",
     "q_range_window",
     "q_ann_recall",
+    "q_variant_extract",
 ]
 
 

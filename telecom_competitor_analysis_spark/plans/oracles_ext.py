@@ -1991,3 +1991,14 @@ EXT_ORACLES["q_ann_recall"] = f"""
       ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
     GROUP BY e.query_id
 """
+
+# q_variant_extract — typed extraction from the VARIANT-parsed props;
+# DuckDB mirrors with JSON functions (values portable, encodings not).
+EXT_ORACLES["q_variant_extract"] = """
+    SELECT
+        event_id,
+        CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+        CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        json_extract(props, '$.missing') IS NULL AS missing_is_null
+    FROM events
+"""

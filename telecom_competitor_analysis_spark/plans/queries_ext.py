@@ -1410,6 +1410,27 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured props: ``parse_json`` →
+    open VARIANT, typed ``variant_get`` extraction — the modern
+    schema-on-read form next to q_map_funcs' MapType parse (VARIANT
+    keeps the full JSON shape without committing to a schema, and the
+    binary encoding scans faster than re-parsing strings per access).
+    Oracle mirrors with DuckDB's JSON extraction — the VALUES are
+    engine-portable even though the VARIANT encoding is not."""
+    events = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    return events.select(
+        "event_id",
+        k.alias("k_value"),
+        F.pmod(k, F.lit(10)).alias("k_bucket"),
+        F.try_variant_get(v, "$.missing", "bigint")
+        .isNull()
+        .alias("missing_is_null"),
+    )
+
+
 def q_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window over event time (§2.12 frame-spec coverage
     beyond ROWS): per event, the count and integer-cents value sum of
@@ -1713,6 +1734,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bm25_search": q_bm25_search,
     "q_cdc_apply": q_cdc_apply,
     "q_range_window": q_range_window,
+    "q_variant_extract": q_variant_extract,
     "q_retention_cohorts": q_retention_cohorts,
     "q_cogroup_asof": q_cogroup_asof,
     "q_bigram_lm": q_bigram_lm,
