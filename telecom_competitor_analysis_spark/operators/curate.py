@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.operators.dedup import (
     shingle_jaccard_pairs,
+    shingle_jaccard_pairs_between,
 )
 
 
@@ -171,40 +172,24 @@ def curate_incremental(
         "__digest", F.md5(F.trim(F.col(text_col)))
     ).join(prev_digests, on="__digest", how="left_anti").drop("__digest")
 
-    # (c) near-dup vs existing keepers: pair new docs against the
-    # keep-list only (new-vs-new handled inside curate_corpus above).
-    # Offsetting ids would be fragile; tag the side instead.
-    tagged = fresh.select(
-        F.col(id_col), F.col(text_col), F.lit(True).alias("__new")
-    ).unionByName(
-        prev_keepers.select(
-            F.col(id_col), F.col(text_col), F.lit(False).alias("__new")
-        )
+    # (c) near-dup vs existing keepers: the ASYMMETRIC pair join —
+    # probe = the fresh batch, build = the keep-list — so candidate
+    # volume is Σ df_batch × df_keep per shingle, never the keep-list's
+    # own Σ df² (round 5: the previous symmetric-join-then-filter form
+    # computed every keeper-keeper candidate and threw it away, which
+    # broke the cost-∝-batch claim at keep-list scale). New-vs-new
+    # pairs are already handled inside curate_corpus above; jaccard
+    # values are identical because the shingle universe (df cap, sizes)
+    # stays the union — see shingle_jaccard_pairs_between.
+    pairs = shingle_jaccard_pairs_between(
+        fresh.select(F.col(id_col), F.col(text_col)),
+        prev_keepers.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        w=3,
+        threshold=near_dup_threshold,
     )
-    pairs = shingle_jaccard_pairs(
-        tagged, id_col, text_col, w=3, threshold=near_dup_threshold
-    )
-    sides = tagged.select(F.col(id_col), F.col("__new"))
-    cross = (
-        pairs.join(
-            sides.withColumnRenamed(id_col, "id_a").withColumnRenamed(
-                "__new", "a_new"
-            ),
-            on="id_a",
-        )
-        .join(
-            sides.withColumnRenamed(id_col, "id_b").withColumnRenamed(
-                "__new", "b_new"
-            ),
-            on="id_b",
-        )
-        .filter(F.col("a_new") != F.col("b_new"))  # new-vs-old pairs only
-    )
-    drops = (
-        cross.select(
-            F.when(F.col("a_new"), F.col("id_a")).otherwise(F.col("id_b")).alias(id_col)
-        )
-    ).distinct()
+    drops = pairs.select(F.col("id_a").alias(id_col)).distinct()
     return fresh.join(drops, on=id_col, how="left_anti").select(
         id_col, "pred_lang", "n_words"
     )

@@ -662,3 +662,79 @@ def shingle_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+
+
+def shingle_jaccard_pairs_between(
+    probe: DataFrame,
+    build: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    threshold: float = 0.2,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Asymmetric variant of ``shingle_jaccard_pairs``: pairs with
+    ``id_a`` from ``probe`` and ``id_b`` from ``build`` only — never
+    probe-probe or build-build. THE incremental-dedup primitive: when a
+    small batch is checked against a large keep-list, the symmetric
+    self-join generates Σ df² candidates dominated by keeper-keeper
+    pairs that are discarded afterwards; here candidate volume is
+    Σ df_probe × df_build per shingle — cost ∝ batch, the claim
+    ``curate_incremental`` makes.
+
+    Jaccard values are IDENTICAL to the symmetric form run on
+    probe ∪ build and filtered to cross-side pairs: the shingle
+    universe (df cap and per-doc sizes) is computed over the UNION, so
+    only the candidate join is asymmetric, never the feature space.
+    Ids must be disjoint across the two sides (they are distinct
+    documents by construction in the incremental flow)."""
+    union = probe.select(F.col(id_col), F.col(text_col)).unionByName(
+        build.select(F.col(id_col), F.col(text_col))
+    )
+    toks = (
+        shingle_rows(_ensure_parallelism(union), id_col, text_col, w)
+        .select(F.col(id_col).alias("id"), F.col("word").alias("sh"))
+        .distinct()
+    )
+    from pyspark.sql import Window
+
+    w_sh = Window.partitionBy("sh")
+    toks = (
+        toks.withColumn("__df", F.count(F.lit(1)).over(w_sh))
+        .filter(F.col("__df") <= F.lit(max_df))
+        .drop("__df")
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    probe_ids = probe.select(F.col(id_col).alias("id"))
+    build_ids = build.select(F.col(id_col).alias("id"))
+    a = toks.join(probe_ids, on="id", how="left_semi").alias("a")
+    b = toks.join(build_ids, on="id", how="left_semi").alias("b")
+    shared = (
+        a.join(b, F.col("a.sh") == F.col("b.sh"))
+        .filter(F.col("a.id") != F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed(
+                "n_sh", "n_a"
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")

@@ -144,3 +144,47 @@ def test_rebalance_two_pass_matches_one_pass(spark):
     for _, lang in got_two:
         counts[lang] = counts.get(lang, 0) + 1
     assert counts == {"en": 20, "fr": 20}
+
+
+def test_pairs_between_equals_symmetric_cross_pairs(spark):
+    """The asymmetric probe×build pair join must produce exactly the
+    symmetric form's cross-side pairs (same jaccard values — shared
+    shingle universe), never probe-probe or build-build pairs."""
+    from pyspark.sql import functions as F
+
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        shingle_jaccard_pairs,
+        shingle_jaccard_pairs_between,
+    )
+
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",      # near-dup of 0
+        "p q r s t u v w",
+        "p q r s t u v z",      # near-dup of 2
+        "m n o aa bb cc dd ee",
+    ]
+    probe = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    build = spark.createDataFrame(
+        [(200 + i, t) for i, t in enumerate(reversed(texts))],
+        "doc_id long, text string",
+    )
+    between = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in shingle_jaccard_pairs_between(
+            probe, build, "doc_id", "text", w=3, threshold=0.2
+        ).collect()
+    }
+    union = probe.unionByName(build)
+    symmetric = {}
+    for r in shingle_jaccard_pairs(
+        union, "doc_id", "text", w=3, threshold=0.2
+    ).collect():
+        a, b = r.id_a, r.id_b
+        if (a < 200) != (b < 200):  # cross-side only
+            pa, pb = (a, b) if a < 200 else (b, a)
+            symmetric[(pa, pb)] = round(r.jaccard, 9)
+    assert between == symmetric and len(between) > 0
+    assert all(a < 200 <= b for (a, b) in between)
