@@ -664,6 +664,100 @@ def shingle_jaccard_pairs(
     return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
 
 
+def build_shingle_index(
+    keepers: DataFrame,
+    id_col: str,
+    text_col: str,
+    path: str,
+    w: int = 3,
+    max_df: int = 1000,
+) -> None:
+    """Materialize the keep-list's near-dup feature index as parquet:
+    ``{path}/postings`` = (sh, id) distinct df-capped shingle postings,
+    ``{path}/sizes`` = (id, n_sh) per-doc feature counts. This is the
+    step `shingle_jaccard_pairs_between`'s docstring promises — at
+    100 TB the keep-list's postings are WRITTEN once (bucketed by the
+    shingle, the join key every probe batch hashes on) and every
+    incremental batch reads only the buckets its own shingles hash to;
+    the keep-list's documents are never re-tokenized again."""
+    toks = (
+        shingle_rows(_ensure_parallelism(keepers), id_col, text_col, w)
+        .select(F.col(id_col).alias("id"), F.col("word").alias("sh"))
+        .distinct()
+    )
+    from pyspark.sql import Window as _W
+
+    toks = (
+        toks.withColumn("__df", F.count(F.lit(1)).over(_W.partitionBy("sh")))
+        .filter(F.col("__df") <= F.lit(max_df))
+        .drop("__df")
+    )
+    # one narrow pipeline feeds both writes; persist would pin the
+    # exchange (NOTES r5) — the double scan is the write-side cost paid
+    # once per index rebuild
+    toks.write.mode("overwrite").parquet(f"{path}/postings")
+    toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/sizes")
+
+
+def near_dups_against_index(
+    batch: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    w: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against a FROZEN shingle index
+    (``build_shingle_index`` output) — the true incremental path: only
+    the batch is tokenized; the keep-list contributes pre-computed
+    postings read from parquet. Returns (id_a = batch id, id_b =
+    indexed id, n_shared, n_a, n_b, jaccard).
+
+    Semantics vs the recompute forms (documented, deliberate): the
+    index's feature universe is FROZEN at build time (df cap applied
+    over the keep-list only), and a batch doc's size ``n_a`` counts ALL
+    its distinct shingles — novel shingles the index has never seen
+    count against similarity (conservative: a doc half-made of new
+    content is NOT a near-dup of an old doc). When a batch doc's
+    shingles all lie inside the index universe, the jaccard equals the
+    shared-universe recompute exactly (pinned by test)."""
+    postings = spark.read.parquet(f"{index_path}/postings")
+    sizes = spark.read.parquet(f"{index_path}/sizes")
+    btoks = (
+        shingle_rows(_ensure_parallelism(batch), id_col, text_col, w)
+        .select(F.col(id_col).alias("id"), F.col("word").alias("sh"))
+        .distinct()
+    )
+    b_sizes = btoks.groupBy("id").agg(F.count(F.lit(1)).alias("n_a"))
+    shared = (
+        btoks.alias("a")
+        .join(postings.alias("b"), F.col("a.sh") == F.col("b.sh"))
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(b_sizes.withColumnRenamed("id", "id_a"), on="id_a")
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed(
+                "n_sh", "n_b"
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+    )
+
+
 def shingle_jaccard_pairs_between(
     probe: DataFrame,
     build: DataFrame,

@@ -203,3 +203,82 @@ def test_band_divisibility_guards():
         lsh_candidate_pairs(None, "doc_id", n_hashes=4, bands=3)
     with pytest.raises(ValueError, match="divide evenly"):
         simhash_candidate_pairs(None, "doc_id", sig_bits=64, bands=0)
+
+
+def test_index_based_near_dup_matches_recompute(spark, tmp_path):
+    """near_dups_against_index over a frozen index must equal
+    shingle_jaccard_pairs_between's recompute when every batch shingle
+    lies inside the index universe, and must only tokenize the batch
+    (the keep-list contributes parquet postings)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        build_shingle_index,
+        near_dups_against_index,
+        shingle_jaccard_pairs_between,
+    )
+
+    texts = [
+        "a b c d e f g h i j",
+        "p q r s t u v w x y",
+        "m n o mm nn oo pp qq rr ss",
+    ]
+    keep = spark.createDataFrame(
+        [(200 + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    # batch docs reuse keep-list vocabulary (subset shingles) so the
+    # frozen-universe semantics coincide with the recompute
+    batch = spark.createDataFrame(
+        [(1, texts[0]), (2, "p q r s t u v w x z"), (3, texts[2])],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "shidx")
+    build_shingle_index(keep, "doc_id", "text", idx, w=3)
+
+    via_index = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in near_dups_against_index(
+            batch, spark, idx, "doc_id", "text", w=3, threshold=0.2
+        ).collect()
+    }
+    via_recompute = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in shingle_jaccard_pairs_between(
+            batch, keep, "doc_id", "text", w=3, threshold=0.2
+        ).collect()
+    }
+    # doc 2's final shingle ("v w x z") is NOVEL: under the frozen index
+    # it still counts in n_a (conservative), same as the recompute's
+    # shared universe — the two agree here because w=3 shingles of the
+    # batch are otherwise all present in the index
+    assert via_index == via_recompute
+    assert (1, 200) in via_index and via_index[(1, 200)] == 1.0
+    assert (3, 202) in via_index
+
+
+def test_frozen_index_is_conservative_on_novel_content(spark, tmp_path):
+    """A batch doc that is half novel content must score LOWER against
+    the index than its overlapping half would suggest — novel shingles
+    count in n_a."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        build_shingle_index,
+        near_dups_against_index,
+    )
+
+    keep = spark.createDataFrame(
+        [(200, "a b c d e f g h i j")], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "shidx2")
+    build_shingle_index(keep, "doc_id", "text", idx, w=3)
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f g h i j zz yy xx ww vv uu tt ss")],
+        "doc_id long, text string",
+    )
+    got = near_dups_against_index(
+        batch, spark, idx, "doc_id", "text", w=3, threshold=0.1
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_shared == 8 and r.n_a > r.n_shared  # novel shingles counted
+    # 8 shared / (16 + 8 - 8) = 0.5 — half the score the overlapping
+    # prefix alone (8/8 = 1.0) would suggest
+    assert r.jaccard == 0.5
