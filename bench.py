@@ -99,6 +99,7 @@ HEADLINE_R5 = [
     "q_range_window",
     "q_ann_recall",
     "q_variant_extract",
+    "q_pagerank",
 ]
 
 

@@ -2002,3 +2002,98 @@ EXT_ORACLES["q_variant_extract"] = """
         json_extract(props, '$.missing') IS NULL AS missing_is_null
     FROM events
 """
+
+# q_pagerank — 3 unrolled integer-micro PageRank rounds over the same
+# banded MinHash-LSH pair graph as q_dedup_clusters (damping 0.85;
+# contributions/init/damping terms all rounded to 1e-6 units before any
+# sum, so each iteration is an exact integer fixpoint in both engines).
+_PR_ITER = """
+    it{K} AS (
+        SELECT
+            nodes.id,
+            CAST(round(150000.0 / stats.n) AS BIGINT)
+            + CAST(round(0.85 * CAST(COALESCE(s.insum, 0) AS DOUBLE))
+                   AS BIGINT) AS p
+        FROM nodes
+        CROSS JOIN stats
+        LEFT JOIN (
+            SELECT
+                e.dst AS id,
+                CAST(SUM(CAST(round(
+                    CAST(prev.p AS DOUBLE) / CAST(deg.deg AS DOUBLE), 0
+                ) AS BIGINT)) AS BIGINT) AS insum
+            FROM edges e
+            JOIN it{PREV} prev ON e.src = prev.id
+            JOIN deg ON e.src = deg.src
+            GROUP BY e.dst
+        ) s ON nodes.id = s.id
+    )"""
+
+EXT_ORACLES["q_pagerank"] = (
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig AS (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh
+        GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key FROM sig
+    ),
+    ok AS (
+        SELECT band_idx, band_key FROM banded
+        GROUP BY 1, 2 HAVING COUNT(*) <= 1000
+    ),
+    banded_ok AS (
+        SELECT banded.* FROM banded JOIN ok USING (band_idx, band_key)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded_ok a
+        JOIN banded_ok b
+          ON a.band_idx = b.band_idx
+         AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS id FROM edges
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src
+    ),
+    it0 AS (
+        SELECT id, CAST(round(1000000.0 / stats.n) AS BIGINT) AS p
+        FROM nodes CROSS JOIN stats
+    ),"""
+    + _PR_ITER.format(K=1, PREV=0)
+    + ","
+    + _PR_ITER.format(K=2, PREV=1)
+    + ","
+    + _PR_ITER.format(K=3, PREV=2)
+    + """
+    SELECT id, p AS pr_micro FROM it3
+"""
+)

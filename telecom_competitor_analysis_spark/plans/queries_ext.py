@@ -850,6 +850,35 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (operators/graph.py) over the MinHash-LSH
+    near-dup pair graph — dup-graph centrality: high-rank docs are the
+    hubs boilerplate clusters orbit, the ones to inspect first when a
+    near-dup explosion appears. Integer-micro arithmetic makes all
+    three iterations exact; the DuckDB oracle unrolls them as CTEs over
+    the same banded-pair graph."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from telecom_competitor_analysis_spark.operators.graph import (
+        pagerank_micro,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    pairs = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    # full (id, pr_micro) map — no global-rank window (a partitionless
+    # row_number would serialize every node through one partition; rank
+    # downstream with TakeOrderedAndProject when only the top-k matter)
+    return pagerank_micro(edges, iters=3)
+
+
 def q_corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composite curation pipeline: language filter → word-count
     quality gate → exact dedup (min-id keeper) → shingle-Jaccard near-dup
@@ -1735,6 +1764,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cdc_apply": q_cdc_apply,
     "q_range_window": q_range_window,
     "q_variant_extract": q_variant_extract,
+    "q_pagerank": q_pagerank,
     "q_retention_cohorts": q_retention_cohorts,
     "q_cogroup_asof": q_cogroup_asof,
     "q_bigram_lm": q_bigram_lm,

@@ -282,3 +282,24 @@ def test_frozen_index_is_conservative_on_novel_content(spark, tmp_path):
     # 8 shared / (16 + 8 - 8) = 0.5 — half the score the overlapping
     # prefix alone (8/8 = 1.0) would suggest
     assert r.jaccard == 0.5
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Star graph (hub 1 connected to 5 leaves, symmetric): the hub must
+    hold the highest score, leaves tie exactly (integer arithmetic),
+    and total mass stays within rounding of 1e6."""
+    from telecom_competitor_analysis_spark.operators.graph import (
+        pagerank_micro,
+    )
+
+    pairs = [(1, k) for k in range(2, 7)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs],
+        "src long, dst long",
+    )
+    got = {r.id: r.pr_micro for r in pagerank_micro(edges, iters=3).collect()}
+    assert len(got) == 6
+    leaves = {got[k] for k in range(2, 7)}
+    assert len(leaves) == 1  # exact integer tie
+    assert got[1] > max(leaves)
+    assert abs(sum(got.values()) - 1_000_000) < 100  # micros of rounding
