@@ -100,6 +100,7 @@ HEADLINE_R5 = [
     "q_ann_recall",
     "q_variant_extract",
     "q_pagerank",
+    "q_kmv_distinct",
 ]
 
 

@@ -664,6 +664,76 @@ def shingle_jaccard_pairs(
     return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
 
 
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch — the PORTABLE sketch: its
+    estimate is a pure function of the k smallest md5 values, so unlike
+    HLL (whose register layout is implementation-private, hence the
+    rows-only q_approx_distinct) the estimate is bit-identical across
+    engines and ORACLE-CHECKABLE. Estimator (Bar-Yossef et al. 2002):
+    est = (k-1) / u_k with u_k the k-th smallest hash mapped to (0,1);
+    below k distinct values the sketch IS the exact set (exact mode).
+
+    Returns (group_col, est_distinct BIGINT, n_exact BIGINT) — the
+    exact count rides along so the estimate's error is visible.
+
+    Scale shape: md5-dedup is a partial-aggregable groupBy (duplicates
+    collapse map-side); the k-smallest selection is a constant-bound
+    rank → WindowGroupLimit map-side top-k per group; only k hashes per
+    group survive to the final agg. (The exact count shares the same
+    deduped hashes — at 100 TB you'd drop it and keep only the sketch;
+    it exists here because showing the error is the point.)"""
+    hashes = (
+        df.select(
+            F.col(group_col),
+            F.md5(F.col(value_col).cast("string")).alias("__h"),
+        )
+        .groupBy(group_col, "__h")
+        .agg(F.lit(1).alias("__one"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy(group_col).orderBy("__h")
+    ranked = hashes.withColumn("__rn", F.row_number().over(w))
+    # u = first 13 hex nibbles as a fraction of 16^13 — exact integer
+    # arithmetic then one constant division, identical in any engine
+    u = sum(
+        (
+            F.instr(
+                F.lit("0123456789abcdef"), F.substring(F.col("__h"), i + 1, 1)
+            )
+            - 1
+        ).cast("double")
+        * float(16 ** (12 - i))
+        for i in range(13)
+    ) / float(16**13)
+    per_group = (
+        ranked.filter(F.col("__rn") <= k)
+        .groupBy(group_col)
+        .agg(
+            F.max(F.when(F.col("__rn") == k, u)).alias("__u_k"),
+            F.count(F.lit(1)).alias("__n_seen"),
+        )
+    )
+    exact = df.groupBy(group_col).agg(
+        F.count_distinct(F.col(value_col)).alias("n_exact")
+    )
+    est = F.when(
+        F.col("__n_seen") < k, F.col("__n_seen").cast("bigint")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) / F.col("__u_k"), 0).cast("bigint")
+    )
+    return per_group.join(exact, on=group_col).select(
+        F.col(group_col),
+        est.alias("est_distinct"),
+        "n_exact",
+    )
+
+
 def build_shingle_index(
     keepers: DataFrame,
     id_col: str,

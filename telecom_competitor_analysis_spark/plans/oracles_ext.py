@@ -2097,3 +2097,44 @@ EXT_ORACLES["q_pagerank"] = (
     SELECT id, p AS pr_micro FROM it3
 """
 )
+
+# q_kmv_distinct — K-Minimum-Values sketch (k=64), Bar-Yossef estimator
+# (k-1)/u_k. u is exact integer arithmetic over the first 13 hex nibbles
+# scaled by 16^13 = 2^52 (every partial sum < 2^53 — exact in double),
+# so the estimate is bit-identical across engines.
+_KMV_U = "(" + " + ".join(
+    "CAST(strpos('0123456789abcdef', substr(__h, {pos}, 1)) - 1 AS DOUBLE)"
+    " * {scale!r}".format(pos=i + 1, scale=float(16 ** (12 - i)))
+    for i in range(13)
+) + ") / 4503599627370496.0"
+
+EXT_ORACLES["q_kmv_distinct"] = f"""
+    WITH hashes AS (
+        SELECT DISTINCT
+            l_returnflag AS g,
+            md5(CAST(l_partkey AS VARCHAR)) AS __h
+        FROM lineitem
+    ),
+    ranked AS (
+        SELECT g, __h,
+               row_number() OVER (PARTITION BY g ORDER BY __h) AS rn
+        FROM hashes
+    ),
+    pg AS (
+        SELECT g,
+               MAX(CASE WHEN rn = 64 THEN {_KMV_U} END) AS u_k,
+               COUNT(*) AS n_seen
+        FROM ranked WHERE rn <= 64 GROUP BY g
+    ),
+    exact AS (
+        SELECT l_returnflag AS g,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_exact
+        FROM lineitem GROUP BY 1
+    )
+    SELECT
+        pg.g AS l_returnflag,
+        CASE WHEN n_seen < 64 THEN CAST(n_seen AS BIGINT)
+             ELSE CAST(round(63.0 / u_k, 0) AS BIGINT) END AS est_distinct,
+        n_exact
+    FROM pg JOIN exact USING (g)
+"""

@@ -1100,6 +1100,7 @@ VERIFY_PRIORITY = [
     "q_ann_recall",
     "q_variant_extract",
     "q_pagerank",
+    "q_kmv_distinct",
     # tier 3 — the 13 queries whose only green row is ROUND 1 (code
     # unchanged; r4 verdict item 1 — retire the oldest verification debt)
     "q_cube",
@@ -1134,13 +1135,13 @@ VERIFY_PRIORITY = [
     "q_ntile",
     "q_revenue_topk",
     "q_scd2_history",
-    "q_stats_agg",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # (q_sequence_pack/q_stratified_sample/q_decontaminate/
+    # (q_stats_agg/q_sequence_pack/q_stratified_sample/q_decontaminate/
     # q_quality_repetition/q_tfidf/q_percentile_exact/q_integrity_audit
-    # yielded their slots to the seven late-round-5 queries; they are
+    # yielded their slots to the eight late-round-5 queries; they are
     # r3-green on unchanged code and lead the r6 rotation together with
     # the scalar cleaners.)
+    "q_stats_agg",
     "q_sequence_pack",
     "q_stratified_sample",
     "q_decontaminate",

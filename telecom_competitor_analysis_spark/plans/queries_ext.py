@@ -850,6 +850,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
 
 
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-Minimum-Values distinct-count sketch (operators/dedup.py::
+    kmv_distinct, k=64) over distinct parts per return flag — the
+    ORACLE-CHECKED sketch: KMV's estimate is a pure function of the k
+    smallest md5 values, so both engines reproduce it bit-for-bit,
+    unlike HLL's implementation-private registers (q_approx_distinct
+    stays rows-only for exactly that reason). Exact counts ride along
+    so the sketch error is a visible, checked quantity."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        kmv_distinct,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return kmv_distinct(li, "l_returnflag", "l_partkey", k=64)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (operators/graph.py) over the MinHash-LSH
     near-dup pair graph — dup-graph centrality: high-rank docs are the
@@ -1765,6 +1781,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_range_window": q_range_window,
     "q_variant_extract": q_variant_extract,
     "q_pagerank": q_pagerank,
+    "q_kmv_distinct": q_kmv_distinct,
     "q_retention_cohorts": q_retention_cohorts,
     "q_cogroup_asof": q_cogroup_asof,
     "q_bigram_lm": q_bigram_lm,

@@ -303,3 +303,22 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert len(leaves) == 1  # exact integer tie
     assert got[1] > max(leaves)
     assert abs(sum(got.values()) - 1_000_000) < 100  # micros of rounding
+
+
+def test_kmv_distinct_estimates_and_exact_mode(spark):
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        kmv_distinct,
+    )
+
+    # 2000 distinct values in group 'big', 10 in 'small' (exact mode)
+    rows = [("big", i) for i in range(2000)] + [
+        ("big", i) for i in range(500)  # duplicates: must not inflate
+    ] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {r.g: (r.est_distinct, r.n_exact)
+           for r in kmv_distinct(df, "g", "v", k=64).collect()}
+    assert got["small"] == (10, 10)  # below k -> sketch is exact
+    est, exact = got["big"]
+    assert exact == 2000
+    # KMV rel. error ~ 1/sqrt(k-2) ≈ 13%; allow 3 sigma
+    assert abs(est - 2000) / 2000 < 0.4

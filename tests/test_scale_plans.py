@@ -196,3 +196,9 @@ def test_cdc_apply_uses_partial_topk(spark, sf_dir):
     """Latest-seq-wins must prune map-side (rank-1 WindowGroupLimit),
     never sort whole partitions of the merged feed."""
     assert "WindowGroupLimit" in _plan(QUERIES["q_cdc_apply"](spark, sf_dir))
+
+
+def test_kmv_sketch_uses_partial_topk(spark, sf_dir):
+    """The k-smallest-hash selection must prune map-side
+    (WindowGroupLimit) — only k hashes per group reach the final agg."""
+    assert "WindowGroupLimit" in _plan(QUERIES["q_kmv_distinct"](spark, sf_dir))
