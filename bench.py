@@ -101,6 +101,7 @@ HEADLINE_R5 = [
     "q_variant_extract",
     "q_pagerank",
     "q_kmv_distinct",
+    "q_lateral_topk",
 ]
 
 

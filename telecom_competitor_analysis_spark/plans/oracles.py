@@ -551,3 +551,18 @@ ORACLES["q_pivot_dynamic"] = """
 # q_cogroup_asof — the cogrouped merge_asof plan must equal the JVM
 # union+window asof plan, so it shares q_asof_join's DuckDB ASOF oracle.
 ORACLES["q_cogroup_asof"] = ORACLES["q_asof_join"]
+
+# q_lateral_topk — same LATERAL correlated subquery in DuckDB.
+ORACLES["q_lateral_topk"] = """
+    SELECT c.c_custkey, t.o_orderkey, t.price_cents
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100.0, 0) AS BIGINT)
+                   AS price_cents
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 2
+    ) t
+"""
