@@ -244,3 +244,86 @@ def test_python_stream_source_offsets_resume_across_restart(spark):
         assert all(r[2] == r[0] % 5 for r in replay)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_python_stream_source_feeds_windowed_agg(spark):
+    """End-to-end: a watermarked tumbling-window aggregate OVER the
+    synthetic Python stream source across two Trigger.Once rounds must
+    equal the batch aggregate over the same deterministic rows —
+    streaming ≡ batch holds through the extension-point source too."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F2
+
+    from telecom_competitor_analysis_spark.sources.pyds_stream import (
+        _BASE_EPOCH,
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    root = tempfile.mkdtemp(prefix="pyds_agg_")
+    ckpt, out = f"{root}/ckpt", f"{root}/out"
+    try:
+        def agg(df):
+            return (
+                df.withWatermark("ts", "10 seconds")
+                .groupBy(
+                    F2.window("ts", "60 seconds").alias("w"),
+                    "user_id",
+                )
+                .agg(
+                    F2.count(F2.lit(1)).alias("n"),
+                    F2.round(F2.sum("value"), 2).alias("sum_v"),
+                )
+                .select(
+                    F2.date_format("w.start", "HH:mm:ss").alias("w0"),
+                    "user_id",
+                    "n",
+                    "sum_v",
+                )
+            )
+
+        for _ in range(2):  # two micro-batches: rows 0..119 then 120..239
+            q = (
+                agg(
+                    spark.readStream.format("synthetic_events")
+                    .option("rowsPerBatch", "120")
+                    .load()
+                )
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(once=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        got = {
+            (r.w0, r.user_id): (r.n, r.sum_v)
+            for r in spark.read.parquet(out).collect()
+        }
+        rows = [
+            (
+                i,
+                datetime.fromtimestamp(_BASE_EPOCH + i, tz=timezone.utc),
+                i % 5,
+                float(i % 100),
+            )
+            for i in range(240)
+        ]
+        batch = agg(
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, user_id long, value double"
+            )
+        )
+        want = {
+            (r.w0, r.user_id): (r.n, r.sum_v) for r in batch.collect()
+        }
+        # append mode withholds windows still open under the watermark
+        # at end-of-stream: everything EMITTED must match batch, and the
+        # emitted set must be non-trivial (the closed early windows)
+        assert len(got) > 0
+        assert all(got[k] == want[k] for k in got)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
