@@ -2138,3 +2138,60 @@ EXT_ORACLES["q_kmv_distinct"] = f"""
         n_exact
     FROM pg JOIN exact USING (g)
 """
+
+# Frozen-universe incremental dedup (queries_ext.q_dedup_incremental):
+# the index side (keep-list, doc_id % 3 != 0) gets the df cap and its
+# per-doc sizes computed over the KEEP-LIST ONLY; the batch side's n_a
+# counts ALL its distinct shingles — exactly the semantics
+# operators/dedup.py::near_dups_against_index documents.
+EXT_ORACLES["q_dedup_incremental"] = """
+    WITH kt AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr
+        FROM documents WHERE doc_id % 3 <> 0
+    ),
+    k_all AS (
+        SELECT DISTINCT
+            kt.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+        FROM kt, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    -- df cap over the keep-list only (frozen index universe)
+    postings AS (
+        SELECT k_all.* FROM k_all
+        JOIN (SELECT sh FROM k_all GROUP BY sh HAVING COUNT(*) <= 1000)
+          USING (sh)
+    ),
+    k_sizes AS (
+        SELECT doc_id, COUNT(*) AS n_b FROM postings GROUP BY doc_id
+    ),
+    bt AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr
+        FROM documents WHERE doc_id % 3 = 0
+    ),
+    b_sh AS (
+        SELECT DISTINCT
+            bt.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+        FROM bt, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    -- batch doc size counts ALL its shingles (novel content included)
+    b_sizes AS (
+        SELECT doc_id, COUNT(*) AS n_a FROM b_sh GROUP BY doc_id
+    ),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM b_sh a JOIN postings b ON a.sh = b.sh
+        GROUP BY 1, 2
+    )
+    SELECT
+        id_a,
+        id_b,
+        n_shared,
+        sa.n_a AS n_a,
+        sb.n_b AS n_b,
+        CAST(n_shared AS DOUBLE) / (sa.n_a + sb.n_b - n_shared) AS jaccard
+    FROM shared
+    JOIN b_sizes sa ON sa.doc_id = id_a
+    JOIN k_sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_shared AS DOUBLE) / (sa.n_a + sb.n_b - n_shared) >= 0.2
+"""

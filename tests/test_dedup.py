@@ -322,3 +322,45 @@ def test_kmv_distinct_estimates_and_exact_mode(spark):
     assert exact == 2000
     # KMV rel. error ~ 1/sqrt(k-2) ≈ 13%; allow 3 sigma
     assert abs(est - 2000) / 2000 < 0.4
+
+
+def test_materialized_artifact_cache(spark, tmp_path):
+    """plans.queries_ext._materialized: builds once per source
+    fingerprint, reuses the artifact on identical input, rebuilds when
+    the source parquet changes (the warehouse-table contract the
+    shared pair graph / shingle index rely on)."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _materialized,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["a"]}).to_parquet(
+        sf / "documents.parquet"
+    )
+    calls = []
+
+    def build(path):
+        calls.append(path)
+        pd.DataFrame({"x": [len(calls)]}).to_parquet(f"{path}/t.parquet")
+
+    p1 = _materialized(spark, str(sf), "probe", "documents", build)
+    p2 = _materialized(spark, str(sf), "probe", "documents", build)
+    assert p1 == p2 and len(calls) == 1
+    assert pd.read_parquet(f"{p1}/t.parquet").x.iloc[0] == 1
+
+    # source change → new fingerprint → rebuild (fresh path)
+    pd.DataFrame({"doc_id": [1, 2], "text": ["a", "b"]}).to_parquet(
+        sf / "documents.parquet"
+    )
+    p3 = _materialized(spark, str(sf), "probe", "documents", build)
+    assert p3 != p1 and len(calls) == 2
+
+    # a crashed build (no fingerprint marker) is rebuilt, not reused
+    import os
+
+    os.remove(f"{p3}/_FINGERPRINT")
+    p4 = _materialized(spark, str(sf), "probe", "documents", build)
+    assert p4 == p3 and len(calls) == 3
