@@ -1652,13 +1652,24 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_asof_join (queries.py): the pure-JVM union+window formulation in
     operators/asof.py remains the production path (no Python workers,
     one shuffle instead of two); equality of the two plans is exactly
-    what the shared oracle checks."""
+    what the shared oracle checks.
+
+    Cogroup key is a BOUNDED SALT BUCKET (pmod(user_id, 64)), not the
+    raw user_id: applyInPandas pays a fixed per-group Python/Arrow
+    invocation cost, so per-user groups cost O(n_users) round trips
+    (measured 15 s at sf0.1 / 1 500 users — r5 VERDICT item 3) while
+    per-key correctness moves INSIDE the batch via
+    ``pd.merge_asof(..., by="user_id")`` (64 invocations, 0 behavior
+    change). This is the general recipe for high-cardinality
+    applyInPandas keys: group on hash(key) % N, carry the real key as
+    a `by=` column."""
     import pandas as pd
 
     from telecom_competitor_analysis_spark.operators.merge import (
         latest_per_key,
     )
 
+    n_buckets = 64
     events = load_table(spark, sf_dir, "events")
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
@@ -1670,14 +1681,20 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("click_value"),
     )
     clicks = latest_per_key(clicks, ["user_id", "ts"], "click_event_id")
+    bucket = F.pmod(F.col("user_id"), F.lit(n_buckets)).alias("__bucket")
+    purchases = purchases.withColumn("__bucket", bucket)
+    clicks = clicks.withColumn("__bucket", bucket)
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("ts")
-        right = right.sort_values("ts")
+        # merge_asof with by= needs a global sort on the `on` key only;
+        # per-user matching happens inside the merge
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.sort_values("ts", kind="mergesort")
         out = pd.merge_asof(
             left,
-            right.drop(columns=["user_id"]),
+            right.drop(columns=["__bucket"]),
             on="ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -1694,8 +1711,8 @@ def q_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("__bucket")
+        .cogroup(clicks.groupBy("__bucket"))
         .applyInPandas(
             merge,
             schema=(
