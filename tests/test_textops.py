@@ -222,3 +222,20 @@ def test_cogroup_asof_matches_jvm_asof(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["q_cogroup_asof"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["q_asof_join"](spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_pivot_dynamic_caps_value_cardinality(spark, sf_dir):
+    """The dynamic pivot's phase-1 discovery is bounded: a pivot column
+    whose distinct count exceeds max_values raises BEFORE the wide plan
+    is compiled (limit(max_values+1) — the scan never drains the full
+    distinct set either)."""
+    import pytest as _pytest
+
+    from telecom_competitor_analysis_spark.plans.queries import (
+        q_pivot_dynamic,
+    )
+
+    with _pytest.raises(ValueError, match="more than 2 distinct"):
+        q_pivot_dynamic(spark, sf_dir, max_values=2)
+    # at the default cap the 3-status pivot still compiles and runs
+    assert q_pivot_dynamic(spark, sf_dir).count() > 0
