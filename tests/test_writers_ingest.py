@@ -179,3 +179,82 @@ def test_catalog_append_realigns_reordered_columns(spark):
         assert got == {1: "alpha", 2: "beta"}
     finally:
         spark.sql("DROP TABLE IF EXISTS wh_reorder")
+
+
+def test_star_schema_catalog_contract_roundtrip(spark):
+    """The full BigQuery-leg contract, one level below the (untested,
+    no-GCP-creds) connector glue: STAR_SCHEMA DDL → catalog tables →
+    plan_star_appends deltas appended via append_to_catalog_table —
+    asserting at the TABLE level that re-running the same load appends
+    nothing and a day-2 load appends exactly the true deltas (the
+    behavior of reference dags/bigquery.py:223-333, minus its N+1
+    point-query loop)."""
+    from telecom_competitor_analysis_spark.jobs.clean import clean_products
+    from telecom_competitor_analysis_spark.jobs.load import plan_star_appends
+    from telecom_competitor_analysis_spark.schemas import (
+        RAW_PRODUCT,
+        STAR_SCHEMA,
+    )
+    from telecom_competitor_analysis_spark.sources.writers import (
+        append_to_catalog_table,
+        create_table_if_not_exists,
+    )
+    from tests.test_pipeline import DAY1, DAY2
+
+    tables = ("competitors", "products", "features", "product_prices")
+    keys = {
+        "competitors": ("competitor_name",),
+        "products": ("competitor_uuid", "product_name"),
+        "features": ("feature_uuid",),
+        "product_prices": ("price_uuid",),
+    }
+    names = {t: f"wh_star_{t}" for t in tables}
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
+    try:
+        # DDL round-trip: catalog tables created FROM the star schema,
+        # idempotently (second call is a no-op)
+        for t in tables:
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in STAR_SCHEMA[t].fields
+            )
+            create_table_if_not_exists(spark, names[t], ddl)
+            create_table_if_not_exists(spark, names[t], ddl)
+
+        def existing():
+            return {t: spark.table(names[t]) for t in tables}
+
+        def load(rows):
+            clean = clean_products(spark.createDataFrame(rows, RAW_PRODUCT))
+            appends = plan_star_appends(clean, existing())
+            return {
+                t: append_to_catalog_table(
+                    spark, appends[t], names[t], keys[t]
+                )
+                for t in tables
+            }
+
+        day1 = load(DAY1)
+        assert day1["competitors"] == 2
+        assert day1["product_prices"] == 3
+        counts1 = {t: spark.table(names[t]).count() for t in tables}
+
+        # re-run of the SAME load: zero rows appended to every table
+        rerun = load(DAY1)
+        assert rerun == {t: 0 for t in tables}
+        assert {t: spark.table(names[t]).count() for t in tables} == counts1
+
+        # day-2 load: exactly the true deltas (accounting per
+        # tests/test_pipeline.py: 1 new product, 2 changed features,
+        # 3 price rows)
+        day2 = load(DAY2)
+        assert day2["competitors"] == 0
+        assert day2["products"] == 1
+        assert day2["features"] == 2
+        assert day2["product_prices"] == 3
+        # and day-2 re-run is again a table-level no-op
+        assert load(DAY2) == {t: 0 for t in tables}
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {names[t]}")
