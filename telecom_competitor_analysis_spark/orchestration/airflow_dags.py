@@ -25,11 +25,46 @@ PIPELINE_ARGS = [
     "--gold", "{{ var.value.gold_dir }}",
 ]
 
+# The task graph as a pure-Python SPEC: testable in any environment
+# (tests/test_orchestration.py asserts the graph shape, retry posture and
+# spark-submit wiring without importing Airflow), consumed verbatim by
+# ``build_dag`` where Airflow is installed — so what the test pins IS what
+# the scheduler runs. Shape mirrors the reference's scrape ≫ clean ≫ load
+# chain (reference dags/master_dag.py:22-39) collapsed to scrape ≫
+# clean_and_load (the two Spark stages are one job, SURVEY.md §2.11).
+TASK_SPEC: dict[str, Any] = {
+    "dag_id": "telecom_competitor_analysis_spark",
+    "schedule": "@daily",  # date-grain scraped_at implies daily cadence
+    "catchup": False,
+    "default_args": {
+        # parity with the reference's retry posture
+        # (reference dags/master_dag.py:8-9)
+        "retries": 1,
+        "retry_delay_minutes": 1,
+    },
+    "tasks": {
+        "scrape": {"operator": "python"},
+        "clean_and_load": {
+            "operator": "spark_submit",
+            "application": (
+                "-m telecom_competitor_analysis_spark.jobs.run_pipeline"
+            ),
+            "application_args": PIPELINE_ARGS,
+            "conf": {
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.session.timeZone": "UTC",
+            },
+        },
+    },
+    # edges as (upstream, downstream) pairs
+    "dependencies": [("scrape", "clean_and_load")],
+}
 
-def build_dag(dag_id: str = "telecom_competitor_analysis_spark") -> Any:
-    """Construct the DAG. Raises ImportError where Airflow is absent —
-    callers in non-Airflow environments should not invoke this (the
-    module import itself stays safe)."""
+
+def build_dag(dag_id: str | None = None) -> Any:
+    """Construct the DAG from ``TASK_SPEC``. Raises ImportError where
+    Airflow is absent — callers in non-Airflow environments should not
+    invoke this (the module import itself stays safe)."""
     from datetime import datetime, timedelta
 
     from airflow import DAG
@@ -38,18 +73,19 @@ def build_dag(dag_id: str = "telecom_competitor_analysis_spark") -> Any:
         SparkSubmitOperator,
     )
 
+    spec = TASK_SPEC
     default_args = {
-        # parity with the reference's retry posture
-        # (reference dags/master_dag.py:8-9)
-        "retries": 1,
-        "retry_delay": timedelta(minutes=1),
+        "retries": spec["default_args"]["retries"],
+        "retry_delay": timedelta(
+            minutes=spec["default_args"]["retry_delay_minutes"]
+        ),
     }
 
     with DAG(
-        dag_id=dag_id,
+        dag_id=dag_id or spec["dag_id"],
         start_date=datetime(2023, 11, 1),
-        schedule="@daily",  # date-grain scraped_at implies daily cadence
-        catchup=False,
+        schedule=spec["schedule"],
+        catchup=spec["catchup"],
         default_args=default_args,
     ) as dag:
 
@@ -59,19 +95,21 @@ def build_dag(dag_id: str = "telecom_competitor_analysis_spark") -> Any:
             # (reference dags/scrape_dag.py:29-46). Plug in here.
             raise NotImplementedError("wire the site collectors here")
 
-        scrape = PythonOperator(task_id="scrape", python_callable=_scrape)
-
-        clean_and_load = SparkSubmitOperator(
-            task_id="clean_and_load",
-            application="-m telecom_competitor_analysis_spark.jobs.run_pipeline",
-            application_args=PIPELINE_ARGS,
-            conf={
-                "spark.sql.adaptive.enabled": "true",
-                "spark.sql.session.timeZone": "UTC",
-            },
-        )
-
-        scrape >> clean_and_load
+        built: dict[str, Any] = {}
+        for task_id, t in spec["tasks"].items():
+            if t["operator"] == "python":
+                built[task_id] = PythonOperator(
+                    task_id=task_id, python_callable=_scrape
+                )
+            else:
+                built[task_id] = SparkSubmitOperator(
+                    task_id=task_id,
+                    application=t["application"],
+                    application_args=t["application_args"],
+                    conf=t["conf"],
+                )
+        for up, down in spec["dependencies"]:
+            built[up] >> built[down]
     return dag
 
 

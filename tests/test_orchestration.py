@@ -1,0 +1,65 @@
+"""Orchestration layer (SURVEY.md §2.11): the task-graph spec is pinned
+without Airflow (build_dag consumes TASK_SPEC verbatim, so the asserted
+graph IS the deployed graph), and a DagBag-style instantiation test runs
+wherever Airflow is actually installed (skipped elsewhere — this
+container has no airflow, by design)."""
+
+from __future__ import annotations
+
+import importlib
+
+import pytest
+
+from telecom_competitor_analysis_spark.orchestration import airflow_dags
+
+
+def test_module_imports_clean_without_airflow():
+    """Engine environments without Airflow must import the module safely:
+    dag stays None, the spec is still fully inspectable."""
+    mod = importlib.reload(airflow_dags)
+    try:
+        import airflow  # noqa: F401
+
+        assert mod.dag is not None
+    except ImportError:
+        assert mod.dag is None
+
+
+def test_task_spec_mirrors_reference_chain():
+    """scrape ≫ clean_and_load, reference retry posture, and the
+    spark-submit wiring of the engine's pipeline main (reference
+    dags/master_dag.py:22-39 chains scrape ≫ clean ≫ load; the two Spark
+    stages collapse into one job here)."""
+    spec = airflow_dags.TASK_SPEC
+    assert set(spec["tasks"]) == {"scrape", "clean_and_load"}
+    assert spec["dependencies"] == [("scrape", "clean_and_load")]
+    assert spec["default_args"]["retries"] == 1
+    assert spec["schedule"] == "@daily" and spec["catchup"] is False
+
+    submit = spec["tasks"]["clean_and_load"]
+    assert submit["operator"] == "spark_submit"
+    assert submit["application"].endswith("jobs.run_pipeline")
+    # the three medallion dirs arrive as Airflow variables
+    assert [a for a in submit["application_args"] if a.startswith("--")] == [
+        "--bronze",
+        "--silver",
+        "--gold",
+    ]
+    assert submit["conf"]["spark.sql.session.timeZone"] == "UTC"
+    # the scrape stage stays a plain python task — browser I/O is not a
+    # Spark workload (SURVEY.md §3.2)
+    assert spec["tasks"]["scrape"]["operator"] == "python"
+
+
+def test_dag_instantiates_under_airflow():
+    """DagBag smoke test — runs only where Airflow is installed: the
+    built DAG's task ids and edges must equal TASK_SPEC's."""
+    pytest.importorskip("airflow")
+    pytest.importorskip(
+        "airflow.providers.apache.spark.operators.spark_submit"
+    )
+    dag = airflow_dags.build_dag()
+    assert set(dag.task_ids) == set(airflow_dags.TASK_SPEC["tasks"])
+    scrape = dag.get_task("scrape")
+    assert [t.task_id for t in scrape.downstream_list] == ["clean_and_load"]
+    assert dag.default_args["retries"] == 1
