@@ -82,3 +82,68 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows(int(start["offset"]), int(end["offset"]))
+
+
+class SyntheticProductsDataSource(DataSource):
+    """Streaming RAW-product feed: each micro-batch is one day's scrape
+    of a fixed catalog (``productsPerDay``, default 4), rows a pure
+    function of the offset (product p on day d: price bumps for p == 0
+    from day 1 on, everything else stable). The bronze-arrival twin of
+    ``SyntheticEventsDataSource`` — drives the foreachBatch star merge
+    end-to-end over the Python-source extension point
+    (tests/test_stream_merge.py), pinning the reference's load semantics
+    (J2/J5, reference dags/bigquery.py:223-333) under restart: day-2
+    must append only the price delta, never re-insert day-1."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_products"
+
+    def schema(self) -> str:
+        return (
+            "product_name string, competitor_name string,"
+            " product_category string, product_url string, price double,"
+            " scraped_at string, data double, minutes double, sms bigint,"
+            " upload_speed string, download_speed string"
+        )
+
+    def simpleStreamReader(self, schema) -> "SyntheticProductsStreamReader":
+        return SyntheticProductsStreamReader(self.options)
+
+
+class SyntheticProductsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.per_day = int(options.get("productsPerDay", 4))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        out = []
+        for i in range(start, end):
+            day, p = divmod(i, self.per_day)
+            price = 10.0 + p + (2.0 if (p == 0 and day >= 1) else 0.0)
+            out.append(
+                (
+                    f"plan_{p}",
+                    f"comp_{p % 2}",
+                    "mobile" if p % 2 == 0 else "internet",
+                    f"https://example.test/plan_{p}",
+                    price,
+                    f"2023-11-{day + 1:02d}",
+                    float(10 * (p + 1)),
+                    -1.0 if p == 0 else float(100 * (p + 1)),
+                    500 + 10 * p,
+                    f"{p + 1}0mbps",
+                    "1gbps",
+                )
+            )
+        return out
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = s + self.per_day  # one day per micro-batch
+        return (self._rows(s, e), {"offset": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["offset"]), int(end["offset"]))
