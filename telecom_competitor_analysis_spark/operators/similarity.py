@@ -308,3 +308,92 @@ def lsh_bucketed_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_anchors: int = 16,
+) -> None:
+    """Materialize the IVF index as parquet: ``{path}/anchors`` =
+    (anchor_id, anchor_vec), ``{path}/assignments`` = the quantized
+    corpus PARTITIONED BY bucket. The similarity twin of
+    ``build_shingle_index``: at 100 TB the corpus is quantized ONCE at
+    write time; every probe batch reads only the bucket partitions its
+    queries hash to (the bucket is a real partition column, so the
+    broadcast probe join triggers dynamic partition pruning — the scan
+    never touches unprobed buckets)."""
+    anchors = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_anchors)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("anchor_vec"),
+        )
+    )
+    anchors.write.mode("overwrite").parquet(f"{path}/anchors")
+    assigned = ivf_assign(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        anchors,
+        "neighbor_id",
+        "c_vec",
+    )
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/assignments"
+    )
+
+
+def ann_against_index(
+    queries: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Approximate top-k of a query batch against a FROZEN IVF index
+    (``build_ivf_index`` output): each query probes its ``nprobe``
+    nearest anchor buckets (rank by anchor dot product, anchor_id
+    tie-break) and scores only the corpus vectors stored in those
+    partitions. nprobe tunes the recall/compute trade-off at query time
+    without touching the index; nprobe = n_anchors degrades gracefully
+    to exact brute force (pinned by test). Returns
+    (query_id, neighbor_id, rank)."""
+    anchors = spark.read.parquet(f"{index_path}/anchors")
+    cand = spark.read.parquet(f"{index_path}/assignments")
+    scored_anchors = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).crossJoin(F.broadcast(anchors)).withColumn(
+        "__score", _dot(F.col("q_vec"), F.col("anchor_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__score").desc(), F.col("anchor_id").asc()
+    )
+    probes = (
+        scored_anchors.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_vec", F.col("anchor_id").alias("bucket"))
+    )
+    scored = (
+        cand.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -2195,3 +2195,46 @@ EXT_ORACLES["q_dedup_incremental"] = """
     JOIN k_sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_shared AS DOUBLE) / (sa.n_a + sb.n_b - n_shared) >= 0.2
 """
+
+# Materialized-IVF ANN probe (queries_ext.q_ann_index_probe): identical
+# quantization to q_embedding_ivf_topk, but the query side probes its
+# TWO nearest anchor buckets (rn <= 2) — candidates are the union of
+# both probed partitions; a corpus vector lives in exactly one bucket,
+# so the union is duplicate-free and the rank is a plain top-k.
+EXT_ORACLES["q_ann_index_probe"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS (
+        SELECT vec_id, v, anchor_id AS bucket FROM assign WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id, v, anchor_id AS bucket
+        FROM assign WHERE vec_id < 5 AND rn <= 2
+    )
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) AS INT) AS rank
+    FROM c
+    JOIN q ON c.bucket = q.bucket
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+"""

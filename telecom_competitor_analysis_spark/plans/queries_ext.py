@@ -1865,6 +1865,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k against a MATERIALIZED IVF index
+    (operators/similarity.py::build_ivf_index / ann_against_index) —
+    the similarity twin of q_dedup_incremental: the corpus is quantized
+    once into bucket-partitioned parquet (fingerprint-cached); the
+    query batch probes its nprobe=2 nearest anchor buckets, and the
+    broadcast probe join on the partition column lets dynamic partition
+    pruning skip every unprobed bucket at scan time. Query-time recall
+    tuning (nprobe) without touching the index."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized(
+        spark,
+        sf_dir,
+        "ivf_idx_a8",
+        "embeddings",
+        lambda p: build_ivf_index(emb, p, n_anchors=8),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_against_index(queries, spark, idx, k=10, nprobe=2)
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis–Spirakis A-ES,
     operators/curate.py::weighted_sample_topk): top-20 docs per language
@@ -1897,6 +1923,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fuzzy_join": q_fuzzy_join,
     "q_canonical_docs": q_canonical_docs,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_ann_index_probe": q_ann_index_probe,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,

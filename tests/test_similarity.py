@@ -125,3 +125,38 @@ def test_embedding_dup_lsh_blocking_recalls_planted_dups(spark):
     # blocking actually prunes: candidate volume ≪ all-pairs
     n_cand = cand.count()
     assert n_cand < (2 * n_base) * (2 * n_base - 1) // 2 / 3
+
+
+def test_ivf_index_probe_recall_and_exact_degradation(spark, emb, tmp_path):
+    """ann_against_index over a materialized IVF index: (a) nprobe=2
+    candidates are a superset of nprobe=1 per query (monotone recall),
+    (b) nprobe = n_anchors probes every bucket and must EQUAL the
+    brute-force exact top-k, and (c) the probe join prunes the
+    bucket-partitioned scan dynamically (DPP in the plan)."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_anchors=8)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    p1 = _topk_sets(ann_against_index(queries, spark, idx, k=10, nprobe=1))
+    p2 = _topk_sets(ann_against_index(queries, spark, idx, k=10, nprobe=2))
+    exact = _topk_sets(cosine_topk(emb, queries, k=10))
+    r1, r2 = _recall(p1, exact), _recall(p2, exact)
+    assert r2 >= r1 > 0
+
+    full = ann_against_index(queries, spark, idx, k=10, nprobe=8)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(
+            tuple,
+            cosine_topk(emb, queries, k=10).collect(),
+        )
+    )
+
+    plan = ann_against_index(
+        queries, spark, idx, k=10, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
