@@ -1109,84 +1109,34 @@ QUERIES.update(EXT_QUERIES)
 #      they must never occupy an oracle-checkable slot in the window.
 # History: r1 checked the SURVEY §2 core (46 green), r2/r3 the 50-query
 # extension surface (50 green), r4 the changed/new operators + oldest
-# rotations (50 green). Round 5's window: the changed dedup/percentile/
-# rebalance consumers, the 8 new r5 oracles, the 13 r1-green stragglers
-# (r4 verdict item 1), then the oldest r3 greens — after r5 no oracle-
-# checkable query's newest green should be older than two rounds.
+# rotations (50 green), r5 the changed dedup/percentile/rebalance
+# consumers + 8 new oracles + r1 stragglers (50 green). Round 6's
+# window: the 6 queries whose plans changed this round (materialized
+# pair graph, bucketed cogroup, pivot cap), the 2 new oracles
+# (q_dedup_incremental, q_ann_index_probe), the 28 r3-green queries the
+# r5 VERDICT flagged as the oldest debt (9 tier-3b + 19 scalar
+# cleaners), and 14 of the oldest r4 greens — after r6 no
+# oracle-checkable query's newest green is older than r4.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-5 WINDOW (first 50) ============
-    # tier 1 — operator code changed since last green row:
-    # q_winsorize (percentile groupBy+broadcast rewrite), q_mix_rebalance
-    # (two-pass quota), and every consumer of the banded-pair functions
-    # that gained divisibility guards (lsh_candidate_pairs /
-    # minhash_est_pairs / simhash_candidate_pairs in dedup.py)
-    "q_winsorize",
-    "q_mix_rebalance",
-    "q_simhash_pairs",
-    "q_simhash64_pairs",
-    "q_minhash_jaccard_est",
-    "q_minhash_lsh_pairs",
+    # ============ ROUND-6 WINDOW (first 50) ============
+    # tier 1 — plan/operator code changed since last green row:
+    # the four consumers now reading the MATERIALIZED LSH pair graph
+    # (queries_ext._materialized_lsh_pairs), the salt-bucketed cogroup
+    # rewrite, and the capped dynamic pivot
     "q_dedup_clusters",
-    # tier 2 — new queries / new oracles, never driver-hash-checked
-    "q_frame_sample",  # oracle since r5 (metadata-derived frame count)
-    "q_incremental_topk",
-    "q_bm25_search",
-    "q_bigram_lm",
-    "q_fuzzy_join",
     "q_canonical_docs",
-    "q_weighted_sample",
-    "q_pivot_dynamic",
-    "q_cdc_apply",
-    "q_retention_cohorts",
-    "q_cogroup_asof",
-    "q_range_window",
-    "q_ann_recall",
-    "q_variant_extract",
     "q_pagerank",
-    "q_kmv_distinct",
-    "q_lateral_topk",
-    # tier 3 — the 13 queries whose only green row is ROUND 1 (code
-    # unchanged; r4 verdict item 1 — retire the oldest verification debt)
-    "q_cube",
-    "q_semi_join",
-    "q_except",
-    "q_intersect",
-    "q_distinct_agg",
-    "q_explode",
-    "q_grouping_sets",
-    "q_scalar_subquery",
-    "q_outer_join",
-    "q_date_arith",
-    "q_array_funcs",
-    "q_udtf_tokenize",
-    "q_train_test_split",
-    # tier 3b — oldest remaining greens (r3), starting with the two
-    # events-consumers the r4 ADVICE flagged as rotation-rule exceptions
-    # (q_resample_daily/q_moving_avg consume events.ts via _daily_counts)
-    # and q_embedding_dup (its multi-band rewrite landed in r3 — its r3
-    # green is valid but deserves a fresh row on current code)
-    "q_resample_daily",
-    "q_moving_avg",
-    "q_embedding_dup",
-    "q_corpus_curate",
-    "q_curate_incremental",
-    "q_dedup_exact",
-    "q_minhash",
-    "q_ngram_jaccard",
-    "q_agg_latest_price",
-    "q_embedding_topk",
-    "q_except_all",
-    "q_ntile",
-    "q_revenue_topk",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # (q_scd2_history/q_stats_agg/q_sequence_pack/q_stratified_sample/
-    # q_decontaminate/q_quality_repetition/q_tfidf/q_percentile_exact/
-    # q_integrity_audit yielded their slots to the nine late-round-5
-    # queries; they are r3-green on unchanged code and lead the r6
-    # rotation together with the scalar cleaners.)
+    "q_dup_graph_stats",
+    "q_cogroup_asof",
+    "q_pivot_dynamic",
+    # tier 2 — new queries / new oracles, never driver-hash-checked
+    "q_dedup_incremental",
+    "q_ann_index_probe",
+    # tier 3 — the 9 r3-greens displaced from the r5 window by the
+    # late-round-5 additions (r5 VERDICT item 2)
     "q_scd2_history",
     "q_stats_agg",
     "q_sequence_pack",
@@ -1196,8 +1146,8 @@ VERIFY_PRIORITY = [
     "q_tfidf",
     "q_percentile_exact",
     "q_integrity_audit",
-    # Remaining r3 greens (scalar cleaners and single-table text ops,
-    # byte-unchanged since r1/r2): next in line for the r6 rotation.
+    # tier 3b — the 19 r3-green scalar cleaners / single-table text ops
+    # (byte-unchanged since r1/r2; oldest remaining greens)
     "q_ascii_strip",
     "q_bm25",
     "q_concat_key",
@@ -1217,8 +1167,8 @@ VERIFY_PRIORITY = [
     "q_text_stats",
     "q_token_count",
     "q_unpivot",
-    # tier 4 — r4-green on byte-identical code (the entire round-4
-    # window re-verified last round); fine outside the window
+    # tier 3c — oldest r4 greens, round-robin re-verification (14 fill
+    # the window to exactly 50)
     "q_sessionize",
     "q_embedding_outlier",
     "q_asof_join",
@@ -1233,6 +1183,8 @@ VERIFY_PRIORITY = [
     "q_embedding_lsh_topk",
     "q_embedding_ivf_topk",
     "q_simhash64",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # Remaining r4 greens (byte-identical code) — next in line for r7.
     "q_word_freq",
     "q_common_ngrams",
     "q_pii_scrub",
@@ -1245,8 +1197,53 @@ VERIFY_PRIORITY = [
     "q_event_funnel",
     "q_corpus_diff",
     "q_session_window",
-    "q_dup_graph_stats",
     "q_key_skew",
+    # r5 greens on unchanged code (verified last round)
+    "q_winsorize",
+    "q_mix_rebalance",
+    "q_simhash_pairs",
+    "q_simhash64_pairs",
+    "q_minhash_jaccard_est",
+    "q_minhash_lsh_pairs",
+    "q_frame_sample",
+    "q_incremental_topk",
+    "q_bm25_search",
+    "q_bigram_lm",
+    "q_fuzzy_join",
+    "q_weighted_sample",
+    "q_cdc_apply",
+    "q_retention_cohorts",
+    "q_range_window",
+    "q_ann_recall",
+    "q_variant_extract",
+    "q_kmv_distinct",
+    "q_lateral_topk",
+    "q_cube",
+    "q_semi_join",
+    "q_except",
+    "q_intersect",
+    "q_distinct_agg",
+    "q_explode",
+    "q_grouping_sets",
+    "q_scalar_subquery",
+    "q_outer_join",
+    "q_date_arith",
+    "q_array_funcs",
+    "q_udtf_tokenize",
+    "q_train_test_split",
+    "q_resample_daily",
+    "q_moving_avg",
+    "q_embedding_dup",
+    "q_corpus_curate",
+    "q_curate_incremental",
+    "q_dedup_exact",
+    "q_minhash",
+    "q_ngram_jaccard",
+    "q_agg_latest_price",
+    "q_embedding_topk",
+    "q_except_all",
+    "q_ntile",
+    "q_revenue_topk",
 ]
 
 _ROWS_ONLY_LAST = [
