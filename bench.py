@@ -52,11 +52,12 @@ HEADLINE = [
     "q_embedding_outlier",
 ]
 
-# Second headline list (byte-stable since round 5): the round-4 operator
-# wave, promoted from ad-hoc NOTES measurements so regressions on the new
-# surface are machine-checkable round-over-round exactly like the original
-# 26. Reported separately (queries_ext / value_ext) to keep the original
-# headline total apples-to-apples with BENCH_r02/r04.
+# Second list: the operator-wave surface. Byte-stable r4 wave first,
+# then (cutover recorded round 6, per the r5 VERDICT: one merged list
+# instead of a list per round) the r5 wave and the r6 additions. List
+# TOTALS are comparable only within a cutover era; PER-QUERY timings
+# remain apples-to-apples across every round — BENCH_r{N}.json keeps
+# each query's number under its own name regardless of list membership.
 HEADLINE_EXT = [
     "q_simhash64",
     "q_simhash64_pairs",
@@ -80,11 +81,8 @@ HEADLINE_EXT = [
     "q_winsorize",
     "q_dup_graph_stats",
     "q_key_skew",
-]
-
-# Third list (byte-stable since round 5): the round-5 operator wave,
-# measured from birth so round 6 inherits a baseline immediately.
-HEADLINE_R5 = [
+    # --- r5 wave (folded in at the r6 cutover; formerly HEADLINE_R5,
+    # whose per-query baselines live in BENCH_r05.json) ---
     "q_bm25_search",
     "q_bigram_lm",
     "q_fuzzy_join",
@@ -102,6 +100,9 @@ HEADLINE_R5 = [
     "q_pagerank",
     "q_kmv_distinct",
     "q_lateral_topk",
+    # --- r6 additions (measured from birth) ---
+    "q_dedup_incremental",
+    "q_ann_index_probe",
 ]
 
 
@@ -146,7 +147,6 @@ def main() -> None:
 
     timings = run_list(HEADLINE)
     timings_ext = run_list(HEADLINE_EXT)
-    timings_r5 = run_list(HEADLINE_R5)
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -155,10 +155,8 @@ def main() -> None:
         "queries": timings,
         "value_ext": round(sum(timings_ext.values()), 3),
         "queries_ext": timings_ext,
-        "value_r5": round(sum(timings_r5.values()), 3),
-        "queries_r5": timings_r5,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the r4-operator list, value_r5/queries_r5 = the r5-operator list",
+        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the merged operator-wave list (r4 wave + r5 wave + r6 additions; cutover recorded round 6 — compare list totals within an era, per-query timings across all rounds)",
     }
     if errors:
         out["errors"] = errors

@@ -17,8 +17,7 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
 
     monkeypatch.setitem(QUERIES, "q_broken_test_only", broken)
     monkeypatch.setattr(bench, "HEADLINE", ["q_topk", "q_broken_test_only"])
-    monkeypatch.setattr(bench, "HEADLINE_EXT", ["q_key_skew"])
-    monkeypatch.setattr(bench, "HEADLINE_R5", ["q_pivot_dynamic"])
+    monkeypatch.setattr(bench, "HEADLINE_EXT", ["q_key_skew", "q_pivot_dynamic"])
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     bench.main()
@@ -30,6 +29,5 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
     assert "q_broken_test_only" not in parsed["queries"]
     assert "deliberately broken" in parsed["errors"]["q_broken_test_only"]
     assert parsed["queries_ext"]["q_key_skew"] > 0
+    assert parsed["queries_ext"]["q_pivot_dynamic"] > 0
     assert parsed["value_ext"] > 0
-    assert parsed["queries_r5"]["q_pivot_dynamic"] > 0
-    assert parsed["value_r5"] > 0
