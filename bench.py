@@ -103,6 +103,7 @@ HEADLINE_EXT = [
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",
+    "q_token_budget_fill",
 ]
 
 

@@ -2238,3 +2238,31 @@ EXT_ORACLES["q_ann_index_probe"] = """
     WHERE c.vec_id != q.vec_id
     QUALIFY rank <= 10
 """
+
+# Budget-constrained corpus assembly (queries_ext.q_token_budget_fill):
+# running per-language token sum in quality order; a doc is admitted iff
+# the budget had room before it (boundary doc included).
+EXT_ORACLES["q_token_budget_fill"] = """
+    WITH d AS (
+        SELECT
+            doc_id,
+            lang,
+            len(string_split(trim(text), ' '))::BIGINT AS n_words
+        FROM documents
+    ),
+    c AS (
+        SELECT
+            doc_id,
+            lang,
+            n_words,
+            SUM(n_words) OVER (
+                PARTITION BY lang
+                ORDER BY n_words DESC, doc_id ASC
+                ROWS UNBOUNDED PRECEDING
+            )::BIGINT AS cum_tokens
+        FROM d
+    )
+    SELECT doc_id, lang, n_words, cum_tokens
+    FROM c
+    WHERE cum_tokens - n_words < 5000
+"""

@@ -1891,6 +1891,40 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_against_index(queries, spark, idx, k=10, nprobe=2)
 
 
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained corpus assembly: per language, admit documents
+    in quality order (word count desc, doc_id tie-break) until a
+    5 000-token budget fills — the training-mix step that turns "we
+    want X tokens of lang Y, best first" into a plan. A doc is admitted
+    iff the budget had room BEFORE it (cum - n_words < budget), so the
+    boundary doc that crosses the line is included — every budget is
+    met, slightly overshooting rather than undershooting.
+
+    Scale shape: one shuffle on lang, a single running-sum window per
+    stratum (RANGE-free, ROWS UNBOUNDED PRECEDING — no per-row
+    re-scan). The cumsum bound is data-dependent, so WindowGroupLimit
+    cannot prune map-side; when strata are huge, pre-filter with a
+    rank cap of budget/min_doc_len (an upper bound on admissible
+    rows) to restore partial top-k pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 5_000
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words(F.trim(F.col("text")))).cast("long").alias("n_words"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_tokens", F.sum("n_words").over(w))
+        .filter(F.col("cum_tokens") - F.col("n_words") < budget)
+        .select("doc_id", "lang", "n_words", "cum_tokens")
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis–Spirakis A-ES,
     operators/curate.py::weighted_sample_topk): top-20 docs per language
@@ -1924,6 +1958,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_canonical_docs": q_canonical_docs,
     "q_dedup_incremental": q_dedup_incremental,
     "q_ann_index_probe": q_ann_index_probe,
+    "q_token_budget_fill": q_token_budget_fill,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,
