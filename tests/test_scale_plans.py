@@ -202,3 +202,31 @@ def test_kmv_sketch_uses_partial_topk(spark, sf_dir):
     """The k-smallest-hash selection must prune map-side
     (WindowGroupLimit) — only k hashes per group reach the final agg."""
     assert "WindowGroupLimit" in _plan(QUERIES["q_kmv_distinct"](spark, sf_dir))
+
+
+def test_dedup_incremental_probe_is_equi_join(spark, sf_dir):
+    """The batch-vs-index probe must be a plain equi-join on the shingle
+    (never a cartesian / nested-loop), and the materialized postings
+    arrive from a parquet scan — the keep-list's documents are not in
+    the plan at all."""
+    plan = _plan(QUERIES["q_dedup_incremental"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # four parquet scans: the BATCH slice of documents twice (the sizes
+    # leg and the join leg — both ∝ |batch|) plus the index's postings
+    # and sizes. The keep-list's documents are never re-read: every
+    # tokenization in the plan carries the batch's pushed `% 3 = 0`
+    # filter, so corpus-side cost is the pre-built index alone.
+    assert plan.count("FileScan parquet") == 4
+    # every tokenizing scan is the batch slice (pushed filter); the
+    # keep-list filter (% 3 != 0) appears nowhere in the plan
+    assert plan.count("% 3) = 0") >= 2
+    assert plan.count("posexplode") == 2  # both legs tokenize the batch
+
+
+def test_token_budget_fill_single_exchange(spark, sf_dir):
+    """Budget fill = ONE shuffle (the lang stratum) feeding a single
+    running-sum window — no second exchange, no global sort."""
+    plan = _plan(QUERIES["q_token_budget_fill"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
