@@ -104,6 +104,7 @@ HEADLINE_EXT = [
     "q_dedup_incremental",
     "q_ann_index_probe",
     "q_token_budget_fill",
+    "q_dup_span_stats",
 ]
 
 

@@ -2266,3 +2266,77 @@ EXT_ORACLES["q_token_budget_fill"] = """
     FROM c
     WHERE cum_tokens - n_words < 5000
 """
+
+# Exact-substring duplication diagnostic (queries_ext.q_dup_span_stats):
+# 3-gram positions, df >= 2 across distinct docs, gaps-and-islands merge
+# of overlapping [pos, pos+2] spans. Positions are 0-based in Spark
+# (posexplode) vs 1-based generate_series here — the i-1 keeps them equal.
+EXT_ORACLES["q_dup_span_stats"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    grams AS (
+        SELECT
+            t.doc_id,
+            i - 1 AS pos,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS gram
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    df_tbl AS (
+        SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM grams)
+        GROUP BY gram HAVING COUNT(*) >= 2
+    ),
+    dup_occ AS (
+        SELECT grams.doc_id, grams.pos, grams.pos + 2 AS e
+        FROM grams JOIN df_tbl USING (gram)
+    ),
+    flagged AS (
+        SELECT
+            doc_id,
+            pos,
+            e,
+            CASE WHEN prev_max_end IS NULL OR pos > prev_max_end
+                 THEN 1 ELSE 0 END AS new_island
+        FROM (
+            SELECT
+                doc_id, pos, e,
+                MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ) AS prev_max_end
+            FROM dup_occ
+        )
+    ),
+    islands AS (
+        SELECT
+            doc_id, pos, e,
+            SUM(new_island) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS UNBOUNDED PRECEDING
+            ) AS island
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, island, MIN(pos) AS s, MAX(e) AS e
+        FROM islands GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT
+            doc_id,
+            COUNT(*) AS n_dup_spans,
+            SUM(e - s + 1) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, len(string_split(trim(text), ' '))::BIGINT AS total_tokens
+        FROM documents
+    )
+    SELECT
+        totals.doc_id,
+        COALESCE(per_doc.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+        COALESCE(per_doc.dup_tokens, 0)::BIGINT AS dup_tokens,
+        totals.total_tokens,
+        round(COALESCE(per_doc.dup_tokens, 0)::DOUBLE / totals.total_tokens, 6)
+            AS dup_fraction
+    FROM totals LEFT JOIN per_doc USING (doc_id)
+"""

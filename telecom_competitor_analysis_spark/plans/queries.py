@@ -1136,6 +1136,7 @@ VERIFY_PRIORITY = [
     "q_dedup_incremental",
     "q_ann_index_probe",
     "q_token_budget_fill",
+    "q_dup_span_stats",
     # tier 3 — the 9 r3-greens displaced from the r5 window by the
     # late-round-5 additions (r5 VERDICT item 2)
     "q_scd2_history",
@@ -1168,7 +1169,7 @@ VERIFY_PRIORITY = [
     "q_text_stats",
     "q_token_count",
     "q_unpivot",
-    # tier 3c — oldest r4 greens, round-robin re-verification (13 fill
+    # tier 3c — oldest r4 greens, round-robin re-verification (12 fill
     # the window to exactly 50)
     "q_sessionize",
     "q_embedding_outlier",
@@ -1182,9 +1183,9 @@ VERIFY_PRIORITY = [
     "q_udaf_weighted",
     "q_max_by",
     "q_embedding_lsh_topk",
-    "q_embedding_ivf_topk",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # Remaining r4 greens (byte-identical code) — next in line for r7.
+    "q_embedding_ivf_topk",
     "q_simhash64",
     "q_word_freq",
     "q_common_ngrams",

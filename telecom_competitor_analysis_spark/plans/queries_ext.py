@@ -1925,6 +1925,103 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication measurement (the RefinedWeb /
+    Gopher 'exact substring dedup' diagnostic): per document, the
+    merged token spans covered by 3-gram shingles that also occur in
+    at least one OTHER document, reported as span count / duplicated
+    tokens / duplicated fraction. The per-doc signal that decides
+    between dropping a doc and cutting the boilerplate out of it.
+
+    Shape: token positions (posexplode) → 3-grams via two leads on the
+    SAME doc_id window → document frequency over distinct (doc, gram)
+    pairs (partial-agg; the |vocab| table joins back 1:1 per
+    occurrence, so no posting-list explosion anywhere) → classic
+    gaps-and-islands merge of overlapping [pos, pos+2] intervals
+    (running MAX of prior span ends, island = cumsum of gap flags) —
+    all on ONE doc_id exchange shared by every window pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.concat_ws(
+                " ",
+                F.col("w"),
+                F.lead("w", 1).over(win),
+                F.lead("w", 2).over(win),
+            ),
+        )
+        .withColumn("__guard", F.lead("w", 2).over(win))
+        .filter(F.col("__guard").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+    df_tbl = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    dup_occ = grams.join(df_tbl, on="gram").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(2)).alias("end")
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = (
+        dup_occ.withColumn("prev_max_end", F.max("end").over(w_run))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev_max_end").isNull()
+                | (F.col("pos") > F.col("prev_max_end")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w_cum))
+    )
+    spans = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), F.max("end").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(words(F.trim(F.col("text")))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    return totals.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce(F.col("n_dup_spans"), F.lit(0)).cast("long").alias(
+            "n_dup_spans"
+        ),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias(
+            "dup_tokens"
+        ),
+        "total_tokens",
+        F.round(
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+            / F.col("total_tokens"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling (Efraimidis–Spirakis A-ES,
     operators/curate.py::weighted_sample_topk): top-20 docs per language
@@ -1959,6 +2056,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_ann_index_probe": q_ann_index_probe,
     "q_token_budget_fill": q_token_budget_fill,
+    "q_dup_span_stats": q_dup_span_stats,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,

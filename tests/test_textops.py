@@ -239,3 +239,31 @@ def test_pivot_dynamic_caps_value_cardinality(spark, sf_dir):
         q_pivot_dynamic(spark, sf_dir, max_values=2)
     # at the default cap the 3-status pivot still compiles and runs
     assert q_pivot_dynamic(spark, sf_dir).count() > 0
+
+
+def test_dup_span_stats_merges_overlapping_spans(spark):
+    """Planted boilerplate: two docs share a 5-word phrase → the three
+    overlapping duplicated 3-grams merge into ONE island of 5 tokens;
+    unique docs report zeros."""
+    from telecom_competitor_analysis_spark.plans import queries_ext as qe
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb SHARED1 SHARED2 SHARED3 SHARED4 SHARED5 cc dd"),
+            (2, "xx SHARED1 SHARED2 SHARED3 SHARED4 SHARED5 yy zz ww"),
+            (3, "totally unique words with no duplicated grams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(qe, "load_table", lambda s, d, t: docs):
+        got = {
+            r.doc_id: (r.n_dup_spans, r.dup_tokens, r.total_tokens)
+            for r in qe.q_dup_span_stats(spark, "unused").collect()
+        }
+    # 5 shared words = 3 shared 3-grams at pos 2,3,4 (doc 1) covering
+    # [2,6] — one merged span of 5 tokens
+    assert got[1] == (1, 5, 9)
+    assert got[2] == (1, 5, 9)
+    assert got[3] == (0, 0, 9)
