@@ -38,11 +38,12 @@ def _canon(v: Any) -> str:
 
 def canonical_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
-    out = [
-        tuple(_canon(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
-    ]
-    return sorted(out)
+    if not cols:
+        return [()] * len(df)
+    # column-wise canonicalization (a python loop per COLUMN, not per
+    # row — iterrows() cost ~20s on a 240k-row unpivot compare)
+    canon_cols = [[_canon(v) for v in df[c].tolist()] for c in cols]
+    return sorted(zip(*canon_cols))
 
 
 def compare(spark_df, oracle_df: pd.DataFrame) -> tuple[bool, str]:
