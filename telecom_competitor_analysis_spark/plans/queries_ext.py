@@ -74,10 +74,17 @@ def _source_stat(sf_dir: str, table: str) -> str:
 def _materialized(spark, sf_dir: str, tag: str, table: str, build) -> str:
     """Return the path of the materialized artifact `tag` for `sf_dir`,
     building it via ``build(path)`` (which must WRITE parquet under the
-    path) unless a fingerprint-matched build already exists. The
-    fingerprint file is written LAST, so a crashed build is rebuilt."""
+    path) unless a fingerprint-matched build already exists.
+
+    Crash/concurrency posture: the build lands in a process-private
+    staging dir and is renamed into place in ONE atomic step with the
+    fingerprint already inside — a reader can never observe a
+    half-built artifact (the same rename-into-place discipline as
+    writers.compact_gold). A concurrent builder that loses the rename
+    race simply keeps the winner's identical-by-construction artifact."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     fp = hashlib.md5(
@@ -88,10 +95,23 @@ def _materialized(spark, sf_dir: str, tag: str, table: str, build) -> str:
     marker = os.path.join(path, "_FINGERPRINT")
     if os.path.exists(marker) and open(marker).read() == fp:
         return path
-    os.makedirs(path, exist_ok=True)
-    build(path)
-    with open(marker, "w") as fh:
-        fh.write(fp)
+    staging = f"{path}.build-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    os.makedirs(staging)
+    try:
+        build(staging)
+        with open(os.path.join(staging, "_FINGERPRINT"), "w") as fh:
+            fh.write(fp)
+        shutil.rmtree(path, ignore_errors=True)  # stale fingerprint only
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # lost the race to a concurrent builder of the same
+            # fingerprint — its artifact is byte-equivalent; keep it
+            if not os.path.exists(marker):
+                raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
     return path
 
 

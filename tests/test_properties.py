@@ -200,3 +200,69 @@ def test_sequence_pack_invariants(spark):
         assert r.chunk_id >= last_chunk.get(r.part, 0)  # non-decreasing
         cum[r.part] = start + r.n
         last_chunk[r.part] = r.chunk_id
+
+
+_WORDS = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"])
+_DOC = st.lists(_WORDS, min_size=3, max_size=12).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(_DOC, min_size=2, max_size=8))
+def test_dup_span_stats_invariants(spark, texts):
+    """For ANY corpus: dup_tokens <= total_tokens, spans only exist when
+    dup_tokens > 0, every doc appears exactly once, and a doc duplicated
+    verbatim is 100% covered (dup_fraction == 1.0)."""
+    import unittest.mock as mock
+
+    from telecom_competitor_analysis_spark.plans import queries_ext as qe
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows.append((len(texts), texts[0]))  # plant one verbatim duplicate
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(qe, "load_table", lambda s, d, t: docs):
+        got = qe.q_dup_span_stats(spark, "unused").collect()
+    assert sorted(r.doc_id for r in got) == [r[0] for r in rows]
+    for r in got:
+        assert 0 <= r.dup_tokens <= r.total_tokens
+        assert (r.n_dup_spans == 0) == (r.dup_tokens == 0)
+    by_id = {r.doc_id: r for r in got}
+    assert by_id[0].dup_fraction == 1.0  # the duplicated doc: fully covered
+    assert by_id[len(texts)].dup_fraction == 1.0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 40), min_size=1, max_size=25),
+    budget=st.integers(1, 120),
+)
+def test_token_budget_fill_boundary_semantics(spark, sizes, budget):
+    """For ANY stratum: admitted docs are a prefix of the quality order,
+    the budget is always MET (sum >= budget when the stratum can afford
+    it), and removing the boundary doc drops the sum below budget."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame(
+        [(i, "xx", n) for i, n in enumerate(sizes)],
+        "doc_id long, lang string, n_words long",
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F2.col("n_words").desc(), F2.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = (
+        docs.withColumn("cum", F2.sum("n_words").over(w))
+        .filter(F2.col("cum") - F2.col("n_words") < budget)
+        .collect()
+    )
+    order = sorted(enumerate(sizes), key=lambda t: (-t[1], t[0]))
+    kept_ids = {r.doc_id for r in kept}
+    # prefix of the quality order
+    prefix_len = len(kept_ids)
+    assert kept_ids == {i for i, _ in order[:prefix_len]}
+    total = sum(n for _, n in order[:prefix_len])
+    if sum(sizes) >= budget:
+        assert total >= budget  # budget always met when affordable
+    if prefix_len > 0:
+        assert total - order[prefix_len - 1][1] < budget  # boundary doc needed
