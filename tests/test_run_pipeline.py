@@ -65,3 +65,39 @@ def test_medallion_end_to_end(spark, dirs):
     assert prices.count() == 6
     logs = spark.read.parquet(f"{dirs['gold']}/logs")
     assert logs.filter("status = 'success'").count() == 3
+
+
+def test_build_indexes_job(spark, tmp_path):
+    """The nightly index-build job materializes all three probe-side
+    artifacts, each immediately consumable: the shingle index answers an
+    incremental near-dup probe, the IVF index answers an ANN probe, and
+    the pair graph feeds cluster labeling."""
+    from telecom_competitor_analysis_spark.jobs.build_indexes import build_all
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+        near_dups_against_index,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+    )
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    paths = build_all(spark, sf, str(tmp_path / "idx"), n_anchors=4)
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    probe = near_dups_against_index(
+        docs.limit(20), spark, paths["shingle_index"], "doc_id", "text"
+    )
+    assert probe.columns == ["id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard"]
+    probe.count()  # executes
+
+    emb = load_table(spark, sf, "embeddings")
+    ann = ann_against_index(
+        emb.filter("vec_id < 3"), spark, paths["ivf_index"], k=5, nprobe=2
+    )
+    assert ann.count() > 0
+
+    pairs = spark.read.parquet(paths["pair_graph"])
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    assert clusters.count() == docs.count()
