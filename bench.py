@@ -105,6 +105,7 @@ HEADLINE_EXT = [
     "q_ann_index_probe",
     "q_token_budget_fill",
     "q_dup_span_stats",
+    "q_semantic_neighbors",
 ]
 
 

@@ -2340,3 +2340,32 @@ EXT_ORACLES["q_dup_span_stats"] = """
             AS dup_fraction
     FROM totals LEFT JOIN per_doc USING (doc_id)
 """
+
+# RAG retrieval composition (queries_ext.q_semantic_neighbors): exact
+# top-3 cosine neighbors joined to document metadata on vec_id = doc_id.
+EXT_ORACLES["q_semantic_neighbors"] = """
+    WITH topk AS (
+        SELECT
+            q.vec_id AS query_id,
+            c.vec_id AS neighbor_id,
+            CAST(row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(
+                    CAST(c.embedding AS DOUBLE[]),
+                    CAST(q.embedding AS DOUBLE[])) DESC,
+                c.vec_id ASC
+            ) AS INT) AS rank
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE c.vec_id != q.vec_id
+        QUALIFY rank <= 3
+    )
+    SELECT
+        topk.query_id,
+        topk.neighbor_id,
+        topk.rank,
+        d.lang AS neighbor_lang,
+        len(string_split(trim(d.text), ' '))::BIGINT AS neighbor_n_words
+    FROM topk
+    JOIN documents d ON d.doc_id = topk.neighbor_id
+"""

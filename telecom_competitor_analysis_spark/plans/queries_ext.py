@@ -388,6 +388,33 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, "vec_id", "embedding", k=10)
 
 
+def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval composition: ANN neighbors JOINED BACK to the
+    document table for the payload a retrieval-augmented pipeline
+    actually hands to the generator (here lang + word count; in
+    production the chunk text). vec_id ≡ doc_id by construction in the
+    testdata — the cross-modal key every embedding pipeline maintains.
+    Plan: exact top-3 cosine (broadcast queries × streamed corpus,
+    WindowGroupLimit top-k) then ONE broadcast-able equi-join on the
+    neighbor id — the metadata join touches k×|queries| rows, never the
+    corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    queries = emb.filter(F.col("vec_id") < 5)
+    topk = cosine_topk(emb, queries, "vec_id", "embedding", k=3)
+    meta = docs.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lang").alias("neighbor_lang"),
+        F.size(words(F.trim(F.col("text")))).cast("long").alias(
+            "neighbor_n_words"
+        ),
+    )
+    return topk.join(meta, on="neighbor_id").select(
+        "query_id", "neighbor_id", "rank", "neighbor_lang",
+        "neighbor_n_words",
+    )
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets (the 100 TB
     path: bucket join instead of full cross join). ORACLE-CHECKED since
@@ -2077,6 +2104,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_index_probe": q_ann_index_probe,
     "q_token_budget_fill": q_token_budget_fill,
     "q_dup_span_stats": q_dup_span_stats,
+    "q_semantic_neighbors": q_semantic_neighbors,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,
