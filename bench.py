@@ -106,6 +106,7 @@ HEADLINE_EXT = [
     "q_token_budget_fill",
     "q_dup_span_stats",
     "q_semantic_neighbors",
+    "q_recursive_hierarchy",
 ]
 
 

@@ -2369,3 +2369,19 @@ EXT_ORACLES["q_semantic_neighbors"] = """
     FROM topk
     JOIN documents d ON d.doc_id = topk.neighbor_id
 """
+
+# Recursive-CTE hierarchy walk (queries_ext.q_recursive_hierarchy):
+# byte-identical SQL to the Spark form — the recursion is a DAG walk,
+# so UNION ALL semantics agree across engines.
+EXT_ORACLES["q_recursive_hierarchy"] = """
+    WITH RECURSIVE anc AS (
+        SELECT p_partkey AS key, p_partkey AS root, 0 AS depth
+        FROM part WHERE p_partkey < 10
+        UNION ALL
+        SELECT c.p_partkey, a.root, a.depth + 1
+        FROM part c
+        JOIN anc a ON CAST(FLOOR(c.p_partkey / 10) AS BIGINT) = a.key
+        WHERE c.p_partkey >= 10
+    )
+    SELECT key, root, CAST(depth AS INT) AS depth FROM anc
+"""

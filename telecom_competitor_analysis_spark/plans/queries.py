@@ -1138,6 +1138,7 @@ VERIFY_PRIORITY = [
     "q_token_budget_fill",
     "q_dup_span_stats",
     "q_semantic_neighbors",
+    "q_recursive_hierarchy",
     # tier 3 — the 9 r3-greens displaced from the r5 window by the
     # late-round-5 additions (r5 VERDICT item 2)
     "q_scd2_history",
@@ -1170,7 +1171,7 @@ VERIFY_PRIORITY = [
     "q_text_stats",
     "q_token_count",
     "q_unpivot",
-    # tier 3c — oldest r4 greens, round-robin re-verification (11 fill
+    # tier 3c — oldest r4 greens, round-robin re-verification (10 fill
     # the window to exactly 50)
     "q_sessionize",
     "q_embedding_outlier",
@@ -1182,9 +1183,9 @@ VERIFY_PRIORITY = [
     "q_string_agg",
     "q_median",
     "q_udaf_weighted",
-    "q_max_by",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # Remaining r4 greens (byte-identical code) — next in line for r7.
+    "q_max_by",
     "q_embedding_lsh_topk",
     "q_embedding_ivf_topk",
     "q_simhash64",

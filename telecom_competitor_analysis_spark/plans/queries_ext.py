@@ -415,6 +415,36 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE (new in Spark 4 — SPARK-24497): variable-depth
+    hierarchy walk over the deterministic part-key forest (parent =
+    floor(key/10); keys < 10 are roots), emitting every node's root and
+    depth. The declarative iteration primitive next to the driver-loop
+    forms (dedup_clusters pointer doubling, pagerank unrolling) — right
+    where the recursion is a DAG walk whose per-level frontier is the
+    natural unit of work. Spark executes each level as one join over
+    the previous frontier (UNION ALL semantics; the engine rejects
+    UNION-dedup recursion, so cyclic propagations stay on the
+    driver-loop operators — exactly the guidance this query's test
+    documents). Identical SQL runs on DuckDB as the oracle."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey")
+    part.createOrReplaceTempView("tcas_part_v")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS key, p_partkey AS root, 0 AS depth
+            FROM tcas_part_v WHERE p_partkey < 10
+            UNION ALL
+            SELECT c.p_partkey, a.root, a.depth + 1
+            FROM tcas_part_v c
+            JOIN anc a ON CAST(FLOOR(c.p_partkey / 10) AS BIGINT) = a.key
+            WHERE c.p_partkey >= 10
+        )
+        SELECT key, root, CAST(depth AS INT) AS depth FROM anc
+        """
+    )
+
+
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets (the 100 TB
     path: bucket join instead of full cross join). ORACLE-CHECKED since
@@ -2105,6 +2135,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_token_budget_fill": q_token_budget_fill,
     "q_dup_span_stats": q_dup_span_stats,
     "q_semantic_neighbors": q_semantic_neighbors,
+    "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,

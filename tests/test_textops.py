@@ -267,3 +267,33 @@ def test_dup_span_stats_merges_overlapping_spans(spark):
     assert got[1] == (1, 5, 9)
     assert got[2] == (1, 5, 9)
     assert got[3] == (0, 0, 9)
+
+
+def test_recursive_hierarchy_depths_and_union_guard(spark, sf_dir):
+    """q_recursive_hierarchy: every part key reaches a sub-10 root in
+    floor(log10(key)) hops. Also pins WHY cyclic min-label propagation
+    stays a driver-loop operator: Spark's recursive CTE rejects
+    UNION-dedup recursion (UNION ALL on a cyclic graph would not
+    terminate), so dedup_clusters' pointer doubling is the right form."""
+    import math
+
+    import pytest as _pytest
+
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q_recursive_hierarchy"](spark, sf_dir).collect()
+    got = {r.key: (r.root, r.depth) for r in rows}
+    for key, (root, depth) in list(got.items())[:200]:
+        assert root < 10
+        assert depth == (0 if key < 10 else int(math.log10(key)))
+        k = key
+        while k >= 10:
+            k //= 10
+        assert k == root
+    # engine guard: UNION (dedup) recursion is rejected, not silently run
+    with _pytest.raises(Exception, match="UNION_NOT_SUPPORTED_IN_RECURSIVE"):
+        spark.sql(
+            "WITH RECURSIVE r(n) AS ("
+            " SELECT 1 UNION SELECT n + 1 FROM r WHERE n < 3"
+            ") SELECT * FROM r"
+        ).collect()
