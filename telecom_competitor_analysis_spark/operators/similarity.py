@@ -152,6 +152,23 @@ def ivf_assign(
     )
 
 
+def _pick_anchors(
+    corpus: DataFrame, id_col: str, vec_col: str, n_anchors: int
+) -> DataFrame:
+    """The SINGLE anchor-selection policy (lowest-id corpus vectors —
+    deterministic, no training step), shared by the inline IVF path and
+    the materialized index build so the two quantizations can never
+    desynchronize (their oracles pin the same buckets)."""
+    return (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_anchors)
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            F.col(vec_col).alias("anchor_vec"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -165,14 +182,7 @@ def ivf_topk(
     deterministic, no training step), score only within the query's
     bucket. The 100 TB path alternative to random-hyperplane LSH: bucket
     count tunes the candidate fraction to ~1/n_anchors."""
-    anchors = F.broadcast(
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_anchors)
-        .select(
-            F.col(id_col).alias("anchor_id"),
-            F.col(vec_col).alias("anchor_vec"),
-        )
-    )
+    anchors = F.broadcast(_pick_anchors(corpus, id_col, vec_col, n_anchors))
     c = ivf_assign(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
@@ -325,14 +335,7 @@ def build_ivf_index(
     queries hash to (the bucket is a real partition column, so the
     broadcast probe join triggers dynamic partition pruning — the scan
     never touches unprobed buckets)."""
-    anchors = (
-        corpus.orderBy(F.col(id_col).asc())
-        .limit(n_anchors)
-        .select(
-            F.col(id_col).alias("anchor_id"),
-            F.col(vec_col).alias("anchor_vec"),
-        )
-    )
+    anchors = _pick_anchors(corpus, id_col, vec_col, n_anchors)
     anchors.write.mode("overwrite").parquet(f"{path}/anchors")
     assigned = ivf_assign(
         corpus.select(

@@ -43,7 +43,7 @@ TASK_SPEC: dict[str, Any] = {
         "retry_delay_minutes": 1,
     },
     "tasks": {
-        "scrape": {"operator": "python"},
+        "scrape": {"operator": "python", "callable": "scrape_collectors"},
         "clean_and_load": {
             "operator": "spark_submit",
             "application": (
@@ -58,6 +58,21 @@ TASK_SPEC: dict[str, Any] = {
     },
     # edges as (upstream, downstream) pairs
     "dependencies": [("scrape", "clean_and_load")],
+}
+
+
+def _scrape_collectors(**_: Any) -> None:
+    # extraction stays outside the engine: Playwright/BS4 collectors
+    # write bronze {"products": [...]} docs
+    # (reference dags/scrape_dag.py:29-46). Plug in here.
+    raise NotImplementedError("wire the site collectors here")
+
+
+# python-operator callables resolved BY NAME from the spec — a python
+# task whose `callable` is missing or unknown fails at DAG-build time,
+# never silently wires to the wrong function
+PYTHON_CALLABLES: dict[str, Any] = {
+    "scrape_collectors": _scrape_collectors,
 }
 
 
@@ -88,18 +103,12 @@ def build_dag(dag_id: str | None = None) -> Any:
         catchup=spec["catchup"],
         default_args=default_args,
     ) as dag:
-
-        def _scrape(**_: Any) -> None:
-            # extraction stays outside the engine: Playwright/BS4
-            # collectors write bronze {"products": [...]} docs
-            # (reference dags/scrape_dag.py:29-46). Plug in here.
-            raise NotImplementedError("wire the site collectors here")
-
         built: dict[str, Any] = {}
         for task_id, t in spec["tasks"].items():
             if t["operator"] == "python":
                 built[task_id] = PythonOperator(
-                    task_id=task_id, python_callable=_scrape
+                    task_id=task_id,
+                    python_callable=PYTHON_CALLABLES[t["callable"]],
                 )
             else:
                 built[task_id] = SparkSubmitOperator(

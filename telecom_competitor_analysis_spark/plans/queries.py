@@ -1111,12 +1111,15 @@ QUERIES.update(EXT_QUERIES)
 # extension surface (50 green), r4 the changed/new operators + oldest
 # rotations (50 green), r5 the changed dedup/percentile/rebalance
 # consumers + 8 new oracles + r1 stragglers (50 green). Round 6's
-# window: the 6 queries whose plans changed this round (materialized
-# pair graph, bucketed cogroup, pivot cap), the 2 new oracles
-# (q_dedup_incremental, q_ann_index_probe), the 28 r3-green queries the
-# r5 VERDICT flagged as the oldest debt (9 tier-3b + 19 scalar
-# cleaners), and 14 of the oldest r4 greens — after r6 no
-# oracle-checkable query's newest green is older than r4.
+# window (6 + 6 + 28 + 10 = 50): the 6 queries whose plans changed
+# this round (materialized pair graph, bucketed cogroup, pivot cap),
+# the 6 new oracles (q_dedup_incremental, q_ann_index_probe,
+# q_token_budget_fill, q_dup_span_stats, q_semantic_neighbors,
+# q_recursive_hierarchy), the 28 r3-green queries the r5 VERDICT
+# flagged as the oldest debt (9 tier-3b + 19 scalar cleaners), and 10
+# of the oldest r4 greens (4 more r4 greens yielded their slots to the
+# late-round additions) — after r6 no oracle-checkable query's newest
+# green is older than r4.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 

@@ -93,23 +93,31 @@ def _materialized(spark, sf_dir: str, tag: str, table: str, build) -> str:
     root = os.path.join(tempfile.gettempdir(), "tcas_materialized")
     path = os.path.join(root, f"{tag}_{fp[:16]}")
     marker = os.path.join(path, "_FINGERPRINT")
-    if os.path.exists(marker) and open(marker).read() == fp:
+
+    def _complete() -> bool:
+        return os.path.exists(marker) and open(marker).read() == fp
+
+    if _complete():
         return path
-    staging = f"{path}.build-{os.getpid()}"
-    shutil.rmtree(staging, ignore_errors=True)
-    os.makedirs(staging)
+    os.makedirs(root, exist_ok=True)
+    # mkdtemp → unique per builder (thread- AND process-safe staging)
+    staging = tempfile.mkdtemp(prefix=f"{tag}_{fp[:16]}.build-", dir=root)
     try:
         build(staging)
         with open(os.path.join(staging, "_FINGERPRINT"), "w") as fh:
             fh.write(fp)
-        shutil.rmtree(path, ignore_errors=True)  # stale fingerprint only
-        try:
-            os.rename(staging, path)
-        except OSError:
-            # lost the race to a concurrent builder of the same
-            # fingerprint — its artifact is byte-equivalent; keep it
-            if not os.path.exists(marker):
-                raise
+        # a COMPLETE artifact at `path` is never deleted — a concurrent
+        # builder of the same fingerprint may have finished first, and
+        # its artifact is identical by construction: keep it. Only
+        # marker-less debris (a crashed build that never returned to
+        # any caller) is cleared before the rename.
+        if not _complete():
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.rename(staging, path)
+            except OSError:
+                if not _complete():
+                    raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return path

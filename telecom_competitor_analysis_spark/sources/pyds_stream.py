@@ -25,7 +25,7 @@ Registration:
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import date, datetime, timedelta, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
 )
 
 _BASE_EPOCH = 1_700_000_000  # fixed: rows are a pure function of offset
+_BASE_DATE = date(2023, 11, 1)  # products feed day-0 scrape date
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -130,7 +131,9 @@ class SyntheticProductsStreamReader(SimpleDataSourceStreamReader):
                     "mobile" if p % 2 == 0 else "internet",
                     f"https://example.test/plan_{p}",
                     price,
-                    f"2023-11-{day + 1:02d}",
+                    # real date arithmetic — day 30+ must roll into
+                    # December, not fabricate '2023-11-31'
+                    (_BASE_DATE + timedelta(days=day)).isoformat(),
                     float(10 * (p + 1)),
                     -1.0 if p == 0 else float(100 * (p + 1)),
                     500 + 10 * p,

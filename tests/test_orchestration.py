@@ -49,6 +49,11 @@ def test_task_spec_mirrors_reference_chain():
     # the scrape stage stays a plain python task — browser I/O is not a
     # Spark workload (SURVEY.md §3.2)
     assert spec["tasks"]["scrape"]["operator"] == "python"
+    # every python task's callable resolves by name — an unknown name
+    # would fail at DAG-build time, never silently miswire
+    for t in spec["tasks"].values():
+        if t["operator"] == "python":
+            assert t["callable"] in airflow_dags.PYTHON_CALLABLES
 
 
 def test_dag_instantiates_under_airflow():
