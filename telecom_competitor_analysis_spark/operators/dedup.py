@@ -328,6 +328,32 @@ def minhash_est_pairs(
     )
 
 
+def _simhash_bit_sums(n_bits: int) -> list:
+    """The per-bit ±1 sum aggregates, built as ONE parsed SQL string per
+    bit instead of ~7 composed Column objects: py4j plan-construction
+    cost is real (NOTES) — the composed form cost ~2 s PER QUERY BUILD
+    at 64 bits, the parsed form ~0.4 s, byte-identical plans."""
+    in_list = ", ".join(f"'{h}'" for h in HEX_HIGH_NIBBLES)
+    return [
+        F.expr(
+            f"sum(CASE WHEN substring(wh, {i + 1}, 1) IN ({in_list}) "
+            "THEN 1 ELSE -1 END)"
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+
+
+def _simhash_sig(n_bits: int):
+    return F.expr(
+        "concat("
+        + ", ".join(
+            f"CASE WHEN s{i} >= 0 THEN '1' ELSE '0' END"
+            for i in range(n_bits)
+        )
+        + ")"
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash: bit i = sign of Σ over words of (±1 by the high bit
     of md5 nibble i). Exact integer sums → fully deterministic; emitted as
@@ -337,22 +363,8 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(words(F.trim(F.col(text_col)))).alias("w"),
     ).select(F.col(id_col), F.md5(F.col("w")).alias("wh"))
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.substring(F.col("wh"), i + 1, 1).isin(*HEX_HIGH_NIBBLES), 1
-            ).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(16)
-    ]
-    summed = tokens.groupBy(id_col).agg(*bit_sums)
-    sig = F.concat(
-        *[
-            F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(16)
-        ]
-    )
-    return summed.select(F.col(id_col), sig.alias("simhash"))
+    summed = tokens.groupBy(id_col).agg(*_simhash_bit_sums(16))
+    return summed.select(F.col(id_col), _simhash_sig(16).alias("simhash"))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -376,22 +388,8 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("wh"),
         )
     )
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.substring(F.col("wh"), i + 1, 1).isin(*HEX_HIGH_NIBBLES), 1
-            ).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(64)
-    ]
-    summed = tokens.groupBy(id_col).agg(*bit_sums)
-    sig = F.concat(
-        *[
-            F.when(F.col(f"s{i}") >= 0, F.lit("1")).otherwise(F.lit("0"))
-            for i in range(64)
-        ]
-    )
-    return summed.select(F.col(id_col), sig.alias("simhash"))
+    summed = tokens.groupBy(id_col).agg(*_simhash_bit_sums(64))
+    return summed.select(F.col(id_col), _simhash_sig(64).alias("simhash"))
 
 
 def simhash_candidate_pairs(
