@@ -364,3 +364,43 @@ def test_materialized_artifact_cache(spark, tmp_path):
     os.remove(f"{p3}/_FINGERPRINT")
     p4 = _materialized(spark, str(sf), "probe", "documents", build)
     assert p4 == p3 and len(calls) == 3
+
+
+def test_materialized_keeps_concurrent_winner(spark, tmp_path):
+    """Lost-race semantics: if a concurrent builder of the SAME
+    fingerprint completes while our build is in flight, our rename must
+    KEEP the winner's artifact (identical by construction) — never
+    delete or replace a completed artifact."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.plans import queries_ext as qe
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame({"doc_id": [1], "text": ["a"]}).to_parquet(
+        sf / "documents.parquet"
+    )
+    fp = hashlib.md5(
+        f"race|{os.path.abspath(sf)}|{qe._source_stat(str(sf), 'documents')}"
+        .encode()
+    ).hexdigest()
+    import tempfile as _tf
+
+    winner = os.path.join(
+        _tf.gettempdir(), "tcas_materialized", f"race_{fp[:16]}"
+    )
+
+    def build(path):
+        # simulate the concurrent winner landing mid-build
+        os.makedirs(winner, exist_ok=True)
+        pd.DataFrame({"x": ["winner"]}).to_parquet(f"{winner}/t.parquet")
+        with open(f"{winner}/_FINGERPRINT", "w") as fh:
+            fh.write(fp)
+        pd.DataFrame({"x": ["loser"]}).to_parquet(f"{path}/t.parquet")
+
+    got = qe._materialized(spark, str(sf), "race", "documents", build)
+    assert got == winner
+    assert pd.read_parquet(f"{winner}/t.parquet").x.iloc[0] == "winner"
