@@ -107,6 +107,7 @@ HEADLINE_EXT = [
     "q_dup_span_stats",
     "q_semantic_neighbors",
     "q_recursive_hierarchy",
+    "q_gopher_rules",
 ]
 
 

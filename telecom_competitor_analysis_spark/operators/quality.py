@@ -154,3 +154,66 @@ def decontaminate(
         .groupBy("corpus_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 30,
+    max_words: int = 10_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_stopwords: int = 2,
+    max_top_word_fraction: float = 0.2,
+    min_distinct_fraction: float = 0.3,
+    max_dup_bigram_fraction: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document screening (Rae et al. 2021 §A1.1.2, the
+    rule family every LLM-data pipeline reimplements): per document,
+    one boolean per rule plus the conjunction — word-count band, mean
+    word length band, minimum stop-word occurrences, most-frequent-word
+    share cap, distinct-word floor, duplicate-bigram cap. Emitting the
+    per-rule booleans (not just the verdict) is deliberate: rule-level
+    pass rates are the dataset-health dashboard that says WHICH screen
+    is eating the corpus.
+
+    Scale shape: repetition_signals' two partial-agg pipelines plus one
+    map-only projection (stop-word count, character sum), joined
+    id-to-id — per-doc work O(doc length), nothing corpus-quadratic."""
+    from telecom_competitor_analysis_spark.functions.text import (
+        stopword_count,
+        sum_word_len,
+    )
+
+    rep = repetition_signals(df, id_col, text_col)
+    base = df.select(
+        F.col(id_col),
+        sum_word_len(F.trim(F.col(text_col))).alias("__swl"),
+        stopword_count(F.trim(F.col(text_col))).alias("__stop"),
+    )
+    j = rep.join(base, on=id_col)
+    mean_wl = F.col("__swl").cast("double") / F.col("n_words")
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (mean_wl >= min_mean_word_len)
+        & (mean_wl <= max_mean_word_len),
+        "r_stopwords": F.col("__stop") >= min_stopwords,
+        "r_top_word": F.col("top_word_fraction") <= max_top_word_fraction,
+        "r_distinct": (
+            F.col("n_distinct_words").cast("double") / F.col("n_words")
+        )
+        >= min_distinct_fraction,
+        "r_dup_bigrams": F.col("dup_bigram_fraction")
+        <= max_dup_bigram_fraction,
+    }
+    passes = None
+    for c in rules.values():
+        passes = c if passes is None else (passes & c)
+    return j.select(
+        F.col(id_col),
+        F.col("n_words"),
+        *[c.alias(name) for name, c in rules.items()],
+        passes.alias("passes"),
+    )

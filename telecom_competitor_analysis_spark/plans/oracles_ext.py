@@ -2385,3 +2385,83 @@ EXT_ORACLES["q_recursive_hierarchy"] = """
     )
     SELECT key, root, CAST(depth AS INT) AS depth FROM anc
 """
+
+# Gopher screening rules (queries_ext.q_gopher_rules): word/bigram CTEs
+# identical to the q_quality_repetition oracle; rule thresholds inline.
+EXT_ORACLES["q_gopher_rules"] = """
+    WITH w AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    wc AS (
+        SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+    ),
+    ws AS (
+        SELECT
+            doc_id,
+            CAST(SUM(c) AS BIGINT) AS n_words,
+            COUNT(*)::BIGINT AS n_distinct_words,
+            MAX(c)::BIGINT AS top_word_count
+        FROM wc
+        GROUP BY doc_id
+    ),
+    t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS b
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+    ),
+    bs AS (
+        SELECT
+            doc_id,
+            COUNT(*)::BIGINT AS n_bigrams,
+            COUNT(DISTINCT b)::BIGINT AS n_distinct_bigrams
+        FROM bg
+        GROUP BY doc_id
+    ),
+    base AS (
+        SELECT
+            doc_id,
+            CAST(list_sum(list_transform(string_split(trim(text), ' '),
+                x -> length(x))) AS BIGINT) AS swl,
+            len(list_filter(string_split(trim(text), ' '),
+                x -> lower(x) IN ('the','a','of','and','to','in','is')))
+                ::BIGINT AS stop
+        FROM documents
+    ),
+    scored AS (
+        SELECT
+            ws.doc_id,
+            ws.n_words,
+            ws.n_distinct_words,
+            CAST(ws.top_word_count AS DOUBLE) / ws.n_words AS twf,
+            CASE WHEN COALESCE(bs.n_bigrams, 0) > 0
+                 THEN CAST(bs.n_bigrams - bs.n_distinct_bigrams AS DOUBLE)
+                      / bs.n_bigrams
+                 ELSE 0.0 END AS dbf,
+            base.swl,
+            base.stop
+        FROM ws
+        LEFT JOIN bs USING (doc_id)
+        JOIN base USING (doc_id)
+    )
+    SELECT
+        doc_id,
+        n_words,
+        (n_words >= 30 AND n_words <= 10000) AS r_word_count,
+        (CAST(swl AS DOUBLE) / n_words >= 3.0
+         AND CAST(swl AS DOUBLE) / n_words <= 10.0) AS r_mean_word_len,
+        (stop >= 2) AS r_stopwords,
+        (twf <= 0.2) AS r_top_word,
+        (CAST(n_distinct_words AS DOUBLE) / n_words >= 0.3) AS r_distinct,
+        (dbf <= 0.3) AS r_dup_bigrams,
+        ((n_words >= 30 AND n_words <= 10000)
+         AND (CAST(swl AS DOUBLE) / n_words >= 3.0
+              AND CAST(swl AS DOUBLE) / n_words <= 10.0)
+         AND (stop >= 2)
+         AND (twf <= 0.2)
+         AND (CAST(n_distinct_words AS DOUBLE) / n_words >= 0.3)
+         AND (dbf <= 0.3)) AS passes
+    FROM scored
+"""

@@ -423,6 +423,21 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document screening rules
+    (operators/quality.py::gopher_rules): six named boolean rules +
+    the conjunction, per doc — the rule-level health dashboard of the
+    quality gate (which screen is eating the corpus), next to the
+    scalar signals of q_quality_repetition and the composite keep/drop
+    of q_corpus_curate."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text")
+
+
 def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE (new in Spark 4 — SPARK-24497): variable-depth
     hierarchy walk over the deterministic part-key forest (parent =
@@ -2144,6 +2159,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_span_stats": q_dup_span_stats,
     "q_semantic_neighbors": q_semantic_neighbors,
     "q_recursive_hierarchy": q_recursive_hierarchy,
+    "q_gopher_rules": q_gopher_rules,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,

@@ -90,3 +90,32 @@ def test_decontaminate_df_cap_drops_boilerplate(spark):
     assert capped.count() == 0
     uncapped = decontaminate(corpus, bench, "doc_id", "text", w=5, max_df=1000)
     assert uncapped.count() == 5
+
+
+def test_gopher_rules_planted_failures(spark):
+    """Each rule trips on its own planted pathology and reports the
+    OTHER rules independently (rule-level observability, not just a
+    verdict)."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog and then the " \
+        "fox runs far away into the deep green woods again today " \
+        "with many more fine words in a long enough document here"
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                 # passes all
+            (2, "short doc"),                          # word count
+            (3, "the " + "spam " * 60 + "a end"),      # top-word share
+            (4, " ".join(["the", "a"] * 30)),          # distinct floor
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs, "doc_id", "text").collect()}
+    assert got[1].passes
+    assert not got[2].r_word_count and not got[2].passes
+    # other rules still evaluated independently on the short doc
+    assert got[2].r_mean_word_len and got[2].r_dup_bigrams
+    assert not got[3].r_top_word and not got[3].passes
+    assert not got[4].r_distinct and not got[4].passes
