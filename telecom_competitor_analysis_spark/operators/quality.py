@@ -193,20 +193,33 @@ def gopher_rules(
         stopword_count(F.trim(F.col(text_col))).alias("__stop"),
     )
     j = rep.join(base, on=id_col)
+    # NULL-text docs arrive from repetition_signals as zero-signal rows
+    # (n_words=0, __swl/__stop NULL): every ratio rule is guarded on
+    # n_words > 0 (no ANSI divide-by-zero) and every rule coalesces a
+    # NULL verdict to False — an unscorable doc FAILS screens, it never
+    # sails through as NULL.
+    has_words = F.col("n_words") > 0
     mean_wl = F.col("__swl").cast("double") / F.col("n_words")
     rules = {
         "r_word_count": (F.col("n_words") >= min_words)
         & (F.col("n_words") <= max_words),
-        "r_mean_word_len": (mean_wl >= min_mean_word_len)
-        & (mean_wl <= max_mean_word_len),
+        "r_mean_word_len": F.when(
+            has_words,
+            (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+        ),
         "r_stopwords": F.col("__stop") >= min_stopwords,
         "r_top_word": F.col("top_word_fraction") <= max_top_word_fraction,
-        "r_distinct": (
-            F.col("n_distinct_words").cast("double") / F.col("n_words")
-        )
-        >= min_distinct_fraction,
+        "r_distinct": F.when(
+            has_words,
+            (F.col("n_distinct_words").cast("double") / F.col("n_words"))
+            >= min_distinct_fraction,
+        ),
         "r_dup_bigrams": F.col("dup_bigram_fraction")
         <= max_dup_bigram_fraction,
+    }
+    rules = {
+        name: F.coalesce(c.cast("boolean"), F.lit(False))
+        for name, c in rules.items()
     }
     passes = None
     for c in rules.values():

@@ -2456,12 +2456,16 @@ EXT_ORACLES["q_gopher_rules"] = """
         (twf <= 0.2) AS r_top_word,
         (CAST(n_distinct_words AS DOUBLE) / n_words >= 0.3) AS r_distinct,
         (dbf <= 0.3) AS r_dup_bigrams,
-        ((n_words >= 30 AND n_words <= 10000)
-         AND (CAST(swl AS DOUBLE) / n_words >= 3.0
-              AND CAST(swl AS DOUBLE) / n_words <= 10.0)
-         AND (stop >= 2)
-         AND (twf <= 0.2)
-         AND (CAST(n_distinct_words AS DOUBLE) / n_words >= 0.3)
-         AND (dbf <= 0.3)) AS passes
+        -- lateral column aliases: ONE copy of each threshold
+        (r_word_count AND r_mean_word_len AND r_stopwords
+         AND r_top_word AND r_distinct AND r_dup_bigrams) AS passes
     FROM scored
+    UNION ALL
+    -- NULL-text docs (zero-signal rows in repetition_signals): every
+    -- guarded/NULL rule coalesces to FALSE on the Spark side; the two
+    -- zero-fraction rules (top-word 0.0, dup-bigram 0.0) hold
+    SELECT
+        doc_id, 0, FALSE, FALSE, FALSE, TRUE, FALSE, TRUE, FALSE
+    FROM documents
+    WHERE text IS NULL
 """

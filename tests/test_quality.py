@@ -109,10 +109,15 @@ def test_gopher_rules_planted_failures(spark):
             (2, "short doc"),                          # word count
             (3, "the " + "spam " * 60 + "a end"),      # top-word share
             (4, " ".join(["the", "a"] * 30)),          # distinct floor
+            (5, None),                                 # NULL text
         ],
         "doc_id long, text string",
     )
     got = {r.doc_id: r for r in gopher_rules(docs, "doc_id", "text").collect()}
+    # NULL text: scored (not dropped), never crashes the ANSI divide,
+    # and FAILS the screens (guarded rules coalesce to False)
+    assert 5 in got and not got[5].passes and not got[5].r_word_count
+    assert got[5].r_top_word and got[5].r_dup_bigrams  # 0.0 fractions hold
     assert got[1].passes
     assert not got[2].r_word_count and not got[2].passes
     # other rules still evaluated independently on the short doc
