@@ -230,3 +230,14 @@ def test_token_budget_fill_single_exchange(spark, sf_dir):
     plan = _plan(QUERIES["q_token_budget_fill"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+
+
+def test_gopher_rules_exchange_inventory(spark, sf_dir):
+    """gopher_rules = repetition_signals' two agg pipelines plus a
+    map-only projection: exactly 3 hash exchanges ((id,word) counts,
+    bigram window, final id join side), hash aggregation throughout,
+    no cartesian."""
+    plan = _plan(QUERIES["q_gopher_rules"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
