@@ -108,6 +108,7 @@ HEADLINE_EXT = [
     "q_semantic_neighbors",
     "q_recursive_hierarchy",
     "q_gopher_rules",
+    "q_perplexity_mix",
 ]
 
 

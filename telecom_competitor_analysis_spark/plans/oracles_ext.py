@@ -2469,3 +2469,40 @@ EXT_ORACLES["q_gopher_rules"] = """
     FROM documents
     WHERE text IS NULL
 """
+
+
+# Quality-stratified mix (queries_ext.q_perplexity_mix): exact quartile
+# cutoffs of the bigram-LM score (quantile_cont == F.percentile), bucket
+# by CASE, per-bucket average summed in integer micro-units.
+EXT_ORACLES["q_perplexity_mix"] = f"""
+    WITH scored AS (
+        SELECT * FROM ({EXT_ORACLES["q_bigram_lm"]})
+    ),
+    cuts AS (
+        SELECT
+            quantile_cont(avg_logp, 0.25) AS q1,
+            quantile_cont(avg_logp, 0.5) AS q2,
+            quantile_cont(avg_logp, 0.75) AS q3
+        FROM scored
+    ),
+    bucketed AS (
+        SELECT
+            n_bigrams,
+            CAST(round(avg_logp * 1000000.0, 0) AS BIGINT) AS score_micro,
+            CAST(CASE
+                WHEN avg_logp <= q1 THEN 1
+                WHEN avg_logp <= q2 THEN 2
+                WHEN avg_logp <= q3 THEN 3
+                ELSE 4 END AS INT) AS bucket
+        FROM scored, cuts
+    )
+    SELECT
+        bucket,
+        COUNT(*)::BIGINT AS n_docs,
+        CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+        round(
+            CAST(SUM(score_micro) AS DOUBLE) / (COUNT(*) * 1000000.0), 6
+        ) AS avg_score
+    FROM bucketed
+    GROUP BY bucket
+"""

@@ -1143,6 +1143,7 @@ VERIFY_PRIORITY = [
     "q_semantic_neighbors",
     "q_recursive_hierarchy",
     "q_gopher_rules",
+    "q_perplexity_mix",
     # tier 3 — the 9 r3-greens displaced from the r5 window by the
     # late-round-5 additions (r5 VERDICT item 2)
     "q_scd2_history",
@@ -1175,7 +1176,7 @@ VERIFY_PRIORITY = [
     "q_text_stats",
     "q_token_count",
     "q_unpivot",
-    # tier 3c — oldest r4 greens, round-robin re-verification (9 fill
+    # tier 3c — oldest r4 greens, round-robin re-verification (8 fill
     # the window to exactly 50)
     "q_sessionize",
     "q_embedding_outlier",
@@ -1185,9 +1186,9 @@ VERIFY_PRIORITY = [
     "q_stream_join",
     "q_range_join",
     "q_string_agg",
-    "q_median",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # Remaining r4 greens (byte-identical code) — next in line for r7.
+    "q_median",
     "q_udaf_weighted",
     "q_max_by",
     "q_embedding_lsh_topk",

@@ -423,6 +423,53 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-stratified corpus mix (the CCNet head/middle/tail move,
+    one bucket finer): documents bucketed by exact quartiles of their
+    bigram-LM score, reported as (bucket, n_docs, total_bigrams,
+    avg_score) — the table a data-mix decision reads before assigning
+    sampling weights per quality band.
+
+    Scale shape: quartile CUTOFFS come from a 3-value percentile
+    aggregate broadcast back for a map-side CASE — NOT a global
+    ntile() window, whose single-partition sort of every score is the
+    anti-pattern at corpus scale. The per-bucket average is summed in
+    integer micro-units (scores are already round(x, 6)) so the
+    aggregate is shuffle-order-exact."""
+    from telecom_competitor_analysis_spark.operators.lm import (
+        bigram_lm_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = bigram_lm_scores(docs, "doc_id", "text")
+    cuts = scores.agg(
+        F.percentile(F.col("avg_logp"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("avg_logp"), F.lit(0.5)).alias("q2"),
+        F.percentile(F.col("avg_logp"), F.lit(0.75)).alias("q3"),
+    )
+    bucketed = scores.crossJoin(F.broadcast(cuts)).select(
+        "n_bigrams",
+        F.round(F.col("avg_logp") * 1_000_000.0, 0)
+        .cast("bigint")
+        .alias("score_micro"),
+        F.when(F.col("avg_logp") <= F.col("q1"), 1)
+        .when(F.col("avg_logp") <= F.col("q2"), 2)
+        .when(F.col("avg_logp") <= F.col("q3"), 3)
+        .otherwise(4)
+        .cast("int")
+        .alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.round(
+            F.sum("score_micro").cast("double")
+            / (F.count(F.lit(1)) * 1_000_000.0),
+            6,
+        ).alias("avg_score"),
+    )
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style per-document screening rules
     (operators/quality.py::gopher_rules): six named boolean rules +
@@ -2160,6 +2207,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_neighbors": q_semantic_neighbors,
     "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_gopher_rules": q_gopher_rules,
+    "q_perplexity_mix": q_perplexity_mix,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,
