@@ -109,6 +109,7 @@ HEADLINE_EXT = [
     "q_recursive_hierarchy",
     "q_gopher_rules",
     "q_perplexity_mix",
+    "q_star_join",
 ]
 
 

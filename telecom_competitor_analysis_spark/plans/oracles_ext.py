@@ -2506,3 +2506,25 @@ EXT_ORACLES["q_perplexity_mix"] = f"""
     FROM bucketed
     GROUP BY bucket
 """
+
+# TPC-H Q5-shaped star join (queries_ext.q_star_join): same FK chain,
+# same local-supplier constraint, per-row-rounded integer cents.
+EXT_ORACLES["q_star_join"] = """
+    SELECT
+        n.n_name,
+        CAST(SUM(CAST(round(
+            l.l_extendedprice * (1.0 - l.l_discount) * 100.0, 0
+        ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        COUNT(*)::BIGINT AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+"""

@@ -1144,6 +1144,7 @@ VERIFY_PRIORITY = [
     "q_recursive_hierarchy",
     "q_gopher_rules",
     "q_perplexity_mix",
+    "q_star_join",
     # tier 3 — the 9 r3-greens displaced from the r5 window by the
     # late-round-5 additions (r5 VERDICT item 2)
     "q_scd2_history",
@@ -1176,7 +1177,7 @@ VERIFY_PRIORITY = [
     "q_text_stats",
     "q_token_count",
     "q_unpivot",
-    # tier 3c — oldest r4 greens, round-robin re-verification (8 fill
+    # tier 3c — oldest r4 greens, round-robin re-verification (7 fill
     # the window to exactly 50)
     "q_sessionize",
     "q_embedding_outlier",
@@ -1185,9 +1186,9 @@ VERIFY_PRIORITY = [
     "q_hopping_window",
     "q_stream_join",
     "q_range_join",
-    "q_string_agg",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # Remaining r4 greens (byte-identical code) — next in line for r7.
+    "q_string_agg",
     "q_median",
     "q_udaf_weighted",
     "q_max_by",

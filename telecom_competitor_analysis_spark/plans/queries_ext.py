@@ -423,6 +423,49 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table star join (region → nation → customer
+    → orders → lineitem → supplier, with the local-supplier constraint
+    c_nationkey = s_nationkey): revenue by nation for ASIA orders
+    placed in 1995 — the classic join-REORDERING workload. Declared in
+    natural FK order and left entirely to Catalyst/AQE: the region
+    filter prunes at the scan, the two dim chains broadcast, and the
+    fact-fact join (orders ⋈ lineitem) is the only real shuffle; no
+    join hints anywhere, because a hinted order that is right at sf0.1
+    is wrong at 100 TB. Revenue in per-row-rounded integer cents so
+    the 6-way aggregate is shuffle-order-exact."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0,
+        0,
+    ).cast("bigint")
+    joined = (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(customer, customer.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            supplier,
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def q_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-stratified corpus mix (the CCNet head/middle/tail move,
     one bucket finer): documents bucketed by exact quartiles of their
@@ -2208,6 +2251,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_recursive_hierarchy": q_recursive_hierarchy,
     "q_gopher_rules": q_gopher_rules,
     "q_perplexity_mix": q_perplexity_mix,
+    "q_star_join": q_star_join,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,

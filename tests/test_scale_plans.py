@@ -241,3 +241,14 @@ def test_gopher_rules_exchange_inventory(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 3
     assert "CartesianProduct" not in plan
     assert "SortAggregate" not in plan
+
+
+def test_star_join_broadcasts_dims_no_hints(spark, sf_dir):
+    """The six-table Q5 star join carries NO join hints (logical plan
+    hint-free — AQE owns the strategy at every scale) and locally
+    resolves the dim chains to broadcasts with no cartesian."""
+    df = QUERIES["q_star_join"](spark, sf_dir)
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
