@@ -56,14 +56,61 @@ EMBEDDING_DIM = 64
 # content is fully deterministic, so reuse can never change an answer.
 
 
+# Bump on ANY semantic change to a materialized artifact's layout that the
+# builder-module hash below would not capture (e.g. a format change done in
+# this file's build closures). Part of every fingerprint.
+ARTIFACT_SCHEMA_VERSION = "v2"
+
+# The modules whose code produces artifact CONTENT. A change to any of them
+# invalidates every cached artifact (a stale cache must never let an oracle
+# pass against bytes an older builder wrote — ADVICE r6).
+_BUILDER_MODULES = ("operators/dedup.py", "operators/similarity.py")
+
+
+def _code_version() -> str:
+    import hashlib
+    import os
+
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    h = hashlib.md5(ARTIFACT_SCHEMA_VERSION.encode())
+    for rel in _BUILDER_MODULES:
+        with open(os.path.join(pkg_root, rel), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def _cache_root() -> str:
+    """Artifact cache root: ``TCAS_MATERIALIZED_DIR`` if set, else a
+    per-user dir under the system tempdir (uid suffix — a world-writable
+    shared path would let another user's cache collide with or poison
+    ours)."""
+    import os
+    import tempfile
+
+    env = os.environ.get("TCAS_MATERIALIZED_DIR")
+    if env:
+        return env
+    uid = os.getuid() if hasattr(os, "getuid") else "nt"
+    return os.path.join(tempfile.gettempdir(), f"tcas_materialized-{uid}")
+
+
 def _source_stat(sf_dir: str, table: str) -> str:
     import os
 
     p = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(p):
-        parts = sorted(
-            os.path.join(p, f) for f in os.listdir(p) if not f.startswith(".")
-        )
+        # recurse: partitioned sources keep part files in subdirectories,
+        # and an in-place rewrite there does not touch the parent dir's
+        # stat — every data file must contribute (ADVICE r6)
+        parts = []
+        for root, dirs, files in os.walk(p):
+            dirs[:] = sorted(d for d in dirs if not d.startswith("."))
+            parts.extend(
+                os.path.join(root, f)
+                for f in files
+                if not f.startswith((".", "_"))
+            )
+        parts.sort()
     else:
         parts = [p]
     return "|".join(
@@ -71,10 +118,25 @@ def _source_stat(sf_dir: str, table: str) -> str:
     )
 
 
+def _fingerprint(sf_dir: str, tag: str, table: str) -> str:
+    import hashlib
+    import os
+
+    return hashlib.md5(
+        f"{tag}|{_code_version()}|{os.path.abspath(sf_dir)}"
+        f"|{_source_stat(sf_dir, table)}".encode()
+    ).hexdigest()
+
+
 def _materialized(spark, sf_dir: str, tag: str, table: str, build) -> str:
     """Return the path of the materialized artifact `tag` for `sf_dir`,
     building it via ``build(path)`` (which must WRITE parquet under the
     path) unless a fingerprint-matched build already exists.
+
+    The fingerprint covers the build parameters (tag), the BUILDER CODE
+    (hash of the operator modules + an explicit schema-version string —
+    a code change must never let a consumer read bytes an older builder
+    wrote), and the source parquet tree (recursive size/mtime).
 
     Crash/concurrency posture: the build lands in a process-private
     staging dir and is renamed into place in ONE atomic step with the
@@ -82,15 +144,12 @@ def _materialized(spark, sf_dir: str, tag: str, table: str, build) -> str:
     half-built artifact (the same rename-into-place discipline as
     writers.compact_gold). A concurrent builder that loses the rename
     race simply keeps the winner's identical-by-construction artifact."""
-    import hashlib
     import os
     import shutil
     import tempfile
 
-    fp = hashlib.md5(
-        f"{tag}|{os.path.abspath(sf_dir)}|{_source_stat(sf_dir, table)}".encode()
-    ).hexdigest()
-    root = os.path.join(tempfile.gettempdir(), "tcas_materialized")
+    fp = _fingerprint(sf_dir, tag, table)
+    root = _cache_root()
     path = os.path.join(root, f"{tag}_{fp[:16]}")
     marker = os.path.join(path, "_FINGERPRINT")
 

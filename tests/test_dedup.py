@@ -366,12 +366,57 @@ def test_materialized_artifact_cache(spark, tmp_path):
     assert p4 == p3 and len(calls) == 3
 
 
+def test_materialized_invalidates_on_code_and_env_root(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r6: (a) the fingerprint carries a builder-code component —
+    changing ARTIFACT_SCHEMA_VERSION (the explicit bump knob for semantic
+    changes the module hash can't see) must rebuild; (b) the cache root
+    honors TCAS_MATERIALIZED_DIR; (c) _source_stat walks partitioned
+    sources recursively, so an in-place part-file rewrite inside a
+    partition subdir changes the fingerprint."""
+    import os
+
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.plans import queries_ext as qe
+
+    sf = tmp_path / "sf"
+    part = sf / "documents.parquet" / "lang=en"
+    part.mkdir(parents=True)
+    pd.DataFrame({"doc_id": [1], "text": ["a"]}).to_parquet(
+        part / "part-0.parquet"
+    )
+    monkeypatch.setenv("TCAS_MATERIALIZED_DIR", str(tmp_path / "cache"))
+    calls = []
+
+    def build(path):
+        calls.append(path)
+        pd.DataFrame({"x": [len(calls)]}).to_parquet(f"{path}/t.parquet")
+
+    p1 = qe._materialized(spark, str(sf), "probe", "documents", build)
+    assert p1.startswith(str(tmp_path / "cache")) and len(calls) == 1
+
+    # builder-code change → different fingerprint → rebuild
+    monkeypatch.setattr(qe, "ARTIFACT_SCHEMA_VERSION", "test-bump")
+    p2 = qe._materialized(spark, str(sf), "probe", "documents", build)
+    assert p2 != p1 and len(calls) == 2
+
+    # in-place rewrite of a nested part file (parent dir stat unchanged
+    # is exactly the hazard) → fingerprint must change
+    stat_before = qe._source_stat(str(sf), "documents")
+    pd.DataFrame({"doc_id": [1], "text": ["CHANGED"]}).to_parquet(
+        part / "part-0.parquet"
+    )
+    os.utime(sf / "documents.parquet")  # normalize parent dir mtime noise
+    assert qe._source_stat(str(sf), "documents") != stat_before
+
+
 def test_materialized_keeps_concurrent_winner(spark, tmp_path):
     """Lost-race semantics: if a concurrent builder of the SAME
     fingerprint completes while our build is in flight, our rename must
     KEEP the winner's artifact (identical by construction) — never
     delete or replace a completed artifact."""
-    import hashlib
     import os
 
     import pandas as pd
@@ -383,15 +428,8 @@ def test_materialized_keeps_concurrent_winner(spark, tmp_path):
     pd.DataFrame({"doc_id": [1], "text": ["a"]}).to_parquet(
         sf / "documents.parquet"
     )
-    fp = hashlib.md5(
-        f"race|{os.path.abspath(sf)}|{qe._source_stat(str(sf), 'documents')}"
-        .encode()
-    ).hexdigest()
-    import tempfile as _tf
-
-    winner = os.path.join(
-        _tf.gettempdir(), "tcas_materialized", f"race_{fp[:16]}"
-    )
+    fp = qe._fingerprint(str(sf), "race", "documents")
+    winner = os.path.join(qe._cache_root(), f"race_{fp[:16]}")
 
     def build(path):
         # simulate the concurrent winner landing mid-build
