@@ -32,6 +32,7 @@ def build_all(
     shingle_w: int = 3,
     max_df: int = 1000,
     n_anchors: int = 16,
+    max_bucket_size: int | None = 100_000,
     n_hashes: int = 4,
     bands: int = 2,
 ) -> dict[str, str]:
@@ -61,7 +62,8 @@ def build_all(
         max_df=max_df,
     )
     build_ivf_index(
-        emb, paths["ivf_index"], n_anchors=n_anchors
+        emb, paths["ivf_index"], n_anchors=n_anchors,
+        max_bucket_size=max_bucket_size,
     )
     sig = minhash_signature(docs, "doc_id", "text", n_hashes=n_hashes)
     lsh_candidate_pairs(sig, "doc_id", n_hashes=n_hashes, bands=bands)\

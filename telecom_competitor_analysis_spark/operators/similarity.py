@@ -326,15 +326,32 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_anchors: int = 16,
+    max_bucket_size: int | None = None,
 ) -> None:
     """Materialize the IVF index as parquet: ``{path}/anchors`` =
     (anchor_id, anchor_vec), ``{path}/assignments`` = the quantized
-    corpus PARTITIONED BY bucket. The similarity twin of
+    corpus PARTITIONED BY (bucket, sub). The similarity twin of
     ``build_shingle_index``: at 100 TB the corpus is quantized ONCE at
     write time; every probe batch reads only the bucket partitions its
     queries hash to (the bucket is a real partition column, so the
     broadcast probe join triggers dynamic partition pruning — the scan
-    never touches unprobed buckets)."""
+    never touches unprobed buckets).
+
+    Skew guard (``max_bucket_size``): anchors are data rows, not trained
+    centroids, so on a clustered distribution one anchor can absorb most
+    of the corpus — without a cap that bucket is ONE giant write
+    partition and a hot probe partition that defeats the pruning. Each
+    bucket is split into ``ceil(count / max_bucket_size)`` sub-buckets
+    by a secondary hash of the vector id (``sub`` — the second partition
+    column), so physical partition size is bounded at ~max_bucket_size
+    rows (expected; the split is hash-uniform, not an exact cut — an
+    exact row_number cut would itself need a window over the hot bucket,
+    re-creating the giant partition at build time). The split is
+    ANSWER-PRESERVING by construction: probes join on ``bucket`` alone,
+    so a query still scores every vector of each probed bucket — the
+    candidate set is identical to the uncapped index (pinned by test);
+    only the physical layout changes. Mirrors dedup.py's
+    max_bucket_size/max_df discipline (r6 VERDICT item 1)."""
     anchors = _pick_anchors(corpus, id_col, vec_col, n_anchors)
     anchors.write.mode("overwrite").parquet(f"{path}/anchors")
     assigned = ivf_assign(
@@ -346,9 +363,27 @@ def build_ivf_index(
         "neighbor_id",
         "c_vec",
     )
-    assigned.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/assignments"
-    )
+    if max_bucket_size is not None:
+        # per-bucket sub count: ≤ n_anchors rows → broadcast join; the
+        # sub assignment is a map-side hash, never a per-bucket sort
+        n_subs = assigned.groupBy("bucket").agg(
+            F.ceil(
+                F.count(F.lit(1)) / F.lit(float(max_bucket_size))
+            ).cast("int").alias("__n_subs")
+        )
+        assigned = assigned.join(F.broadcast(n_subs), on="bucket").withColumn(
+            "sub",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__n_subs")).cast(
+                "int"
+            ),
+        ).drop("__n_subs")
+    else:
+        assigned = assigned.withColumn("sub", F.lit(0))
+    # one shuffle keyed by the physical layout: each (bucket, sub) dir is
+    # written by its own task set, bounding task output to ~max_bucket_size
+    assigned.repartition("bucket", "sub").write.mode("overwrite").partitionBy(
+        "bucket", "sub"
+    ).parquet(f"{path}/assignments")
 
 
 def ann_against_index(
@@ -366,7 +401,10 @@ def ann_against_index(
     tie-break) and scores only the corpus vectors stored in those
     partitions. nprobe tunes the recall/compute trade-off at query time
     without touching the index; nprobe = n_anchors degrades gracefully
-    to exact brute force (pinned by test). Returns
+    to exact brute force (pinned by test). The probe joins on ``bucket``
+    alone, so the index's skew-split ``sub`` partitions (see
+    ``build_ivf_index``) are all scanned for a probed bucket — answers
+    never depend on the physical split. Returns
     (query_id, neighbor_id, rank)."""
     anchors = spark.read.parquet(f"{index_path}/anchors")
     cand = spark.read.parquet(f"{index_path}/assignments")

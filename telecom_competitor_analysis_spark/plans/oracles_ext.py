@@ -2341,22 +2341,46 @@ EXT_ORACLES["q_dup_span_stats"] = """
     FROM totals LEFT JOIN per_doc USING (doc_id)
 """
 
-# RAG retrieval composition (queries_ext.q_semantic_neighbors): exact
-# top-3 cosine neighbors joined to document metadata on vec_id = doc_id.
+# RAG retrieval composition (queries_ext.q_semantic_neighbors): the
+# retrieval leg is the MATERIALIZED IVF index (same quantization as
+# q_ann_index_probe's oracle: 8 lowest-id anchors, nprobe=2 probing —
+# the frozen-universe mirror of the fingerprint-cached artifact), top-3
+# per query, joined to document metadata on vec_id = doc_id.
 EXT_ORACLES["q_semantic_neighbors"] = """
-    WITH topk AS (
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS (
+        SELECT vec_id, v, anchor_id AS bucket FROM assign WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id, v, anchor_id AS bucket
+        FROM assign WHERE vec_id < 5 AND rn <= 2
+    ),
+    topk AS (
         SELECT
             q.vec_id AS query_id,
             c.vec_id AS neighbor_id,
             CAST(row_number() OVER (
                 PARTITION BY q.vec_id
-                ORDER BY list_cosine_similarity(
-                    CAST(c.embedding AS DOUBLE[]),
-                    CAST(q.embedding AS DOUBLE[])) DESC,
-                c.vec_id ASC
+                ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
             ) AS INT) AS rank
-        FROM embeddings c
-        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        FROM c
+        JOIN q ON c.bucket = q.bucket
         WHERE c.vec_id != q.vec_id
         QUALIFY rank <= 3
     )
