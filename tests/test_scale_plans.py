@@ -225,11 +225,15 @@ def test_dedup_incremental_probe_is_equi_join(spark, sf_dir):
 
 
 def test_token_budget_fill_single_exchange(spark, sf_dir):
-    """Budget fill = ONE shuffle (the lang stratum) feeding a single
-    running-sum window — no second exchange, no global sort."""
+    """Budget fill = ONE shuffle (the lang stratum) feeding the rank-cap
+    pre-filter and the running-sum window back-to-back (same window
+    spec) — no second exchange, no global sort; the LITERAL rank bound
+    restores map-side WindowGroupLimit pruning so a huge stratum ships
+    at most `cap` rows into the cumsum (r6 VERDICT item 4)."""
     plan = _plan(QUERIES["q_token_budget_fill"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "rangepartitioning" not in plan
+    assert "WindowGroupLimit" in plan
 
 
 def test_gopher_rules_exchange_inventory(spark, sf_dir):
