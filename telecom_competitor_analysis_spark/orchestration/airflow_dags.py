@@ -110,12 +110,17 @@ def build_dag(dag_id: str | None = None) -> Any:
                     task_id=task_id,
                     python_callable=PYTHON_CALLABLES[t["callable"]],
                 )
-            else:
+            elif t["operator"] == "spark_submit":
                 built[task_id] = SparkSubmitOperator(
                     task_id=task_id,
                     application=t["application"],
                     application_args=t["application_args"],
                     conf=t["conf"],
+                )
+            else:  # fail at BUILD time, same guarantee as the callables
+                raise ValueError(
+                    f"unknown operator {t['operator']!r} for task"
+                    f" {task_id!r}"
                 )
         for up, down in spec["dependencies"]:
             built[up] >> built[down]

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Any, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -60,7 +61,20 @@ class RunningUserStats(StatefulProcessor):
         else:
             n, sum_micro, max_micro = 0, 0, None
         for pdf in rows:
-            micro = (pdf["value"] * 1_000_000).round().astype("int64")
+            # half-AWAY-FROM-ZERO, matching every batch-side micro
+            # conversion (Spark F.round / DuckDB round) — pandas
+            # Series.round is banker's half-to-even and would diverge on
+            # exact .5 micro ties (ADVICE r6). Non-finite values are a
+            # poisoned-input bug, not data: fail loudly before the int64
+            # cast would produce a platform-dependent garbage value.
+            v = pdf["value"].astype("float64")
+            if not np.isfinite(v).all():
+                raise ValueError(
+                    "running_user_stats: non-finite value in stream batch"
+                )
+            micro = (
+                np.floor(np.abs(v) * 1_000_000 + 0.5) * np.sign(v)
+            ).astype("int64")
             n += len(pdf)
             sum_micro += int(micro.sum())
             if len(micro):

@@ -54,6 +54,10 @@ def test_task_spec_mirrors_reference_chain():
     for t in spec["tasks"].values():
         if t["operator"] == "python":
             assert t["callable"] in airflow_dags.PYTHON_CALLABLES
+        # build_dag dispatches on the operator string EXPLICITLY and
+        # raises on anything else (ADVICE r6: a typo'd kind must fail at
+        # build time, never miswire to SparkSubmitOperator)
+        assert t["operator"] in ("python", "spark_submit")
 
 
 def test_dag_instantiates_under_airflow():

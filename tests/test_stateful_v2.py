@@ -78,6 +78,32 @@ def test_running_stats_accumulate_across_batches():
     proc.close()
 
 
+def test_micro_rounding_matches_batch_convention():
+    """Exact .5-micro ties round half-AWAY-FROM-ZERO (the Spark
+    F.round / DuckDB convention every batch-side micro conversion uses),
+    not pandas banker's rounding — 0.0000005 → 1 micro, -0.0000005 → -1
+    micro; and non-finite input fails loudly instead of casting NaN to a
+    garbage int64 (ADVICE r6)."""
+    import numpy as np
+
+    proc = RunningUserStats()
+    proc.init(_FakeHandle())
+    # 2.5 / 4.5 / -2.5 micro: banker's → 2 + 4 - 2 = 4; half-away → 3 + 5 - 3 = 5
+    out = _run_batch(
+        proc,
+        (3,),
+        [pd.DataFrame({"value": [0.0000025, 0.0000045, -0.0000025]})],
+    )
+    r = out[0].iloc[0]
+    assert r.max_value_micro == 5
+    assert r.sum_value_micro == 5
+
+    proc2 = RunningUserStats()
+    proc2.init(_FakeHandle())
+    with pytest.raises(ValueError, match="non-finite"):
+        _run_batch(proc2, (4,), [pd.DataFrame({"value": [1.0, np.nan]})])
+
+
 def test_empty_batch_emits_current_state():
     proc = RunningUserStats()
     proc.init(_FakeHandle())
