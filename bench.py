@@ -155,18 +155,25 @@ def main() -> None:
     timings = run_list(HEADLINE)
     timings_ext = run_list(HEADLINE_EXT)
 
+    # Key order is survival order: the driver archives a BOUNDED TAIL of
+    # stdout (r6 artifact evidence: the line's tail survived, its head
+    # was truncated), so the big per-query dicts go FIRST and the
+    # headline totals go LAST — the tail always captures value/value_ext
+    # (r6 VERDICT item 6).
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
-        "value_ext": round(sum(timings_ext.values()), 3),
-        "queries_ext": timings_ext,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the merged operator-wave list (r4 wave + r5 wave + r6 additions; cutover recorded round 6 — compare list totals within an era, per-query timings across all rounds)",
+        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the merged operator-wave list (r4 wave + r5 wave + r6/r7 additions; cutover recorded round 6 — compare list totals within an era, per-query timings across all rounds)",
+        "queries": timings,
+        "queries_ext": timings_ext,
     }
     if errors:
         out["errors"] = errors
+    out["n_queries"] = len(timings)
+    out["n_queries_ext"] = len(timings_ext)
+    out["value"] = round(sum(timings.values()), 3)
+    out["value_ext"] = round(sum(timings_ext.values()), 3)
     print(json.dumps(out))
 
 

@@ -1110,88 +1110,47 @@ QUERIES.update(EXT_QUERIES)
 # History: r1 checked the SURVEY §2 core (46 green), r2/r3 the 50-query
 # extension surface (50 green), r4 the changed/new operators + oldest
 # rotations (50 green), r5 the changed dedup/percentile/rebalance
-# consumers + 8 new oracles + r1 stragglers (50 green). Round 6's
-# window (6 + 6 + 28 + 10 = 50): the 6 queries whose plans changed
-# this round (materialized pair graph, bucketed cogroup, pivot cap),
-# the 6 new oracles (q_dedup_incremental, q_ann_index_probe,
-# q_token_budget_fill, q_dup_span_stats, q_semantic_neighbors,
-# q_recursive_hierarchy), the 28 r3-green queries the r5 VERDICT
-# flagged as the oldest debt (9 tier-3b + 19 scalar cleaners), and 10
-# of the oldest r4 greens (4 more r4 greens yielded their slots to the
-# late-round additions) — after r6 no oracle-checkable query's newest
-# green is older than r4.
+# consumers + 8 new oracles + r1 stragglers (50 green), r6
+# (6 changed + 9 new oracles + 28 r3 greens + 7 r4 greens = 50 green —
+# after r6 no green older than r4). Round 7's window
+# (3 + 36 + 11 = 50): the 3 queries whose plans changed this round
+# (q_ann_index_probe + q_semantic_neighbors now build/probe the
+# skew-capped materialized IVF index; q_token_budget_fill gained the
+# rank-cap pre-filter + min_doc_len floor), ALL 36 queries whose latest
+# green is r4 (the r6 VERDICT item-2 rotation debt), and the 11 oldest
+# r5 greens as filler — after r7 no green older than r5 except the 34
+# r5 greens parked first below the boundary (rotate THOSE in r8).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-6 WINDOW (first 50) ============
-    # tier 1 — plan/operator code changed since last green row:
-    # the four consumers now reading the MATERIALIZED LSH pair graph
-    # (queries_ext._materialized_lsh_pairs), the salt-bucketed cogroup
-    # rewrite, and the capped dynamic pivot
-    "q_dedup_clusters",
-    "q_canonical_docs",
-    "q_pagerank",
-    "q_dup_graph_stats",
-    "q_cogroup_asof",
-    "q_pivot_dynamic",
-    # tier 2 — new queries / new oracles, never driver-hash-checked
-    "q_dedup_incremental",
+    # ============ ROUND-7 WINDOW (first 50) ============
+    # tier 1 — plan/operator code changed since last green row
     "q_ann_index_probe",
-    "q_token_budget_fill",
-    "q_dup_span_stats",
     "q_semantic_neighbors",
-    "q_recursive_hierarchy",
-    "q_gopher_rules",
-    "q_perplexity_mix",
-    "q_star_join",
-    # tier 3 — the 9 r3-greens displaced from the r5 window by the
-    # late-round-5 additions (r5 VERDICT item 2)
-    "q_scd2_history",
-    "q_stats_agg",
-    "q_sequence_pack",
-    "q_stratified_sample",
-    "q_decontaminate",
-    "q_quality_repetition",
-    "q_tfidf",
-    "q_percentile_exact",
-    "q_integrity_audit",
-    # tier 3b — the 19 r3-green scalar cleaners / single-table text ops
-    # (byte-unchanged since r1/r2; oldest remaining greens)
-    "q_ascii_strip",
-    "q_bm25",
-    "q_concat_key",
-    "q_convert_speed",
-    "q_date_stamp",
-    "q_digits_only",
-    "q_filter_contains",
-    "q_fingerprint",
-    "q_lang_id",
-    "q_multimodal_meta",
-    "q_regex_extract",
-    "q_sentinel_map",
-    "q_sentiment",
-    "q_simhash",
-    "q_string_clean",
-    "q_surrogate_key",
-    "q_text_stats",
-    "q_token_count",
-    "q_unpivot",
-    # tier 3c — oldest r4 greens, round-robin re-verification (7 fill
-    # the window to exactly 50)
-    "q_sessionize",
-    "q_embedding_outlier",
-    "q_asof_join",
-    "q_salted_join",
-    "q_hopping_window",
-    "q_stream_join",
-    "q_range_join",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # Remaining r4 greens (byte-identical code) — next in line for r7.
-    "q_string_agg",
-    "q_median",
-    "q_udaf_weighted",
+    "q_token_budget_fill",
+    # tier 3 — all 36 queries whose latest green is r4 (r6 VERDICT
+    # item 2: the reference-core operators among them especially)
+    "q_validate",
+    "q_star_split",
+    "q_pack_cross",
+    "q_antijoin_new",
+    "q_lookup_join",
+    "q_scd_detect",
+    "q_first_per_key",
+    "q_topk",
+    "q_union_all",
+    "q_tumbling_window",
+    "q_json_unwrap",
+    "q_window_rank",
+    "q_rollup",
+    "q_pivot",
+    "q_histogram",
+    "q_map_funcs",
     "q_max_by",
+    "q_median",
+    "q_string_agg",
+    "q_udaf_weighted",
     "q_embedding_lsh_topk",
     "q_embedding_ivf_topk",
     "q_simhash64",
@@ -1208,13 +1167,42 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_key_skew",
-    # r5 greens on unchanged code (verified last round)
-    "q_winsorize",
-    "q_mix_rebalance",
+    # tier 4 — filler: the 11 oldest r5 greens (round-robin)
+    "q_agg_latest_price",
+    "q_cube",
+    "q_semi_join",
+    "q_except",
+    "q_intersect",
+    "q_distinct_agg",
+    "q_explode",
+    "q_grouping_sets",
+    "q_scalar_subquery",
+    "q_outer_join",
+    "q_date_arith",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The remaining 34 r5 greens (byte-identical code) — oldest after
+    # the r7 run; next in line for r8.
+    "q_array_funcs",
+    "q_udtf_tokenize",
+    "q_revenue_topk",
+    "q_corpus_curate",
+    "q_train_test_split",
+    "q_ntile",
+    "q_except_all",
+    "q_curate_incremental",
+    "q_dedup_exact",
+    "q_minhash",
+    "q_minhash_lsh_pairs",
+    "q_ngram_jaccard",
     "q_simhash_pairs",
+    "q_embedding_topk",
+    "q_embedding_dup",
+    "q_resample_daily",
+    "q_moving_avg",
     "q_simhash64_pairs",
     "q_minhash_jaccard_est",
-    "q_minhash_lsh_pairs",
+    "q_mix_rebalance",
+    "q_winsorize",
     "q_frame_sample",
     "q_incremental_topk",
     "q_bm25_search",
@@ -1228,32 +1216,54 @@ VERIFY_PRIORITY = [
     "q_variant_extract",
     "q_kmv_distinct",
     "q_lateral_topk",
-    "q_cube",
-    "q_semi_join",
-    "q_except",
-    "q_intersect",
-    "q_distinct_agg",
-    "q_explode",
-    "q_grouping_sets",
-    "q_scalar_subquery",
-    "q_outer_join",
-    "q_date_arith",
-    "q_array_funcs",
-    "q_udtf_tokenize",
-    "q_train_test_split",
-    "q_resample_daily",
-    "q_moving_avg",
-    "q_embedding_dup",
-    "q_corpus_curate",
-    "q_curate_incremental",
-    "q_dedup_exact",
-    "q_minhash",
-    "q_ngram_jaccard",
-    "q_agg_latest_price",
-    "q_embedding_topk",
-    "q_except_all",
-    "q_ntile",
-    "q_revenue_topk",
+    # r6 greens on unchanged code (verified last round)
+    "q_convert_speed",
+    "q_sentinel_map",
+    "q_regex_extract",
+    "q_digits_only",
+    "q_ascii_strip",
+    "q_string_clean",
+    "q_concat_key",
+    "q_date_stamp",
+    "q_surrogate_key",
+    "q_filter_contains",
+    "q_asof_join",
+    "q_salted_join",
+    "q_sessionize",
+    "q_tfidf",
+    "q_embedding_outlier",
+    "q_stats_agg",
+    "q_scd2_history",
+    "q_quality_repetition",
+    "q_decontaminate",
+    "q_percentile_exact",
+    "q_hopping_window",
+    "q_unpivot",
+    "q_simhash",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_bm25",
+    "q_range_join",
+    "q_sentiment",
+    "q_integrity_audit",
+    "q_multimodal_meta",
+    "q_stream_join",
+    "q_stratified_sample",
+    "q_sequence_pack",
+    "q_dedup_clusters",
+    "q_dup_graph_stats",
+    "q_canonical_docs",
+    "q_pivot_dynamic",
+    "q_cogroup_asof",
+    "q_pagerank",
+    "q_dedup_incremental",
+    "q_dup_span_stats",
+    "q_recursive_hierarchy",
+    "q_gopher_rules",
+    "q_perplexity_mix",
+    "q_star_join",
 ]
 
 _ROWS_ONLY_LAST = [
