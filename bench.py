@@ -100,6 +100,9 @@ HEADLINE_EXT = [
     "q_pagerank",
     "q_kmv_distinct",
     "q_lateral_topk",
+    # --- r7 additions (measured from birth) ---
+    "q_kmeans_assign",
+    "q_semdedup",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

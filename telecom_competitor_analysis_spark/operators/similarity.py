@@ -320,6 +320,135 @@ def lsh_bucketed_topk(
     )
 
 
+def kmeans_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Distributed spherical k-means assignment (Lloyd's, ``iters``
+    unrolled rounds) — the clustering stage of SemDedup-style corpus
+    curation. Deterministic and cross-engine exact:
+
+    - seeds = the ``k`` lowest-id corpus vectors (the shared
+      ``_pick_anchors`` policy — no RNG, no fitted model);
+    - assignment = argmax dot(v, centroid), ties to the lowest centroid
+      id, computed as a map-side-combinable ``max_by`` AGGREGATE (the
+      per-vector candidate rows are produced map-side by the broadcast
+      cross join, so partial aggregation collapses them to one row per
+      vector BEFORE any exchange — an argmax window would force a full
+      shuffle of k copies of every vector);
+    - centroid update = per-dimension sums in exact integer micro-units
+      (round half-away-from-zero, the repo-wide money convention), so
+      the k×(dim+1) aggregation state is partial-aggregable and the
+      resulting centroid components are identical regardless of
+      partitioning or add order — the same trick as q_pagerank's
+      integer-micro contributions. Components divide back to double in
+      ONE fp op (exact_int / (n·1e6)), mirrored verbatim in the oracle.
+
+    Scale shape per round: one broadcast of k·dim doubles out, one
+    partial-agg shuffle of k·(dim+1) longs back. Nothing grows with the
+    corpus except the map-side scan. Returns (``vec_id``, ``v``,
+    ``cluster_id``) — vectors ride along for downstream pairwise stages
+    (SemDedup pruning)."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    )
+    cents = _pick_anchors(corpus, id_col, vec_col, k).select(
+        F.col("anchor_id").alias("cid"),
+        F.col("anchor_vec").alias("cvec"),
+    )
+    micro_sums = [
+        F.expr(
+            f"sum(cast(round(v[{d}] * 1000000, 0) as bigint)) as s{d}"
+        )
+        for d in range(dim)
+    ]
+    cvec_expr = F.expr(
+        "array("
+        + ",".join(f"s{d} / (n * 1000000.0)" for d in range(dim))
+        + ") as cvec"
+    )
+    assigned = None
+    for it in range(iters):
+        scored = c.crossJoin(F.broadcast(cents)).withColumn(
+            "__score", _dot(F.col("v"), F.col("cvec"))
+        )
+        # max_by over struct(score, -cid): lexicographic max = highest
+        # score, then LOWEST cid — combines partially map-side
+        assigned = scored.groupBy("vec_id").agg(
+            F.any_value(F.col("v")).alias("v"),
+            F.max_by(
+                F.col("cid"),
+                F.struct(F.col("__score"), (-F.col("cid")).alias("nc")),
+            ).alias("cluster_id"),
+        )
+        if it < iters - 1:
+            cents = (
+                assigned.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("n"), *micro_sums)
+                .select(F.col("cluster_id").alias("cid"), cvec_expr)
+            )
+    return assigned.select("vec_id", "v", "cluster_id")
+
+
+def semdedup_prune(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pruning with CLUSTER-BLOCKED pairwise work — the
+    embedding-space answer to MinHash dedup. Vectors are k-means
+    clustered (``kmeans_assign``), cosine pairs are computed only WITHIN
+    a cluster (candidate volume Σ cluster², never corpus² — at
+    production scale k grows with the corpus so cluster size stays
+    bounded), and of every pair with cos ≥ ``threshold`` the HIGHER id
+    is dropped — keep-lowest, the same deterministic representative rule
+    as exact_dedup_groups. Returns (vec_id, cluster_id, kept).
+
+    Norms are computed once per row before the pair join (the repo-wide
+    norm-once discipline); the drop set is a semi-join, so survivors
+    never materialize their pair list."""
+    assign = kmeans_assign(corpus, id_col, vec_col, k, iters, dim)
+    sides = assign.withColumn("__n", _norm(F.col("v")))
+    a = sides.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id"),
+        F.col("v").alias("va"),
+        F.col("__n").alias("na"),
+    )
+    b = sides.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id"),
+        F.col("v").alias("vb"),
+        F.col("__n").alias("nb"),
+    )
+    dropped = (
+        a.join(b, on="cluster_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(
+        dropped.withColumn("__dropped", F.lit(True)), on="vec_id", how="left"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.coalesce(~F.col("__dropped"), F.lit(True)).alias("kept"),
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

@@ -2346,6 +2346,72 @@ EXT_ORACLES["q_dup_span_stats"] = """
     FROM totals LEFT JOIN per_doc USING (doc_id)
 """
 
+def _kmeans_cte_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """WITH-clause body mirroring operators.similarity.kmeans_assign:
+    ``iters`` unrolled Lloyd rounds (seeds = k lowest-id vectors,
+    argmax-dot assignment with lowest-cid tie-break, centroid components
+    = exact integer-micro sums divided back to double in one fp op —
+    identical to the Spark side by construction). The final assignment
+    CTE is ``m{iters-1}`` (vec_id, v, cid)."""
+    sums = ",\n               ".join(
+        f"CAST(SUM(CAST(round(v[{d + 1}] * 1000000, 0) AS BIGINT))"
+        f" AS BIGINT) AS s{d}"
+        for d in range(dim)
+    )
+    divs = ", ".join(f"s{d} / (n * 1000000.0)" for d in range(dim))
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec"
+        f" FROM embeddings ORDER BY vec_id ASC LIMIT {k})",
+    ]
+    for it in range(iters):
+        parts.append(
+            f"a{it} AS (SELECT e.vec_id, e.v, c{it}.cid,"
+            " row_number() OVER (PARTITION BY e.vec_id"
+            f" ORDER BY list_dot_product(e.v, c{it}.cvec) DESC,"
+            f" c{it}.cid ASC) AS rn"
+            f" FROM e CROSS JOIN c{it})"
+        )
+        parts.append(
+            f"m{it} AS (SELECT vec_id, v, cid FROM a{it} WHERE rn = 1)"
+        )
+        if it < iters - 1:
+            parts.append(
+                f"g{it} AS (SELECT cid, COUNT(*) AS n,\n               "
+                f"{sums}\n           FROM m{it} GROUP BY cid)"
+            )
+            parts.append(
+                f"c{it + 1} AS (SELECT cid, list_value({divs}) AS cvec"
+                f" FROM g{it})"
+            )
+    return ",\n    ".join(parts)
+
+
+# Distributed k-means assignment (queries_ext.q_kmeans_assign): two
+# unrolled Lloyd rounds, integer-micro centroids — see _kmeans_cte_sql.
+EXT_ORACLES["q_kmeans_assign"] = f"""
+    WITH {_kmeans_cte_sql(k=4, iters=2, dim=64)}
+    SELECT vec_id, cid AS cluster_id FROM m1
+"""
+
+# SemDedup (queries_ext.q_semdedup): cluster-blocked cosine pairs, the
+# higher id of every pair with cos >= 0.2 is dropped (keep-lowest).
+EXT_ORACLES["q_semdedup"] = f"""
+    WITH {_kmeans_cte_sql(k=4, iters=2, dim=64)},
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m1 a JOIN m1 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+    )
+    SELECT
+        m1.vec_id,
+        m1.cid AS cluster_id,
+        (dropped.vec_id IS NULL) AS kept
+    FROM m1 LEFT JOIN dropped ON m1.vec_id = dropped.vec_id
+"""
+
+
 # RAG retrieval composition (queries_ext.q_semantic_neighbors): the
 # retrieval leg is the MATERIALIZED IVF index (same quantization as
 # q_ann_index_probe's oracle: 8 lowest-id anchors, nprobe=2 probing —

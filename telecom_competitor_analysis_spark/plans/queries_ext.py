@@ -500,6 +500,46 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (2 unrolled Lloyd rounds, k=4,
+    lowest-id seeds) over the embedding corpus — the clustering stage
+    of SemDedup-style curation (operators/similarity.py::kmeans_assign).
+    Assignment is a map-side-combinable max_by aggregate (never a
+    per-vector window); centroid updates are exact integer-micro sums,
+    so the result is identical under any partitioning and the DuckDB
+    oracle can mirror it verbatim (two unrolled CTE rounds, the
+    q_pagerank discipline)."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(
+        emb, "vec_id", "embedding", k=4, iters=2, dim=EMBEDDING_DIM
+    ).select("vec_id", "cluster_id")
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (arXiv:2303.09540): embedding-space near-dup pruning
+    with cluster-blocked pairwise work — cosine pairs are computed only
+    within a k-means cluster (candidate volume Σ cluster², never
+    corpus²; at production scale k grows with the corpus so cluster
+    size stays bounded), and the higher id of every pair with
+    cos ≥ 0.2 is dropped (keep-lowest representative, the
+    exact_dedup_groups rule). The threshold matches q_embedding_dup's
+    measured near-isotropy of the test embeddings (0.5 would be
+    trivially empty)."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_prune(
+        emb, "vec_id", "embedding", k=4, iters=2, dim=EMBEDDING_DIM,
+        threshold=0.2,
+    )
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-table star join (region → nation → customer
     → orders → lineitem → supplier, with the local-supplier constraint
@@ -2327,6 +2367,8 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_kmeans_assign": q_kmeans_assign,
+    "q_semdedup": q_semdedup,
     "q_bm25_search": q_bm25_search,
     "q_cdc_apply": q_cdc_apply,
     "q_range_window": q_range_window,

@@ -247,6 +247,33 @@ def test_gopher_rules_exchange_inventory(spark, sf_dir):
     assert "SortAggregate" not in plan
 
 
+def test_kmeans_assignment_is_partial_aggregate_not_window(spark, sf_dir):
+    """kmeans_assign's argmax must be a map-side-combinable max_by
+    aggregate (partial_max_by BEFORE the vec_id exchange) — an argmax
+    window would shuffle k copies of every vector; centroid state is
+    partial-aggregable integer sums; the k-row centroid table reaches
+    the scoring stage as a broadcast."""
+    plan = _plan(QUERIES["q_kmeans_assign"](spark, sf_dir))
+    assert "partial_max_by" in plan
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_semdedup_pairs_are_cluster_blocked(spark, sf_dir):
+    """SemDedup's pairwise stage joins on cluster_id (hash join, Σ
+    cluster² candidates) — never a cartesian over the corpus."""
+    plan = _plan(QUERIES["q_semdedup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the broadcast k-row centroid
+    # cross joins inside kmeans (IdentityBroadcastMode), never a
+    # corpus-side pair generator
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        assert m.group(2) == "Cross"
+
+
 def test_star_join_broadcasts_dims_no_hints(spark, sf_dir):
     """The six-table Q5 star join carries NO join hints (logical plan
     hint-free — AQE owns the strategy at every scale) and locally

@@ -162,6 +162,81 @@ def test_ivf_index_probe_recall_and_exact_degradation(spark, emb, tmp_path):
     assert "dynamicpruning" in plan.lower()
 
 
+def test_kmeans_assign_deterministic_and_sane(spark):
+    """kmeans_assign on a planted 2-cluster layout: (a) every vector
+    lands with its own cluster's seed after 2 Lloyd rounds, (b) the
+    result is identical under different partitioning (the integer-micro
+    centroid discipline), (c) cluster ids are seed ids."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    # two tight, well-separated direction clusters in 4d; seeds (the 2
+    # lowest ids) fall one in each cluster
+    rows = []
+    for i in range(40):
+        base = [1.0, 0.0, 0.0, 0.0] if i % 2 == 0 else [0.0, 1.0, 0.0, 0.0]
+        jit = 0.01 * (i % 5)
+        rows.append(
+            {"vec_id": i, "embedding": [base[0], base[1], jit, 0.02 * (i % 3)]}
+        )
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+
+    got = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(
+            emb, "vec_id", "embedding", k=2, iters=2, dim=4
+        ).collect()
+    }
+    assert set(got.values()) == {0, 1}
+    for i, cid in got.items():
+        assert cid == i % 2, f"vec {i} assigned {cid}"
+
+    repart = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(
+            emb.repartition(7), "vec_id", "embedding", k=2, iters=2, dim=4
+        ).collect()
+    }
+    assert repart == got
+
+
+def test_semdedup_prunes_planted_neardups_keep_lowest(spark):
+    """semdedup_prune: planted near-identical vectors are deduped to the
+    LOWEST id per semantic group; well-separated vectors survive."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    rows = []
+    # group A: ids 0,2,4 near-identical; group B: ids 1,3 near-identical;
+    # id 5: orthogonal singleton (cos 0 to everything)
+    for i, vec in [
+        (0, [1.0, 0.0, 0.001, 0.0]),
+        (2, [1.0, 0.0, 0.002, 0.0]),
+        (4, [1.0, 0.0, 0.0, 0.003]),
+        (1, [0.0, 1.0, 0.001, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.002]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]:
+        rows.append({"vec_id": i, "embedding": vec})
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        r.vec_id: r.kept
+        for r in semdedup_prune(
+            emb, "vec_id", "embedding", k=2, iters=2, dim=4, threshold=0.9
+        ).collect()
+    }
+    assert len(got) == 6
+    assert got[0] is True and got[2] is False and got[4] is False
+    assert got[1] is True and got[3] is False
+    assert got[5] is True  # cos 0 to every cluster-mate — never dropped
+
+
 def test_ivf_index_bucket_cap_splits_hot_bucket(spark, tmp_path):
     """Skew guard (r6 VERDICT item 1): plant a hot cluster — every vector
     nearest the SAME anchor — and build with max_bucket_size. The hot
