@@ -103,6 +103,7 @@ HEADLINE_EXT = [
     # --- r7 additions (measured from birth) ---
     "q_kmeans_assign",
     "q_semdedup",
+    "q_domain_cap",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -2388,6 +2388,23 @@ def _kmeans_cte_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     return ",\n    ".join(parts)
 
 
+# Per-domain contribution cap (queries_ext.q_domain_cap): blocklist
+# filter + first-DOMAIN_CAP-by-doc_id per source. Literals mirror
+# queries_ext.DOMAIN_BLOCKLIST / DOMAIN_CAP.
+EXT_ORACLES["q_domain_cap"] = """
+    SELECT doc_id, source, lang,
+           CAST(rank_in_domain AS INT) AS rank_in_domain
+    FROM (
+        SELECT doc_id, source, lang,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY doc_id ASC
+               ) AS rank_in_domain
+        FROM documents
+        WHERE source NOT IN ('src7', 'src13')
+    )
+    WHERE rank_in_domain <= 15
+"""
+
 # Distributed k-means assignment (queries_ext.q_kmeans_assign): two
 # unrolled Lloyd rounds, integer-micro centroids — see _kmeans_cte_sql.
 EXT_ORACLES["q_kmeans_assign"] = f"""

@@ -500,6 +500,33 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DOMAIN_BLOCKLIST = ("src7", "src13")  # literal, shared with the oracle
+DOMAIN_CAP = 15
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style source hygiene: drop blocklisted domains
+    entirely, then cap every remaining domain's contribution at
+    DOMAIN_CAP documents (first-come by doc_id — the deterministic
+    ingestion-order proxy), so no single domain can dominate the mix
+    (the anti-spam / anti-boilerplate counterpart of the per-language
+    token budget).
+
+    Scale shape: the blocklist is a pushed-down NOT IN scan filter
+    (never a join — the list is a policy literal, not data); the cap is
+    a LITERAL rank bound, so WindowGroupLimit keeps at most cap rows
+    per domain map-side before the single source exchange — a 100 TB
+    spam domain ships cap rows, not itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("doc_id").asc())
+    return (
+        docs.filter(~F.col("source").isin(*DOMAIN_BLOCKLIST))
+        .select("doc_id", "source", "lang")
+        .withColumn("rank_in_domain", F.row_number().over(w))
+        .filter(F.col("rank_in_domain") <= DOMAIN_CAP)
+    )
+
+
 def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (2 unrolled Lloyd rounds, k=4,
     lowest-id seeds) over the embedding corpus — the clustering stage
@@ -2369,6 +2396,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
+    "q_domain_cap": q_domain_cap,
     "q_bm25_search": q_bm25_search,
     "q_cdc_apply": q_cdc_apply,
     "q_range_window": q_range_window,

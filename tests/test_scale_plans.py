@@ -274,6 +274,19 @@ def test_semdedup_pairs_are_cluster_blocked(spark, sf_dir):
         assert m.group(2) == "Cross"
 
 
+def test_domain_cap_pushes_blocklist_and_prunes_map_side(spark, sf_dir):
+    """The blocklist must reach the parquet scan as a pushed filter
+    (policy literal, never a join), and the literal cap bound must plan
+    as WindowGroupLimit — a spam domain ships cap rows, not itself."""
+    df = QUERIES["q_domain_cap"](spark, sf_dir)
+    plan = _plan(df)
+    assert "WindowGroupLimit" in plan
+    full = df._jdf.queryExecution().toString()
+    pushed = full.split("PushedFilters")[-1].split("]")[0]
+    assert "source" in pushed
+    assert "Join" not in plan
+
+
 def test_star_join_broadcasts_dims_no_hints(spark, sf_dir):
     """The six-table Q5 star join carries NO join hints (logical plan
     hint-free — AQE owns the strategy at every scale) and locally
