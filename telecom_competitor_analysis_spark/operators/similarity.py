@@ -54,6 +54,16 @@ dot_product = _dot
 l2_norm = _norm
 
 
+# Negative result, measured round 7 (keep for the next optimizer): a
+# 64-term parsed `v[0]*c[0] + …` sum expression is ~3× SLOWER than the
+# zip_with/aggregate fold on the k-means scoring stage — the expression
+# evaluates inside a BroadcastNestedLoopJoin, which Spark 4 does not
+# whole-stage-codegen, so the big tree is interpreted node-by-node (64
+# GetArrayItem + 64 casts + 63 Adds per row) while the HOF fold runs one
+# specialized loop. The parsed-SQL trick wins on BUILD time (SimHash),
+# not on interpreted EVAL time.
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -349,12 +359,20 @@ def kmeans_assign(
       ONE fp op (exact_int / (n·1e6)), mirrored verbatim in the oracle.
 
     Scale shape per round: one broadcast of k·dim doubles out, one
-    partial-agg shuffle of k·(dim+1) longs back. Nothing grows with the
-    corpus except the map-side scan. Returns (``vec_id``, ``v``,
-    ``cluster_id``) — vectors ride along for downstream pairwise stages
-    (SemDedup pruning)."""
-    c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    partial-agg shuffle of k·(dim+1) longs back, one vec_id equi-join to
+    re-attach vectors for the centroid sums. Nothing grows with the
+    corpus except the map-side scan (under-split local scans get the
+    shared ensure_parallelism guard — the scoring stage is compute-heavy
+    enough that one parquet split serializing it onto one core is the
+    dominant local cost). Returns (``vec_id``, ``v``, ``cluster_id``) —
+    vectors ride along for downstream pairwise stages (SemDedup
+    pruning)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    c = ensure_parallelism(
+        corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     )
     cents = _pick_anchors(corpus, id_col, vec_col, k).select(
         F.col("anchor_id").alias("cid"),
@@ -373,25 +391,39 @@ def kmeans_assign(
     )
     assigned = None
     for it in range(iters):
-        scored = c.crossJoin(F.broadcast(cents)).withColumn(
-            "__score", _dot(F.col("v"), F.col("cvec"))
+        # score NARROW rows: the vector is projected away right after
+        # the dot product, so the n×k candidate set through the argmax
+        # aggregate is (vec_id, cid, score) — 24 bytes, not a 64-float
+        # array per row (carrying v through the sort-based max_by
+        # aggregate was measured 10× slower: partial SortAggregate
+        # sorts every candidate row including its payload)
+        scored = (
+            c.crossJoin(F.broadcast(cents))
+            .withColumn("__score", _dot(F.col("v"), F.col("cvec")))
+            .select("vec_id", "cid", "__score")
         )
         # max_by over struct(score, -cid): lexicographic max = highest
         # score, then LOWEST cid — combines partially map-side
         assigned = scored.groupBy("vec_id").agg(
-            F.any_value(F.col("v")).alias("v"),
             F.max_by(
                 F.col("cid"),
                 F.struct(F.col("__score"), (-F.col("cid")).alias("nc")),
             ).alias("cluster_id"),
         )
         if it < iters - 1:
+            # vectors re-enter only for the centroid update, via an
+            # equi-join on vec_id (n narrow rows ⋈ n vectors — at
+            # production scale this is the one data-proportional
+            # shuffle per round; MLlib's imperative kmeans avoids it by
+            # a driver-side model round-trip, which the declarative
+            # oracle-mirrored form deliberately does not do)
             cents = (
-                assigned.groupBy("cluster_id")
+                c.join(assigned, on="vec_id")
+                .groupBy("cluster_id")
                 .agg(F.count(F.lit(1)).alias("n"), *micro_sums)
                 .select(F.col("cluster_id").alias("cid"), cvec_expr)
             )
-    return assigned.select("vec_id", "v", "cluster_id")
+    return c.join(assigned, on="vec_id").select("vec_id", "v", "cluster_id")
 
 
 def semdedup_prune(
@@ -415,8 +447,16 @@ def semdedup_prune(
 
     Norms are computed once per row before the pair join (the repo-wide
     norm-once discipline); the drop set is a semi-join, so survivors
-    never materialize their pair list."""
-    assign = kmeans_assign(corpus, id_col, vec_col, k, iters, dim)
+    never materialize their pair list.
+
+    The clustering subtree feeds THREE consumers (both pair-join sides
+    and the final join-back), and Spark shares no common subexpression
+    across join sides — persist() makes Lloyd's run once instead of
+    three times (measured 53 s → 20 s at the ×10 probe; persist, not
+    checkpoint, per the r5 reuse study: free at build, and this subtree
+    is shallow enough that the cached-shuffle/AQE caveat doesn't
+    bite)."""
+    assign = kmeans_assign(corpus, id_col, vec_col, k, iters, dim).persist()
     sides = assign.withColumn("__n", _norm(F.col("v")))
     a = sides.select(
         F.col("vec_id").alias("id_a"),

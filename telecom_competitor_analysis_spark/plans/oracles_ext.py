@@ -2415,7 +2415,7 @@ EXT_ORACLES["q_kmeans_assign"] = f"""
 # SemDedup (queries_ext.q_semdedup): cluster-blocked cosine pairs, the
 # higher id of every pair with cos >= 0.2 is dropped (keep-lowest).
 EXT_ORACLES["q_semdedup"] = f"""
-    WITH {_kmeans_cte_sql(k=4, iters=2, dim=64)},
+    WITH {_kmeans_cte_sql(k=8, iters=2, dim=64)},
     dropped AS (
         SELECT DISTINCT b.vec_id
         FROM m1 a JOIN m1 b ON a.cid = b.cid AND a.vec_id < b.vec_id

@@ -550,19 +550,23 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDedup (arXiv:2303.09540): embedding-space near-dup pruning
     with cluster-blocked pairwise work — cosine pairs are computed only
     within a k-means cluster (candidate volume Σ cluster², never
-    corpus²; at production scale k grows with the corpus so cluster
-    size stays bounded), and the higher id of every pair with
-    cos ≥ 0.2 is dropped (keep-lowest representative, the
-    exact_dedup_groups rule). The threshold matches q_embedding_dup's
-    measured near-isotropy of the test embeddings (0.5 would be
-    trivially empty)."""
+    corpus²), and the higher id of every pair with cos ≥ 0.2 is
+    dropped (keep-lowest representative, the exact_dedup_groups rule).
+    The threshold matches q_embedding_dup's measured near-isotropy of
+    the test embeddings (0.5 would be trivially empty).
+
+    k IS the scale knob: cluster size ≈ n/k, pair volume ≈ n²/k, so k
+    must grow with the corpus to keep cluster size (and per-cluster
+    pair work) bounded — fixed-k is quadratic BY DESIGN and the ×10
+    probe in SCALE.md measures both regimes. The declared form pins
+    k=8 for the oracle; a production run sizes k = n / target_cluster."""
     from telecom_competitor_analysis_spark.operators.similarity import (
         semdedup_prune,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_prune(
-        emb, "vec_id", "embedding", k=4, iters=2, dim=EMBEDDING_DIM,
+        emb, "vec_id", "embedding", k=8, iters=2, dim=EMBEDDING_DIM,
         threshold=0.2,
     )
 
