@@ -434,6 +434,7 @@ def semdedup_prune(
     iters: int = 2,
     dim: int = 64,
     threshold: float = 0.2,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate pruning with CLUSTER-BLOCKED pairwise work — the
@@ -451,12 +452,21 @@ def semdedup_prune(
 
     The clustering subtree feeds THREE consumers (both pair-join sides
     and the final join-back), and Spark shares no common subexpression
-    across join sides — persist() makes Lloyd's run once instead of
-    three times (measured 53 s → 20 s at the ×10 probe; persist, not
-    checkpoint, per the r5 reuse study: free at build, and this subtree
-    is shallow enough that the cached-shuffle/AQE caveat doesn't
-    bite)."""
-    assign = kmeans_assign(corpus, id_col, vec_col, k, iters, dim).persist()
+    across join sides. Pass ``assign`` to feed a PRE-COMPUTED assignment
+    table (the production shape — cluster once, prune repeatedly; the
+    declared q_semdedup reads a fingerprint-cached materialized
+    assignment, exactly like the LSH pair graph). Without it, the
+    subtree is persist()ed so Lloyd's runs once instead of three times
+    (measured 53 s → 20 s at the ×10 probe). CACHE LIFETIME CAVEAT
+    (r7 review): the returned DataFrame is lazy, so this function
+    cannot unpersist — the cached assignment (one copy per distinct
+    corpus; identical plans share the CacheManager entry) lives until
+    the session ends or the caller clears it; repeated executions in
+    one session serve the clustering stage cache-warm."""
+    if assign is None:
+        assign = kmeans_assign(
+            corpus, id_col, vec_col, k, iters, dim
+        ).persist()
     sides = assign.withColumn("__n", _norm(F.col("v")))
     a = sides.select(
         F.col("vec_id").alias("id_a"),
@@ -532,15 +542,23 @@ def build_ivf_index(
         "neighbor_id",
         "c_vec",
     )
+    cached = None
     if max_bucket_size is not None:
+        # the quantized corpus feeds BOTH the per-bucket count agg and
+        # the written join side; Spark shares nothing across join
+        # sides, so without persist the full argmax quantization runs
+        # twice per build (r7 review finding). The write below is an
+        # action inside this function, so the cache lifetime is local:
+        # persist → write → unpersist.
+        cached = assigned.persist()
         # per-bucket sub count: ≤ n_anchors rows → broadcast join; the
         # sub assignment is a map-side hash, never a per-bucket sort
-        n_subs = assigned.groupBy("bucket").agg(
+        n_subs = cached.groupBy("bucket").agg(
             F.ceil(
                 F.count(F.lit(1)) / F.lit(float(max_bucket_size))
             ).cast("int").alias("__n_subs")
         )
-        assigned = assigned.join(F.broadcast(n_subs), on="bucket").withColumn(
+        assigned = cached.join(F.broadcast(n_subs), on="bucket").withColumn(
             "sub",
             F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__n_subs")).cast(
                 "int"
@@ -550,9 +568,13 @@ def build_ivf_index(
         assigned = assigned.withColumn("sub", F.lit(0))
     # one shuffle keyed by the physical layout: each (bucket, sub) dir is
     # written by its own task set, bounding task output to ~max_bucket_size
-    assigned.repartition("bucket", "sub").write.mode("overwrite").partitionBy(
-        "bucket", "sub"
-    ).parquet(f"{path}/assignments")
+    try:
+        assigned.repartition("bucket", "sub").write.mode(
+            "overwrite"
+        ).partitionBy("bucket", "sub").parquet(f"{path}/assignments")
+    finally:
+        if cached is not None:
+            cached.unpersist()
 
 
 def ann_against_index(

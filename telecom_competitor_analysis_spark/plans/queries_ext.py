@@ -559,15 +559,33 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     must grow with the corpus to keep cluster size (and per-cluster
     pair work) bounded — fixed-k is quadratic BY DESIGN and the ×10
     probe in SCALE.md measures both regimes. The declared form pins
-    k=8 for the oracle; a production run sizes k = n / target_cluster."""
+    k=8 for the oracle; a production run sizes k = n / target_cluster.
+
+    The cluster assignment is read from a FINGERPRINT-CACHED
+    materialized table (built once by kmeans_assign, like the LSH pair
+    graph — cluster once, prune repeatedly; also avoids an in-query
+    persist whose cache this stateless query contract could never
+    release, r7 review finding). The oracle recomputes the same
+    assignment from the frozen universe."""
     from telecom_competitor_analysis_spark.operators.similarity import (
+        kmeans_assign,
         semdedup_prune,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    path = _materialized(
+        spark,
+        sf_dir,
+        "kmeans_k8_i2",
+        "embeddings",
+        lambda p: kmeans_assign(
+            emb, "vec_id", "embedding", k=8, iters=2, dim=EMBEDDING_DIM
+        ).write.mode("overwrite").parquet(f"{p}/assign"),
+    )
+    assign = spark.read.parquet(f"{path}/assign")
     return semdedup_prune(
         emb, "vec_id", "embedding", k=8, iters=2, dim=EMBEDDING_DIM,
-        threshold=0.2,
+        threshold=0.2, assign=assign,
     )
 
 
