@@ -104,6 +104,7 @@ HEADLINE_EXT = [
     "q_kmeans_assign",
     "q_semdedup",
     "q_domain_cap",
+    "q_training_shards",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -2388,6 +2388,30 @@ def _kmeans_cte_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     return ",\n    ".join(parts)
 
 
+# Deterministic training shards (queries_ext.q_training_shards): shard =
+# first md5 byte mod 8, position = rank of the next 16 nibbles within
+# the shard. The nibble→int conversion uses the strpos idiom (see KMV).
+_NIB = "strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1"
+EXT_ORACLES["q_training_shards"] = f"""
+    WITH h AS (
+        SELECT doc_id,
+               md5(CAST(doc_id AS VARCHAR) || '|shard') AS hh
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               CAST((({_NIB.format(i=1)}) * 16 + ({_NIB.format(i=2)})) % 8
+                    AS INT) AS shard,
+               substr(hh, 3, 16) AS ord_key
+        FROM h
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard ORDER BY ord_key ASC, doc_id ASC
+           ) AS INT) AS pos
+    FROM s
+"""
+
 # Per-domain contribution cap (queries_ext.q_domain_cap): blocklist
 # filter + first-DOMAIN_CAP-by-doc_id per source. Literals mirror
 # queries_ext.DOMAIN_BLOCKLIST / DOMAIN_CAP.

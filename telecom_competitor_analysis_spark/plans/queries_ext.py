@@ -1340,6 +1340,37 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-data sharding (the WebDataset/epoch-shuffle
+    primitive): every doc gets a shard by hash and a stable position
+    WITHIN its shard by a second hash — a reproducible global shuffle
+    with no RNG state, no coordination, and resume-from-position
+    support (skip pos <= checkpoint on restart). Changing the salt
+    string re-shuffles the corpus for a new epoch.
+
+    Scale shape: the hash is map-side; ONE exchange on shard; the
+    within-shard order is exactly the per-shard sort a shard writer
+    needs anyway (each shard file is written sorted once) — n_shards is
+    the parallelism knob, so no shard outgrows an executor."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_shards = 8
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shard")))
+    d = docs.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int"),
+            F.lit(n_shards),
+        ).alias("shard"),
+        F.substring(h, 3, 16).alias("__ord"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("__ord").asc(), F.col("doc_id").asc()
+    )
+    return d.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )
+
+
 def q_udaf_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-aggregate pandas UDAF (§2.10, the Arrow aggregation escape
     hatch) with a HARD oracle: weighted mean per event type over integer
@@ -2419,6 +2450,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
     "q_domain_cap": q_domain_cap,
+    "q_training_shards": q_training_shards,
     "q_bm25_search": q_bm25_search,
     "q_cdc_apply": q_cdc_apply,
     "q_range_window": q_range_window,

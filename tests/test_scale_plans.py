@@ -287,6 +287,14 @@ def test_domain_cap_pushes_blocklist_and_prunes_map_side(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_training_shards_single_exchange_no_global_sort(spark, sf_dir):
+    """Sharding = map-side hash + ONE exchange on shard + the per-shard
+    sort a shard writer needs anyway; never a global (range) sort."""
+    plan = _plan(QUERIES["q_training_shards"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in plan
+
+
 def test_star_join_broadcasts_dims_no_hints(spark, sf_dir):
     """The six-table Q5 star join carries NO join hints (logical plan
     hint-free — AQE owns the strategy at every scale) and locally
