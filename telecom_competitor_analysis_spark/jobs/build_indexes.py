@@ -9,6 +9,8 @@ incremental queries probe against (SURVEY.md §2.12 round-6 additions):
   partition pruning by ann_against_index / q_ann_index_probe)
 - LSH pair graph  → minhash_signature + lsh_candidate_pairs
   (consumed by dedup_clusters / canonical selection / pagerank)
+- k-means assignment → operators/similarity.py::kmeans_assign
+  (cluster-once table consumed by SemDedup pruning / q_semdedup)
 
 At 100 TB each artifact is a warehouse table owned by this job; the
 probe-side queries never re-derive them. Run:
@@ -35,6 +37,8 @@ def build_all(
     max_bucket_size: int | None = 100_000,
     n_hashes: int = 4,
     bands: int = 2,
+    kmeans_k: int = 8,
+    kmeans_iters: int = 2,
 ) -> dict[str, str]:
     """Build the three index artifacts under ``out``; returns
     {artifact: path}. Each build is an independent write — a failed one
@@ -46,6 +50,7 @@ def build_all(
     )
     from telecom_competitor_analysis_spark.operators.similarity import (
         build_ivf_index,
+        kmeans_assign,
     )
     from telecom_competitor_analysis_spark.sources.readers import load_table
 
@@ -56,6 +61,7 @@ def build_all(
         "shingle_index": f"{out}/shingle_index",
         "ivf_index": f"{out}/ivf_index",
         "pair_graph": f"{out}/pair_graph",
+        "kmeans_assign": f"{out}/kmeans_assign",
     }
     build_shingle_index(
         docs, "doc_id", "text", paths["shingle_index"], w=shingle_w,
@@ -68,6 +74,9 @@ def build_all(
     sig = minhash_signature(docs, "doc_id", "text", n_hashes=n_hashes)
     lsh_candidate_pairs(sig, "doc_id", n_hashes=n_hashes, bands=bands)\
         .write.mode("overwrite").parquet(paths["pair_graph"])
+    kmeans_assign(
+        emb, "vec_id", "embedding", k=kmeans_k, iters=kmeans_iters
+    ).write.mode("overwrite").parquet(paths["kmeans_assign"])
     return paths
 
 

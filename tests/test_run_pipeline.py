@@ -68,10 +68,11 @@ def test_medallion_end_to_end(spark, dirs):
 
 
 def test_build_indexes_job(spark, tmp_path):
-    """The nightly index-build job materializes all three probe-side
+    """The nightly index-build job materializes all four probe-side
     artifacts, each immediately consumable: the shingle index answers an
-    incremental near-dup probe, the IVF index answers an ANN probe, and
-    the pair graph feeds cluster labeling."""
+    incremental near-dup probe, the IVF index answers an ANN probe, the
+    pair graph feeds cluster labeling, and the k-means assignment feeds
+    SemDedup pruning."""
     from telecom_competitor_analysis_spark.jobs.build_indexes import build_all
     from telecom_competitor_analysis_spark.operators.dedup import (
         dedup_clusters,
@@ -101,3 +102,15 @@ def test_build_indexes_job(spark, tmp_path):
     pairs = spark.read.parquet(paths["pair_graph"])
     clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
     assert clusters.count() == docs.count()
+
+    # the cluster-once assignment table feeds SemDedup pruning directly
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        semdedup_prune,
+    )
+
+    assign = spark.read.parquet(paths["kmeans_assign"])
+    pruned = semdedup_prune(
+        emb, "vec_id", "embedding", dim=64, threshold=0.2, assign=assign
+    )
+    assert pruned.count() == emb.count()
+    assert set(pruned.columns) == {"vec_id", "cluster_id", "kept"}
