@@ -105,6 +105,8 @@ HEADLINE_EXT = [
     "q_semdedup",
     "q_domain_cap",
     "q_training_shards",
+    "q_fertility",
+    "q_pmi_pairs",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

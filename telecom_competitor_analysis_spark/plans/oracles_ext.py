@@ -2388,6 +2388,77 @@ def _kmeans_cte_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
     return ",\n    ".join(parts)
 
 
+# PMI collocations (queries_ext.q_pmi_pairs): ±2-window unordered
+# pairs, min count 5, PMI in double with the operand order written
+# identically to the Spark side, rounded 6; top-100 deterministic.
+EXT_ORACLES["q_pmi_pairs"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, arr[i] AS w
+        FROM t, unnest(generate_series(1, len(arr))) AS g(i)
+    ),
+    pairs AS (
+        SELECT least(arr[i], arr[i + 1]) AS x,
+               greatest(arr[i], arr[i + 1]) AS y
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+        WHERE arr[i] != arr[i + 1]
+        UNION ALL
+        SELECT least(arr[i], arr[i + 2]),
+               greatest(arr[i], arr[i + 2])
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        WHERE arr[i] != arr[i + 2]
+    ),
+    cxy AS (
+        SELECT x, y, COUNT(*)::BIGINT AS c_xy
+        FROM pairs GROUP BY x, y HAVING COUNT(*) >= 5
+    ),
+    cw AS (SELECT w, COUNT(*)::BIGINT AS c_w FROM toks GROUP BY w),
+    tot AS (
+        SELECT CAST(SUM(len(arr)) AS BIGINT) AS n_tokens,
+               CAST(SUM(greatest(len(arr) - 1, 0))
+                    + SUM(greatest(len(arr) - 2, 0)) AS BIGINT) AS n_pairs
+        FROM t
+    )
+    SELECT
+        cxy.x,
+        cxy.y,
+        cxy.c_xy,
+        round(ln(
+            (cxy.c_xy::DOUBLE / tot.n_pairs::DOUBLE)
+            / ((cx.c_w::DOUBLE / tot.n_tokens::DOUBLE)
+               * (cy.c_w::DOUBLE / tot.n_tokens::DOUBLE))
+        ), 6) AS pmi
+    FROM cxy
+    JOIN cw cx ON cx.w = cxy.x
+    JOIN cw cy ON cy.w = cxy.y
+    CROSS JOIN tot
+    ORDER BY pmi DESC, cxy.x ASC, cxy.y ASC
+    LIMIT 100
+"""
+
+# Tokenizer fertility per language (queries_ext.q_fertility): exact
+# integer token sums, one rounded double division.
+EXT_ORACLES["q_fertility"] = r"""
+    WITH d AS (
+        SELECT
+            lang,
+            len(string_split(text, ' '))::BIGINT AS ws,
+            len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT
+                AS bpe
+        FROM documents
+    )
+    SELECT
+        lang,
+        COUNT(*)::BIGINT AS n_docs,
+        CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        round(CAST(SUM(bpe) AS BIGINT) / CAST(SUM(ws) AS BIGINT), 6)
+            AS fertility
+    FROM d GROUP BY lang
+"""
+
 # Deterministic training shards (queries_ext.q_training_shards): shard =
 # first md5 byte mod 8, position = rank of the next 16 nibbles within
 # the shard. The nibble→int conversion uses the strpos idiom (see KMV).

@@ -1116,12 +1116,13 @@ QUERIES.update(EXT_QUERIES)
 # (3 + 36 + 11 = 50): the 3 queries whose plans changed this round
 # (q_ann_index_probe + q_semantic_neighbors now build/probe the
 # skew-capped materialized IVF index; q_token_budget_fill gained the
-# rank-cap pre-filter + min_doc_len floor), the 4 new r7 oracles
-# (q_kmeans_assign, q_semdedup, q_domain_cap, q_training_shards), ALL
-# 36 queries whose latest green is r4 (the r6 VERDICT item-2 rotation
-# debt), and the 7 oldest r5 greens as filler (3 + 4 + 36 + 7 = 50) —
-# after r7 no green older than r5 except the 38 r5 greens parked first
-# below the boundary (rotate THOSE in r8).
+# rank-cap pre-filter + min_doc_len floor), the 6 new r7 oracles
+# (q_kmeans_assign, q_semdedup, q_domain_cap, q_training_shards,
+# q_fertility, q_pmi_pairs), ALL 36 queries whose latest green is r4
+# (the r6 VERDICT item-2 rotation debt), and the 5 oldest r5 greens as
+# filler (3 + 6 + 36 + 5 = 50) — after r7 no green older than r5
+# except the 40 r5 greens parked first below the boundary (rotate
+# THOSE in r8).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
@@ -1136,6 +1137,8 @@ VERIFY_PRIORITY = [
     "q_semdedup",
     "q_domain_cap",
     "q_training_shards",
+    "q_fertility",
+    "q_pmi_pairs",
     # tier 3 — all 36 queries whose latest green is r4 (r6 VERDICT
     # item 2: the reference-core operators among them especially)
     "q_validate",
@@ -1174,17 +1177,17 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_key_skew",
-    # tier 4 — filler: the 7 oldest r5 greens (round-robin)
+    # tier 4 — filler: the 5 oldest r5 greens (round-robin)
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
     "q_except",
     "q_intersect",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The remaining 40 r5 greens (byte-identical code) — oldest after
+    # the r7 run; next in line for r8.
     "q_distinct_agg",
     "q_explode",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The remaining 38 r5 greens (byte-identical code) — oldest after
-    # the r7 run; next in line for r8.
     "q_grouping_sets",
     "q_scalar_subquery",
     "q_outer_join",

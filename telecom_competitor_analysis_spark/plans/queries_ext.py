@@ -424,6 +424,129 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-100 word pairs by pointwise mutual
+    information over a ±2-word co-occurrence window (the classic
+    phrase-detection signal; word2vec-era pipelines ship exactly this
+    to merge 'new york'-style units before training). Pairs are
+    unordered-canonicalized (least, greatest), self-pairs excluded,
+    min count 5 (PMI is noise below that).
+
+    Exactness: all counts are exact integers off partial-agg shuffles;
+    PMI is computed in double with an operand order written identically
+    in both engines and rounded to 6 (the tfidf discipline). The
+    normalizers are DEFINED from doc lengths — N = Σ tokens, P = Σ
+    co-occurrence slots (len-1) + (len-2) — so they are map-only
+    aggregates off the scan and the pair WINDOW has exactly one
+    consumer (deriving P by counting pair rows would duplicate the
+    whole window subtree into the total's branch; Spark reuses nothing
+    across the two consumers — plan-asserted single Window). Word/pair
+    counts partial-aggregate, N and P are a one-row broadcast, the
+    word-count join is AQE's choice, and the top-100 is a
+    TakeOrderedAndProject — never a global sort of the pair
+    vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    # BOTH leads come off ONE window pass (a union of per-offset
+    # branches would re-scan and re-exchange the token table per
+    # offset), then explode to pair rows
+    pair_rows = (
+        toks.select(
+            "w",
+            F.lead("w", 1).over(win).alias("lw1"),
+            F.lead("w", 2).over(win).alias("lw2"),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("lw1"), F.col("lw2"))
+            ).alias("lw"),
+            "w",
+        )
+        .filter(F.col("lw").isNotNull() & (F.col("w") != F.col("lw")))
+        .select(
+            F.least(F.col("w"), F.col("lw")).alias("x"),
+            F.greatest(F.col("w"), F.col("lw")).alias("y"),
+        )
+    )
+    c_xy = (
+        pair_rows.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    c_w = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c_w"))
+    doc_len = docs.select(
+        F.size(words(F.trim(F.col("text")))).cast("long").alias("L")
+    )
+    totals = F.broadcast(
+        doc_len.agg(
+            F.sum("L").alias("n_tokens"),
+            (
+                F.sum(F.greatest(F.col("L") - 1, F.lit(0)))
+                + F.sum(F.greatest(F.col("L") - 2, F.lit(0)))
+            ).alias("n_pairs"),
+        )
+    )
+    joined = (
+        c_xy.join(c_w.withColumnRenamed("w", "x").withColumnRenamed(
+            "c_w", "c_x"), on="x")
+        .join(c_w.withColumnRenamed("w", "y").withColumnRenamed(
+            "c_w", "c_y"), on="y")
+        .crossJoin(totals)
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_xy").cast("double") / F.col("n_pairs").cast("double"))
+            / (
+                (F.col("c_x").cast("double") / F.col("n_tokens").cast("double"))
+                * (F.col("c_y").cast("double") / F.col("n_tokens").cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("x", "y", "c_xy", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(100)
+    )
+
+
+def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word, aggregated per lang — the signal a multilingual mix designer
+    watches (a language whose tokenizer fragments words 2× costs 2× the
+    budget per word; CC-mix papers report exactly this ratio). Exact
+    integer token sums; the ratio is ONE double division rounded to 6
+    (cross-engine bit-stable). Map-side counts, one partial-agg shuffle
+    on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            n_words(F.col("text")).alias("ws"),
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "ws_tokens",
+            "bpe_tokens",
+            F.round(
+                F.col("bpe_tokens") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language-ID heuristic (deterministic argmax)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -2451,6 +2574,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semdedup": q_semdedup,
     "q_domain_cap": q_domain_cap,
     "q_training_shards": q_training_shards,
+    "q_fertility": q_fertility,
+    "q_pmi_pairs": q_pmi_pairs,
     "q_bm25_search": q_bm25_search,
     "q_cdc_apply": q_cdc_apply,
     "q_range_window": q_range_window,

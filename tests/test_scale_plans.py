@@ -287,6 +287,16 @@ def test_domain_cap_pushes_blocklist_and_prunes_map_side(spark, sf_dir):
     assert "Join" not in plan
 
 
+def test_pmi_pairs_topk_and_single_window_pass(spark, sf_dir):
+    """PMI: the top-100 is a distributed TakeOrderedAndProject (never a
+    global sort of the pair vocabulary), and both lead offsets come off
+    ONE window pass (exactly one Window operator in the plan)."""
+    plan = _plan(QUERIES["q_pmi_pairs"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Window ") == 1
+    assert "CartesianProduct" not in plan
+
+
 def test_training_shards_single_exchange_no_global_sort(spark, sf_dir):
     """Sharding = map-side hash + ONE exchange on shard + the per-shard
     sort a shard writer needs anyway; never a global (range) sort."""
