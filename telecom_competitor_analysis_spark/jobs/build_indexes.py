@@ -39,10 +39,14 @@ def build_all(
     bands: int = 2,
     kmeans_k: int = 8,
     kmeans_iters: int = 2,
+    embedding_dim: int = 64,
 ) -> dict[str, str]:
-    """Build the three index artifacts under ``out``; returns
+    """Build the four index artifacts under ``out``; returns
     {artifact: path}. Each build is an independent write — a failed one
-    leaves the others usable, and re-running overwrites idempotently."""
+    leaves the others usable, and re-running overwrites idempotently.
+    ``embedding_dim`` must match the embeddings table (the centroid
+    sums index v[0..dim-1]); keep it in sync with the query side's
+    EMBEDDING_DIM."""
     from telecom_competitor_analysis_spark.operators.dedup import (
         build_shingle_index,
         lsh_candidate_pairs,
@@ -75,7 +79,8 @@ def build_all(
     lsh_candidate_pairs(sig, "doc_id", n_hashes=n_hashes, bands=bands)\
         .write.mode("overwrite").parquet(paths["pair_graph"])
     kmeans_assign(
-        emb, "vec_id", "embedding", k=kmeans_k, iters=kmeans_iters
+        emb, "vec_id", "embedding", k=kmeans_k, iters=kmeans_iters,
+        dim=embedding_dim,
     ).write.mode("overwrite").parquet(paths["kmeans_assign"])
     return paths
 

@@ -455,7 +455,15 @@ def semdedup_prune(
     across join sides. Pass ``assign`` to feed a PRE-COMPUTED assignment
     table (the production shape — cluster once, prune repeatedly; the
     declared q_semdedup reads a fingerprint-cached materialized
-    assignment, exactly like the LSH pair graph). Without it, the
+    assignment, exactly like the LSH pair graph). On that path the
+    clustering parameters (k/iters/dim) are IGNORED — they describe a
+    build that already happened — and the corpus is used only for a
+    COVERAGE GUARD: every corpus id must appear in the table, enforced
+    lazily with a per-row raise_error, so a stale nightly table fails
+    the query loudly instead of silently dropping the vectors it
+    predates (r7 review finding; fires whenever the result columns are
+    materialized — collect/write — but a bare count() column-prunes
+    every projection including the guard). Without ``assign``, the clustering
     subtree is persist()ed so Lloyd's runs once instead of three times
     (measured 53 s → 20 s at the ×10 probe). CACHE LIFETIME CAVEAT
     (r7 review): the returned DataFrame is lazy, so this function
@@ -467,6 +475,24 @@ def semdedup_prune(
         assign = kmeans_assign(
             corpus, id_col, vec_col, k, iters, dim
         ).persist()
+    else:
+        ids = corpus.select(F.col(id_col).alias("vec_id"))
+        assign = ids.join(assign, on="vec_id", how="left").select(
+            "vec_id",
+            "v",
+            F.when(
+                F.col("cluster_id").isNotNull(), F.col("cluster_id")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "semdedup_prune: assignment table does not"
+                        " cover the corpus (stale index?)"
+                    )
+                )
+            )
+            .alias("cluster_id"),
+        )
     sides = assign.withColumn("__n", _norm(F.col("v")))
     a = sides.select(
         F.col("vec_id").alias("id_a"),

@@ -104,13 +104,27 @@ def test_build_indexes_job(spark, tmp_path):
     assert clusters.count() == docs.count()
 
     # the cluster-once assignment table feeds SemDedup pruning directly
+    # (clustering params are ignored on the assign= path; the corpus
+    # drives only the coverage guard)
+    import pytest
+
     from telecom_competitor_analysis_spark.operators.similarity import (
         semdedup_prune,
     )
 
     assign = spark.read.parquet(paths["kmeans_assign"])
     pruned = semdedup_prune(
-        emb, "vec_id", "embedding", dim=64, threshold=0.2, assign=assign
+        emb, "vec_id", "embedding", threshold=0.2, assign=assign
     )
     assert pruned.count() == emb.count()
     assert set(pruned.columns) == {"vec_id", "cluster_id", "kept"}
+
+    # a STALE table (missing vectors the corpus gained since the build)
+    # must fail the query loudly when the result is materialized, never
+    # silently drop the new rows (collect, not count — a bare count()
+    # column-prunes every projection including the guard)
+    stale = assign.filter("vec_id != 0")
+    with pytest.raises(Exception, match="does not cover"):
+        semdedup_prune(
+            emb, "vec_id", "embedding", threshold=0.2, assign=stale
+        ).collect()
