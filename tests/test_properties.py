@@ -266,3 +266,105 @@ def test_token_budget_fill_boundary_semantics(spark, sizes, budget):
         assert total >= budget  # budget always met when affordable
     if prefix_len > 0:
         assert total - order[prefix_len - 1][1] < budget  # boundary doc needed
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-2.0, max_value=2.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            min_size=4, max_size=4,
+        ),
+        min_size=3, max_size=20,
+    ),
+)
+def test_kmeans_assign_matches_python_mirror(spark, vecs):
+    """kmeans_assign on ARBITRARY small vector sets equals a
+    straight-Python mirror of the exact same rules: lowest-id seeds,
+    argmax-dot assignment with lowest-cid tie-break, integer-micro
+    centroid sums divided back to double."""
+    import math
+
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    k, iters, dim = 2, 2, 4
+    rows = [{"vec_id": i, "embedding": v} for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    got = {
+        r.vec_id: r.cluster_id
+        for r in kmeans_assign(
+            emb, "vec_id", "embedding", k=k, iters=iters, dim=dim
+        ).collect()
+    }
+
+    # python mirror (same fp operation order as the engine expressions)
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def micro(x):
+        return int(math.floor(abs(x) * 1_000_000 + 0.5)) * (
+            1 if x >= 0 else -1
+        )
+
+    cents = {i: vecs[i] for i in range(k)}
+    assign = {}
+    for it in range(iters):
+        assign = {}
+        for i, v in enumerate(vecs):
+            best = max(
+                cents.items(), key=lambda t: (dot(v, t[1]), -t[0])
+            )[0]
+            assign[i] = best
+        if it < iters - 1:
+            cents = {}
+            for cid in set(assign.values()):
+                members = [vecs[i] for i, c in assign.items() if c == cid]
+                n = len(members)
+                cents[cid] = [
+                    sum(micro(m[d]) for m in members) / (n * 1_000_000.0)
+                    for d in range(dim)
+                ]
+    assert got == assign
+
+
+@settings(max_examples=10, deadline=None)
+@given(ids=st.sets(st.integers(0, 10_000), min_size=1, max_size=40))
+def test_training_shards_match_python_md5(spark, ids):
+    """q_training_shards' shard and position equal a pure-Python md5
+    recompute for ARBITRARY id sets — the reproducibility contract a
+    resume-from-checkpoint consumer depends on."""
+    import hashlib
+    import unittest.mock as mock
+
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.plans import queries_ext as qe
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": sorted(ids), "text": "x", "lang": "en"})
+    )
+    with mock.patch.object(qe, "load_table", lambda s, d, t: docs):
+        got = {
+            r.doc_id: (r.shard, r.pos)
+            for r in qe.q_training_shards(spark, "unused").collect()
+        }
+
+    by_shard: dict[int, list[tuple[str, int]]] = {}
+    for i in sorted(ids):
+        h = hashlib.md5(f"{i}|shard".encode()).hexdigest()
+        by_shard.setdefault(int(h[:2], 16) % 8, []).append((h[2:18], i))
+    expect = {}
+    for shard, entries in by_shard.items():
+        for pos, (_, i) in enumerate(sorted(entries), start=1):
+            expect[i] = (shard, pos)
+    assert got == expect
