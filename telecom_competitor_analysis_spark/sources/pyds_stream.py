@@ -85,6 +85,60 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         return self._rows(int(start["offset"]), int(end["offset"]))
 
 
+class SyntheticDocumentsDataSource(DataSource):
+    """Streaming RAW-document feed (a crawl drain): each micro-batch is
+    ``docsPerBatch`` documents, rows a pure function of the offset.
+    Every third document is a NEAR-DUPLICATE of the fixed boilerplate
+    ``KEEP_TEXT`` (same 3-gram core + a per-doc suffix word); the rest
+    are all-novel vocabulary. Drives the streaming-curation loop —
+    foreachBatch probing each arriving batch against a FROZEN shingle
+    index (tests/test_stream_curate.py): the per-batch cost of
+    ``near_dups_against_index`` is ∝ batch, never corpus, which is the
+    property that makes curation keep up with a crawl at 100 TB."""
+
+    KEEP_TEXT = (
+        "the quick brown fox jumps over the lazy dog near the old river"
+    )
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_documents"
+
+    def schema(self) -> str:
+        return "doc_id bigint, text string"
+
+    def simpleStreamReader(self, schema) -> "SyntheticDocumentsStreamReader":
+        return SyntheticDocumentsStreamReader(self.options)
+
+
+class SyntheticDocumentsStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options) -> None:
+        self.per_batch = int(options.get("docsPerBatch", 6))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int) -> list[tuple]:
+        out = []
+        for i in range(start, end):
+            if i % 3 == 0:
+                text = (
+                    f"{SyntheticDocumentsDataSource.KEEP_TEXT} tail{i}"
+                )
+            else:
+                text = " ".join(f"w{i}x{j}" for j in range(12))
+            out.append((i, text))
+        return out
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = s + self.per_batch
+        return (self._rows(s, e), {"offset": e})
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._rows(int(start["offset"]), int(end["offset"]))
+
+
 class SyntheticProductsDataSource(DataSource):
     """Streaming RAW-product feed: each micro-batch is one day's scrape
     of a fixed catalog (``productsPerDay``, default 4), rows a pure
