@@ -598,9 +598,59 @@ def build_ivf_index(
         assigned.repartition("bucket", "sub").write.mode(
             "overwrite"
         ).partitionBy("bucket", "sub").parquet(f"{path}/assignments")
+        # per-bucket sub-split meta (frozen with the index): appends
+        # must hash new vectors over the SAME sub count the build used,
+        # or the physical layout's size bound drifts
+        assigned.groupBy("bucket").agg(
+            (F.max("sub") + F.lit(1)).alias("n_subs")
+        ).write.mode("overwrite").parquet(f"{path}/meta")
     finally:
         if cached is not None:
             cached.unpersist()
+
+
+def append_to_ivf_index(
+    batch: DataFrame,
+    spark,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Intra-day append of NEW vectors to a frozen IVF index (the
+    operational complement of the nightly ``build_ivf_index``): the
+    batch is quantized against the STORED anchors (frozen — appending
+    never moves a bucket boundary, so existing partitions stay valid
+    and probes over the union are exactly the probes over a rebuild
+    with the same anchors, pinned by test) and hashed over each
+    bucket's STORED sub count (``{path}/meta``), then appended to the
+    (bucket, sub) partition layout. Per-append cost ∝ batch — the
+    corpus is never re-read. Buckets absent from meta (an uncapped
+    build) default to one sub."""
+    anchors = spark.read.parquet(f"{path}/anchors")
+    meta = spark.read.parquet(f"{path}/meta")
+    assigned = ivf_assign(
+        batch.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+        ),
+        anchors,
+        "neighbor_id",
+        "c_vec",
+    )
+    assigned = (
+        assigned.join(F.broadcast(meta), on="bucket", how="left")
+        .withColumn("__n", F.coalesce(F.col("n_subs"), F.lit(1)))
+        .withColumn(
+            "sub",
+            F.pmod(F.xxhash64(F.col("neighbor_id")), F.col("__n")).cast(
+                "int"
+            ),
+        )
+        .drop("n_subs", "__n")
+    )
+    assigned.repartition("bucket", "sub").write.mode("append").partitionBy(
+        "bucket", "sub"
+    ).parquet(f"{path}/assignments")
 
 
 def ann_against_index(

@@ -237,6 +237,72 @@ def test_semdedup_prunes_planted_neardups_keep_lowest(spark):
     assert got[5] is True  # cos 0 to every cluster-mate — never dropped
 
 
+def test_ivf_index_append_equals_rebuild(spark, tmp_path):
+    """append_to_ivf_index: build on the day-0 corpus, append the
+    intra-day batch — probes over the appended index must EQUAL probes
+    over a full rebuild (same anchor set: the day-0 corpus holds the
+    lowest ids, so the rebuild picks identical anchors), and appended
+    rows must respect the frozen per-bucket sub split."""
+    import glob
+
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    n, dim = 120, 8
+    rows = [
+        {
+            "vec_id": i,
+            "embedding": [1.0 + 0.01 * ((i * 3 + d) % 7) for d in range(dim)],
+        }
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(pd.DataFrame(rows))
+    day0 = emb.filter(F.col("vec_id") < 80)
+    intraday = emb.filter(F.col("vec_id") >= 80)
+
+    appended = str(tmp_path / "appended")
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(day0, appended, n_anchors=4, max_bucket_size=20)
+    append_to_ivf_index(intraday, spark, appended)
+    build_ivf_index(emb, rebuilt, n_anchors=4, max_bucket_size=20)
+
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+    for nprobe in (1, 2, 4):
+        a = sorted(
+            map(
+                tuple,
+                ann_against_index(
+                    queries, spark, appended, k=8, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        b = sorted(
+            map(
+                tuple,
+                ann_against_index(
+                    queries, spark, rebuilt, k=8, nprobe=nprobe
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    # appended rows landed inside the FROZEN sub layout: no new sub dir
+    # exceeds the build-time sub count recorded in meta
+    meta = {
+        r.bucket: r.n_subs
+        for r in spark.read.parquet(f"{appended}/meta").collect()
+    }
+    for d in glob.glob(f"{appended}/assignments/bucket=*/sub=*"):
+        bucket = int(d.split("bucket=")[1].split("/")[0])
+        sub = int(d.split("sub=")[1])
+        assert sub < meta[bucket], f"{d} outside frozen sub split"
+
+
 def test_ivf_index_bucket_cap_splits_hot_bucket(spark, tmp_path):
     """Skew guard (r6 VERDICT item 1): plant a hot cluster — every vector
     nearest the SAME anchor — and build with max_bucket_size. The hot
