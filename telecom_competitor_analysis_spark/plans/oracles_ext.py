@@ -2716,6 +2716,21 @@ EXT_ORACLES["q_perplexity_mix"] = f"""
 
 # TPC-H Q5-shaped star join (queries_ext.q_star_join): same FK chain,
 # same local-supplier constraint, per-row-rounded integer cents.
+# Bucketed co-located join (queries_ext.q_bucketed_join): the answer is
+# layout-independent — the oracle is the plain orders ⋈ lineitem join;
+# the bucketed layout only changes the physical plan (no exchange).
+EXT_ORACLES["q_bucketed_join"] = """
+    SELECT
+        o.o_orderpriority,
+        CAST(SUM(CAST(round(
+            l.l_extendedprice * (1.0 - l.l_discount) * 100.0, 0
+        ) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        COUNT(*)::BIGINT AS n_lineitems
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+"""
+
 EXT_ORACLES["q_star_join"] = """
     SELECT
         n.n_name,

@@ -64,7 +64,11 @@ ARTIFACT_SCHEMA_VERSION = "v2"
 # The modules whose code produces artifact CONTENT. A change to any of them
 # invalidates every cached artifact (a stale cache must never let an oracle
 # pass against bytes an older builder wrote — ADVICE r6).
-_BUILDER_MODULES = ("operators/dedup.py", "operators/similarity.py")
+_BUILDER_MODULES = (
+    "operators/dedup.py",
+    "operators/similarity.py",
+    "operators/bucketing.py",
+)
 
 
 def _code_version() -> str:
@@ -118,13 +122,15 @@ def _source_stat(sf_dir: str, table: str) -> str:
     )
 
 
-def _fingerprint(sf_dir: str, tag: str, table: str) -> str:
+def _fingerprint(sf_dir: str, tag: str, table) -> str:
     import hashlib
     import os
 
+    tables = table if isinstance(table, (tuple, list)) else (table,)
+    stats = "||".join(_source_stat(sf_dir, t) for t in tables)
     return hashlib.md5(
         f"{tag}|{_code_version()}|{os.path.abspath(sf_dir)}"
-        f"|{_source_stat(sf_dir, table)}".encode()
+        f"|{stats}".encode()
     ).hexdigest()
 
 
@@ -752,6 +758,95 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("n_name").agg(
         F.sum(cents).alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+_FACT_BUCKETS = 8
+
+
+def _materialized_bucketed_fact(spark: SparkSession, sf_dir: str) -> str:
+    """orders + lineitem written ONCE as bucketed layouts on the order
+    key (operators/bucketing.py) — the pay-the-shuffle-once artifact
+    every downstream order-grain join reads exchange-free. Fingerprint
+    covers BOTH source tables + the bucket count (in the tag)."""
+    from telecom_competitor_analysis_spark.operators.bucketing import (
+        write_bucketed_layout,
+    )
+
+    def build(path: str) -> None:
+        write_bucketed_layout(
+            load_table(spark, sf_dir, "orders"),
+            f"{path}/orders",
+            "o_orderkey",
+            _FACT_BUCKETS,
+        )
+        write_bucketed_layout(
+            load_table(spark, sf_dir, "lineitem"),
+            f"{path}/lineitem",
+            "l_orderkey",
+            _FACT_BUCKETS,
+        )
+
+    return _materialized(
+        spark,
+        sf_dir,
+        f"bucketed_fact_b{_FACT_BUCKETS}",
+        ("orders", "lineitem"),
+        build,
+    )
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located fact-fact join: orders ⋈ lineitem on the
+    order key, both sides read from the materialized BUCKETED layout
+    (`_materialized_bucketed_fact`), revenue + volume per order
+    priority.
+
+    The scale story is the layout, not the query: both fact tables were
+    hash-bucketed into the same bucket count on the join key at write
+    time, so the SortMergeJoin requires NO Exchange on either side —
+    at 100 TB that is the difference between re-shuffling two fact
+    tables per join and reading matching bucket files pair-wise
+    (pinned: tests/test_scale_plans.py asserts zero exchanges below the
+    join; the only Exchange in this plan is the 5-row priority
+    aggregate). Answers are layout-independent — the oracle is the
+    plain join."""
+    from telecom_competitor_analysis_spark.operators.bucketing import (
+        attach_bucketed_layout,
+    )
+    import os
+
+    path = _materialized_bucketed_fact(spark, sf_dir)
+    suffix = os.path.basename(path)
+    orders = attach_bucketed_layout(
+        spark,
+        f"tcas_bko_{suffix}",
+        load_table(spark, sf_dir, "orders").schema,
+        "o_orderkey",
+        _FACT_BUCKETS,
+        f"{path}/orders",
+    )
+    lineitem = attach_bucketed_layout(
+        spark,
+        f"tcas_bkl_{suffix}",
+        load_table(spark, sf_dir, "lineitem").schema,
+        "l_orderkey",
+        _FACT_BUCKETS,
+        f"{path}/lineitem",
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0,
+        0,
+    ).cast("bigint")
+    return (
+        orders.join(
+            lineitem, lineitem.l_orderkey == orders.o_orderkey
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
     )
 
 
@@ -2596,6 +2691,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gopher_rules": q_gopher_rules,
     "q_perplexity_mix": q_perplexity_mix,
     "q_star_join": q_star_join,
+    "q_bucketed_join": q_bucketed_join,
     "q_weighted_sample": q_weighted_sample,
     "q_tfidf": q_tfidf,
     "q_embedding_outlier": q_embedding_outlier,

@@ -314,3 +314,58 @@ def test_star_join_broadcasts_dims_no_hints(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_declared_bucketed_join_query_zero_join_exchanges(spark, sf_dir):
+    """q_bucketed_join reads the MATERIALIZED bucketed layout: the
+    fact-fact SortMergeJoin must have zero Exchange below it (the only
+    exchange in the whole plan is the 5-row priority aggregate), and the
+    scan must report the bucket count."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["q_bucketed_join"](spark, sf_dir)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        join_subtree = plan.split("SortMergeJoin", 1)[1]
+        assert "Exchange" not in join_subtree, (
+            "bucketed fact join must not reshuffle either side"
+        )
+        assert plan.count("Exchange") == 1  # the final groupBy only
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bucketed_layout_reattach_roundtrip(spark, sf_dir, tmp_path):
+    """write_bucketed_layout writes ONE file per bucket; a fresh
+    attach_bucketed_layout over the same files restores bucket metadata
+    (self-join plans exchange-free) and exact content."""
+    import os
+
+    from telecom_competitor_analysis_spark.operators.bucketing import (
+        attach_bucketed_layout,
+        write_bucketed_layout,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    p = str(tmp_path / "ob")
+    write_bucketed_layout(orders, p, "o_orderkey", 4)
+    files = [f for f in os.listdir(p) if f.startswith("part-")]
+    assert len(files) == 4, "one file per bucket (repartition == bucket hash)"
+    att = attach_bucketed_layout(
+        spark, "tcas_test_reatt", orders.schema, "o_orderkey", 4, p
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = att.select("o_orderkey", "o_totalprice")
+        b = att.select(F.col("o_orderkey"), F.col("o_custkey"))
+        plan = _plan(a.join(b, "o_orderkey"))
+        assert "Exchange" not in plan
+        assert att.count() == orders.count()
+        assert (
+            att.agg(F.sum(F.crc32(F.col("o_orderstatus")))).first()[0]
+            == orders.agg(F.sum(F.crc32(F.col("o_orderstatus")))).first()[0]
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS tcas_test_reatt")
