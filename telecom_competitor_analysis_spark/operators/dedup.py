@@ -900,3 +900,77 @@ def shingle_jaccard_pairs_between(
         .filter(F.col("jaccard") >= threshold)
     )
     return out.select("id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard")
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str, w: int = 15
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020,
+    arXiv:1911.00359 §3.1): hash every paragraph, keep only the FIRST
+    occurrence across the whole corpus (lowest (doc, position)), and
+    reassemble each document from the paragraphs it owns. Returns
+    (id, n_paras, n_dup_paras, scrubbed_text) — scrubbed_text is NULL
+    when every paragraph of the document occurred earlier elsewhere.
+
+    Segmentation is deterministic fixed-width word windows (``w`` words;
+    the synthetic corpus has no newline paragraph boundaries — in the
+    wild, swap the segmenter for split(text, '\\n\\n'); everything
+    downstream is boundary-agnostic). The slicing is a narrow
+    transform-over-sequence on the word array — no explode until the
+    paragraph rows themselves.
+
+    SKEW-SAFE SHAPE — deliberately NOT a row_number window over the
+    paragraph hash: a boilerplate paragraph shared by millions of
+    documents makes its hash a hot key, and a window partition cannot
+    be split by AQE. Instead the first occurrence per hash is
+    ``min(struct(id, para_idx, para_text))`` — a partial-aggregable
+    aggregate, so the hot key collapses to one row per partition
+    MAP-SIDE before the exchange ships it. The per-document outputs
+    then need NO join back on the hash at all: a document's kept set is
+    exactly the firsts it owns (one doc-keyed exchange), its paragraph
+    count is computed narrowly from its own word count, and its dup
+    count is the difference."""
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    n_paras = F.ceil(F.size(ws) / F.lit(float(w))).cast("bigint")
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), (n_paras - 1).cast("int")),
+                lambda i: F.array_join(F.slice(ws, i * w + 1, w), " "),
+            )
+        ).alias("para_idx", "para_text"),
+    )
+    firsts = paras.groupBy(F.md5("para_text").alias("__h")).agg(
+        F.min(F.struct("__id", "para_idx", "para_text")).alias("first")
+    )
+    kept = (
+        firsts.select("first.__id", "first.para_idx", "first.para_text")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("__n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("para_idx", "para_text"))
+                    ),
+                    lambda s: s.para_text,
+                ),
+                " ",
+            ).alias("scrubbed_text"),
+        )
+    )
+    per_doc = df.select(
+        F.col(id_col).alias("__id"), n_paras.alias("n_paras")
+    )
+    return (
+        per_doc.join(kept, on="__id", how="left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_paras",
+            (
+                F.col("n_paras") - F.coalesce(F.col("__n_kept"), F.lit(0))
+            ).alias("n_dup_paras"),
+            "scrubbed_text",
+        )
+    )

@@ -40,6 +40,45 @@ _SIMHASH_BITS = " || ".join(
 )
 
 EXT_ORACLES: dict[str, str] = {
+    # CCNet paragraph dedup (queries_ext.q_paragraph_dedup): the oracle
+    # uses the row_number-window form — answer-identical to the engine's
+    # skew-safe min-struct aggregate (the struct ordering (doc_id,
+    # para_idx) IS the window's ORDER BY, and (doc_id, para_idx) is
+    # unique per hash group).
+    "q_paragraph_dedup": """
+        WITH base AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS ws
+            FROM documents
+        ),
+        idx AS (
+            SELECT doc_id, ws,
+                   UNNEST(generate_series(
+                       0, CAST(ceil(len(ws) / 15.0) AS INT) - 1
+                   )) AS para_idx
+            FROM base
+        ),
+        paras AS (
+            SELECT doc_id, para_idx,
+                   array_to_string(
+                       list_slice(ws, para_idx * 15 + 1, para_idx * 15 + 15),
+                       ' '
+                   ) AS para_text
+            FROM idx
+        ),
+        marked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(para_text) ORDER BY doc_id, para_idx
+            ) AS rn
+            FROM paras
+        )
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS n_paras,
+               SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_dup_paras,
+               string_agg(CASE WHEN rn = 1 THEN para_text END, ' '
+                          ORDER BY para_idx) AS scrubbed_text
+        FROM marked GROUP BY doc_id
+    """,
     "q_dedup_exact": """
         SELECT
             md5(trim(text)) AS content_hash,

@@ -213,6 +213,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, "doc_id", "text")
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup: first occurrence of each
+    paragraph hash wins, documents are reassembled from the paragraphs
+    they own (operators/dedup.py::paragraph_dedup — skew-safe
+    min-struct aggregate, never a window over the paragraph hash)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "doc_id", "text", w=15)
+
+
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hashes) over distinct words — portable
     hex-string min (same md5 both engines)."""
@@ -2727,6 +2740,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_agg": q_string_agg,
     "q_median": q_median,
     "q_dedup_exact": q_dedup_exact,
+    "q_paragraph_dedup": q_paragraph_dedup,
     "q_minhash": q_minhash,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,

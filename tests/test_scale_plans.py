@@ -369,3 +369,13 @@ def test_bucketed_layout_reattach_roundtrip(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS tcas_test_reatt")
+
+
+def test_paragraph_dedup_is_aggregate_not_window(spark, sf_dir):
+    """First-occurrence selection must be the partial-aggregable
+    min-struct (hot boilerplate hash collapses map-side), never a
+    row_number window over the paragraph hash (unsplittable hot
+    partition)."""
+    plan = _plan(QUERIES["q_paragraph_dedup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_min(struct" in plan
