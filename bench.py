@@ -107,6 +107,11 @@ HEADLINE_EXT = [
     "q_training_shards",
     "q_fertility",
     "q_pmi_pairs",
+    "q_bucketed_join",
+    "q_paragraph_dedup",
+    "q_dsir_weights",
+    "q_temperature_mix",
+    "q_bpe_merges",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

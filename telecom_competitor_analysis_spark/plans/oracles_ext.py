@@ -2498,6 +2498,118 @@ EXT_ORACLES["q_fertility"] = r"""
     FROM d GROUP BY lang
 """
 
+# BPE merge candidates (queries_ext.q_bpe_merges): adjacent char pairs
+# over the distinct vocabulary, weighted by word frequency.
+EXT_ORACLES["q_bpe_merges"] = """
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word, COUNT(*)::BIGINT AS freq
+        FROM tok GROUP BY word
+        HAVING len(word) >= 2
+    ),
+    idx AS (
+        SELECT word, freq,
+               UNNEST(generate_series(1, len(word) - 1)) AS i
+        FROM vocab
+    ),
+    counts AS (
+        SELECT substr(word, i, 2) AS pair,
+               SUM(freq)::BIGINT AS n_occurrences
+        FROM idx GROUP BY 1
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY n_occurrences DESC, pair ASC
+           ) AS INT) AS rank,
+           pair, n_occurrences
+    FROM counts
+    ORDER BY rank
+    LIMIT 30
+"""
+
+# Temperature mix (queries_ext.q_temperature_mix): n^0.3 micro-rounded
+# once per language; all shares are single double divisions of exact
+# integers (no cross-row double sums).
+EXT_ORACLES["q_temperature_mix"] = """
+    WITH per_lang AS (
+        SELECT lang,
+               COUNT(*)::BIGINT AS n_docs,
+               SUM(len(string_split(trim(text), ' ')))::BIGINT AS n_tokens
+        FROM documents GROUP BY lang
+    ),
+    scaled AS (
+        SELECT *, CAST(round(pow(n_tokens, 0.3) * 1000000.0, 0) AS BIGINT)
+                      AS s_micro
+        FROM per_lang
+    ),
+    tot AS (
+        SELECT SUM(n_tokens)::BIGINT AS tot_tokens,
+               SUM(s_micro)::BIGINT AS tot_s
+        FROM scaled
+    )
+    SELECT lang, n_docs, n_tokens,
+           CAST(round(n_tokens * 1000000.0 / tot_tokens, 0) AS BIGINT)
+               AS p_raw_micro,
+           CAST(round(s_micro * 1000000.0 / tot_s, 0) AS BIGINT)
+               AS p_temp_micro,
+           CAST(round(s_micro * 10000.0 / tot_s, 0) AS BIGINT)
+               AS expected_docs_10k
+    FROM scaled, tot
+"""
+
+# DSIR importance weights (queries_ext.q_dsir_weights): hashed-unigram
+# LM log-ratio per 64-bucket, micro-rounded ONCE, then exact integer
+# per-doc sums. Bucket = first md5 byte mod 64 via the strpos nibble
+# idiom; ln structure mirrors the Spark expression term-for-term.
+_DSIR_NIB = "strpos('0123456789abcdef', substr(md5(word), {i}, 1)) - 1"
+EXT_ORACLES["q_dsir_weights"] = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    bk AS (
+        SELECT doc_id, lang,
+               CAST((({_DSIR_NIB.format(i=1)}) * 16
+                     + ({_DSIR_NIB.format(i=2)})) % 64 AS INT) AS b
+        FROM tok
+    ),
+    agg AS (
+        SELECT b, COUNT(*)::BIGINT AS c_r,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_t
+        FROM bk GROUP BY b
+    ),
+    tot AS (SELECT SUM(c_r)::BIGINT AS R, SUM(c_t)::BIGINT AS T FROM agg),
+    lam AS (
+        SELECT b,
+               CAST(round((
+                   ln((c_t + 1.0) / (T + 64.0))
+                   - ln((c_r + 1.0) / (R + 64.0))
+               ) * 1000000.0, 0) AS BIGINT) AS lam_micro
+        FROM agg, tot
+    ),
+    per AS (
+        SELECT doc_id, lang, b, COUNT(*)::BIGINT AS n
+        FROM bk GROUP BY 1, 2, 3
+    ),
+    w AS (
+        SELECT p.doc_id, p.lang,
+               SUM(p.n)::BIGINT AS n_tokens,
+               SUM(p.n * l.lam_micro)::BIGINT AS logw_micro
+        FROM per p JOIN lam l USING (b)
+        GROUP BY 1, 2
+    )
+    SELECT CAST(row_number() OVER (
+               ORDER BY logw_micro DESC, doc_id ASC
+           ) AS INT) AS rank,
+           doc_id, lang, n_tokens, logw_micro
+    FROM w
+    ORDER BY rank
+    LIMIT 100
+"""
+
 # Deterministic training shards (queries_ext.q_training_shards): shard =
 # first md5 byte mod 8, position = rank of the next 16 nibbles within
 # the shard. The nibble→int conversion uses the strpos idiom (see KMV).

@@ -1116,13 +1116,15 @@ QUERIES.update(EXT_QUERIES)
 # (3 + 36 + 11 = 50): the 3 queries whose plans changed this round
 # (q_ann_index_probe + q_semantic_neighbors now build/probe the
 # skew-capped materialized IVF index; q_token_budget_fill gained the
-# rank-cap pre-filter + min_doc_len floor), the 6 new r7 oracles
+# rank-cap pre-filter + min_doc_len floor), the 11 new r7 oracles
 # (q_kmeans_assign, q_semdedup, q_domain_cap, q_training_shards,
-# q_fertility, q_pmi_pairs), ALL 36 queries whose latest green is r4
-# (the r6 VERDICT item-2 rotation debt), and the 5 oldest r5 greens as
-# filler (3 + 6 + 36 + 5 = 50) — after r7 no green older than r5
-# except the 40 r5 greens parked first below the boundary (rotate
-# THOSE in r8).
+# q_fertility, q_pmi_pairs, and the late-r7 wave q_bucketed_join,
+# q_paragraph_dedup, q_dsir_weights, q_temperature_mix, q_bpe_merges),
+# and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
+# rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
+# except the 45 r5 greens parked first below the boundary (rotate
+# THOSE in r8; the 5 former tier-4 fillers sit at the very top of
+# that parked list).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
@@ -1139,6 +1141,11 @@ VERIFY_PRIORITY = [
     "q_training_shards",
     "q_fertility",
     "q_pmi_pairs",
+    "q_bucketed_join",
+    "q_paragraph_dedup",
+    "q_dsir_weights",
+    "q_temperature_mix",
+    "q_bpe_merges",
     # tier 3 — all 36 queries whose latest green is r4 (r6 VERDICT
     # item 2: the reference-core operators among them especially)
     "q_validate",
@@ -1177,15 +1184,14 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_key_skew",
-    # tier 4 — filler: the 5 oldest r5 greens (round-robin)
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The 45 r5 greens (byte-identical code) — oldest after the r7
+    # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
     "q_except",
     "q_intersect",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The remaining 40 r5 greens (byte-identical code) — oldest after
-    # the r7 run; next in line for r8.
     "q_distinct_agg",
     "q_explode",
     "q_grouping_sets",

@@ -213,6 +213,183 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(docs, "doc_id", "text")
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-candidate mining (Sennrich et al. 2016, the statistic
+    one merge iteration maximizes): corpus-wide adjacent character-pair
+    frequencies, weighted by word occurrence counts — the top-30 pairs
+    are the first merges a tokenizer trained on this corpus would
+    learn.
+
+    Scale shape: pair extraction runs over the DISTINCT vocabulary
+    (one groupBy(word) collapses the token stream first — the pair
+    explode touches |vocab| short strings, not the corpus), weighted by
+    the aggregated frequency; then one groupBy(pair) and a
+    constant-bound top-30. Character slicing is a narrow
+    transform-over-sequence (substr is char-based in both engines, so
+    CJK text is pair-split identically)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = vocab.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("freq").cast("bigint").alias("n_occurrences")
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 30)
+        .select("rank", "pair", "n_occurrences")
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based multilingual sampling mix (XLM-R / mT5:
+    p_l ∝ n_l^α, α=0.3): per language, the raw token share, the
+    temperature-flattened sampling probability, and the expected number
+    of documents drawn for a 10k-doc batch — the table a multilingual
+    pretraining loader is configured from.
+
+    Exactness: n_l^α is micro-rounded ONCE per language (the only
+    transcendental); every share is then a single double division of
+    exact integers, so no cross-row double sum exists anywhere (Σ
+    micro-units is integer addition — same discipline as
+    q_dsir_weights / q_bigram_lm).
+
+    Scale shape: one partial-aggregated groupBy(lang) over the corpus
+    (5 rows out), then a broadcast of the 1-row totals; everything
+    after the first exchange is O(languages)."""
+    alpha = 0.3
+    docs = load_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(words(F.trim(F.col("text")))))
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    scaled = per_lang.withColumn(
+        "s_micro",
+        F.round(F.pow(F.col("n_tokens"), F.lit(alpha)) * 1000000.0, 0).cast(
+            "bigint"
+        ),
+    )
+    tot = scaled.agg(
+        F.sum("n_tokens").cast("bigint").alias("tot_tokens"),
+        F.sum("s_micro").cast("bigint").alias("tot_s"),
+    )
+    return scaled.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") * 1000000.0 / F.col("tot_tokens"), 0)
+        .cast("bigint")
+        .alias("p_raw_micro"),
+        F.round(F.col("s_micro") * 1000000.0 / F.col("tot_s"), 0)
+        .cast("bigint")
+        .alias("p_temp_micro"),
+        F.round(F.col("s_micro") * 10000.0 / F.col("tot_s"), 0)
+        .cast("bigint")
+        .alias("expected_docs_10k"),
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every raw document by its importance weight for a TARGET
+    distribution (here lang='en' — the pretraining-mix target), using
+    hashed-unigram bag-of-words language models. Top-100 docs by
+    log-weight are the selected batch.
+
+    Exactness: the per-bucket log-likelihood ratio
+    ln(p_target(b)) − ln(p_raw(b)) (Laplace +1 over 64 buckets) is
+    rounded ONCE to integer micro-units; each document's log-weight is
+    then Σ count·λ_micro — pure integer arithmetic, so the sum is
+    identical under any partitioning/add order (the q_bigram_lm
+    discipline; never sum raw doubles in a declared query).
+
+    Scale shape: word→bucket hashing is map-side; the 64-row bucket LM
+    and its totals broadcast; per-doc bucket counts are one
+    partial-aggregated groupBy; the final top-100 is a constant-bound
+    rank over one row per document. Nothing global-sorts the corpus and
+    the LM state is O(buckets), not O(vocab)."""
+    n_buckets = 64
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(words(F.trim(F.col("text")))).alias("word"),
+    )
+    bk = tok.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("int"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+    agg = bk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    tot = agg.agg(
+        F.sum("c_r").cast("bigint").alias("R"),
+        F.sum("c_t").cast("bigint").alias("T"),
+    )
+    lam = agg.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_t") + F.lit(1.0))
+                    / (F.col("T") + F.lit(float(n_buckets)))
+                )
+                - F.log(
+                    (F.col("c_r") + F.lit(1.0))
+                    / (F.col("R") + F.lit(float(n_buckets)))
+                )
+            )
+            * 1000000.0,
+            0,
+        )
+        .cast("bigint")
+        .alias("lam_micro"),
+    )
+    per = bk.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    weights = (
+        per.join(F.broadcast(lam), on="b")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("lam_micro"))
+            .cast("bigint")
+            .alias("logw_micro"),
+        )
+    )
+    w = Window.orderBy(F.col("logw_micro").desc(), F.col("doc_id").asc())
+    return (
+        weights.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 100)
+        .select("rank", "doc_id", "lang", "n_tokens", "logw_micro")
+    )
+
+
 def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus-wide paragraph dedup: first occurrence of each
     paragraph hash wins, documents are reassembled from the paragraphs
@@ -2741,6 +2918,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_median": q_median,
     "q_dedup_exact": q_dedup_exact,
     "q_paragraph_dedup": q_paragraph_dedup,
+    "q_dsir_weights": q_dsir_weights,
+    "q_temperature_mix": q_temperature_mix,
+    "q_bpe_merges": q_bpe_merges,
     "q_minhash": q_minhash,
     "q_minhash_lsh_pairs": q_minhash_lsh_pairs,
     "q_simhash": q_simhash,
