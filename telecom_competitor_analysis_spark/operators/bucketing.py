@@ -98,3 +98,35 @@ def attach_bucketed_layout(
         f" INTO {n_buckets} BUCKETS LOCATION '{location}'"
     )
     return spark.table(name)
+
+
+def append_bucketed_layout(
+    df: DataFrame, path: str, key: str, n_buckets: int
+) -> None:
+    """Intra-day append to an existing bucketed layout (the operational
+    complement of :func:`write_bucketed_layout`, mirroring
+    ``append_to_ivf_index``): the batch is repartitioned on the SAME
+    bucket hash and appended through a catalog entry with the SAME
+    explicit bucket spec — Spark refuses a spec mismatch, so an append
+    can never silently corrupt bucket membership. Joins over the
+    appended layout stay exchange-free (pinned by test).
+
+    Each append adds at most ``n_buckets`` files; compaction is the
+    nightly rebuild (write_bucketed_layout into a fresh artifact), the
+    same lifecycle as the IVF index."""
+    spark = df.sparkSession
+    tmp_name = "tcas_bkappend_" + "".join(
+        c if c.isalnum() else "_" for c in os.path.basename(path)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")
+    attach_bucketed_layout(spark, tmp_name, df.schema, key, n_buckets, path)
+    try:
+        (
+            df.repartition(n_buckets, F.col(key))
+            .write.mode("append")
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(tmp_name)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS `{tmp_name}`")

@@ -188,3 +188,21 @@ def test_pairs_between_equals_symmetric_cross_pairs(spark):
             symmetric[(pa, pb)] = round(r.jaccard, 9)
     assert between == symmetric and len(between) > 0
     assert all(a < 200 <= b for (a, b) in between)
+
+
+def test_dsir_weights_rank_planted_target_like_docs_first(spark, sf_dir):
+    """DSIR semantics sanity on the real corpus: within the top-100
+    selection, docs whose hashed-unigram profile matches the lang='en'
+    target must dominate — the mean selected-rank of en docs is better
+    (lower) than the overall en share would give by chance, and the
+    top-10 is majority-en. (Exact values are oracle-pinned; this pins
+    the DIRECTION of the signal.)"""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q_dsir_weights"](spark, sf_dir).collect()
+    assert len(rows) == 100
+    top10 = [r.lang for r in sorted(rows, key=lambda r: r.rank)[:10]]
+    assert sum(1 for lang in top10 if lang == "en") >= 6
+    # weights must not be constant (the LM actually discriminates)
+    ws = {r.logw_micro for r in rows}
+    assert len(ws) > 50

@@ -368,3 +368,58 @@ def test_training_shards_match_python_md5(spark, ids):
         for pos, (_, i) in enumerate(sorted(entries), start=1):
             expect[i] = (shard, pos)
     assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]), min_size=0, max_size=20
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_paragraph_dedup_matches_python_mirror(spark, docs_words):
+    """paragraph_dedup on tiny vocabularies (forcing cross-doc paragraph
+    collisions) equals a straight-Python mirror of the window-form
+    semantics: first (doc_id, para_idx) per paragraph wins, docs
+    reassemble from owned firsts, scrubbed is None when nothing is
+    owned. Pins the min-struct-aggregate ≡ row_number-window claim on
+    arbitrary inputs."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        paragraph_dedup,
+    )
+
+    w = 3
+    texts = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.scrubbed_text)
+        for r in paragraph_dedup(df, "doc_id", "text", w=w).collect()
+    }
+
+    # mirror: trim + single-space split ('' artifacts kept)
+    paras = {}  # (doc, idx) -> text
+    for d, t in enumerate(texts):
+        ws = t.strip(" ").split(" ")
+        n = -(-len(ws) // w)
+        for i in range(n):
+            paras[(d, i)] = " ".join(ws[i * w : i * w + w])
+    first = {}
+    for (d, i), p in sorted(paras.items()):
+        first.setdefault(p, (d, i))
+    expect = {}
+    for d, t in enumerate(texts):
+        mine = [(i, p) for (dd, i), p in paras.items() if dd == d]
+        kept = [p for i, p in sorted(mine) if first[p] == (d, i)]
+        expect[d] = (
+            len(mine),
+            len(mine) - len(kept),
+            " ".join(kept) if kept else None,
+        )
+    assert got == expect

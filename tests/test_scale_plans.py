@@ -379,3 +379,47 @@ def test_paragraph_dedup_is_aggregate_not_window(spark, sf_dir):
     plan = _plan(QUERIES["q_paragraph_dedup"](spark, sf_dir))
     assert "Window" not in plan
     assert "partial_min(struct" in plan
+
+
+def test_bucketed_layout_append_stays_colocated(spark, sf_dir, tmp_path):
+    """append_bucketed_layout: the appended batch lands in the correct
+    buckets (joins over the union plan exchange-free and match a plain
+    join of the full table), and the writer REFUSES nothing silently —
+    the bucket spec is enforced through the catalog."""
+    from telecom_competitor_analysis_spark.operators.bucketing import (
+        append_bucketed_layout,
+        attach_bucketed_layout,
+        write_bucketed_layout,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0)
+    new = orders.filter(F.col("o_orderkey") % 3 == 0)
+    p = str(tmp_path / "ob_app")
+    write_bucketed_layout(old, p, "o_orderkey", 4)
+    append_bucketed_layout(new, p, "o_orderkey", 4)
+    att = attach_bucketed_layout(
+        spark, "tcas_test_app", orders.schema, "o_orderkey", 4, p
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = att.select("o_orderkey", "o_totalprice")
+        b = att.select("o_orderkey", "o_custkey")
+        joined = a.join(b, "o_orderkey")
+        assert "Exchange" not in _plan(joined)
+        assert att.count() == orders.count()
+        # exact integer content check (doubles would be add-order FP)
+        assert (
+            att.agg(F.sum(F.crc32(F.concat_ws(
+                "|", F.col("o_orderkey"), F.col("o_orderstatus")
+            )))).first()[0]
+            == orders.agg(F.sum(F.crc32(F.concat_ws(
+                "|", F.col("o_orderkey"), F.col("o_orderstatus")
+            )))).first()[0]
+        )
+        # a bucketed self-join groupBy on the key is also exchange-free
+        agg_plan = _plan(att.groupBy("o_orderkey").count())
+        assert "Exchange hashpartitioning" not in agg_plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS tcas_test_app")
