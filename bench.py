@@ -112,6 +112,9 @@ HEADLINE_EXT = [
     "q_dsir_weights",
     "q_temperature_mix",
     "q_bpe_merges",
+    "q_containment_pairs",
+    "q_oov_rate",
+    "q_curriculum_order",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

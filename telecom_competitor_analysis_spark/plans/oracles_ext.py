@@ -79,6 +79,50 @@ EXT_ORACLES: dict[str, str] = {
                           ORDER BY para_idx) AS scrubbed_text
         FROM marked GROUP BY doc_id
     """,
+    # Asymmetric containment pairs (queries_ext.q_containment_pairs):
+    # same df-capped shingle universe as q_ngram_jaccard, containment
+    # gate instead of the Jaccard gate.
+    "q_containment_pairs": """
+        WITH t AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+        ),
+        sh_all AS (
+            SELECT DISTINCT
+                t.doc_id,
+                arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+            FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+        ),
+        sh AS (
+            SELECT sh_all.* FROM sh_all
+            JOIN (SELECT sh FROM sh_all GROUP BY sh HAVING COUNT(*) <= 1000)
+              USING (sh)
+        ),
+        sizes AS (
+            SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+        ),
+        shared AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+            FROM sh a
+            JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        scored AS (
+            SELECT id_a, id_b, n_shared,
+                   sa.n_sh AS n_a, sb.n_sh AS n_b,
+                   greatest(
+                       CAST(n_shared AS DOUBLE) / sa.n_sh,
+                       CAST(n_shared AS DOUBLE) / sb.n_sh
+                   ) AS containment
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+        )
+        SELECT id_a, id_b, n_shared, n_a, n_b, containment,
+               CASE WHEN n_a <= n_b THEN 'a_in_b' ELSE 'b_in_a' END
+                   AS direction
+        FROM scored
+        WHERE containment >= 0.6
+    """,
     "q_dedup_exact": """
         SELECT
             md5(trim(text)) AS content_hash,
@@ -2527,6 +2571,77 @@ EXT_ORACLES["q_bpe_merges"] = """
     FROM counts
     ORDER BY rank
     LIMIT 30
+"""
+
+# OOV rate per language (queries_ext.q_oov_rate): corpus-wide top-512
+# vocabulary, per-lang out-of-vocabulary token share.
+EXT_ORACLES["q_oov_rate"] = """
+    WITH tok AS (
+        SELECT lang, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    counts_lw AS (
+        SELECT lang, word, COUNT(*)::BIGINT AS n FROM tok GROUP BY 1, 2
+    ),
+    counts_w AS (
+        SELECT word, SUM(n)::BIGINT AS n_total FROM counts_lw GROUP BY 1
+    ),
+    vocab AS (
+        SELECT word FROM counts_w
+        ORDER BY n_total DESC, word ASC LIMIT 512
+    )
+    SELECT lang,
+           SUM(n)::BIGINT AS n_tokens,
+           SUM(CASE WHEN v.word IS NULL THEN n ELSE 0 END)::BIGINT
+               AS n_oov,
+           round(
+               CAST(SUM(CASE WHEN v.word IS NULL THEN n ELSE 0 END)
+                    AS DOUBLE) / SUM(n), 6
+           ) AS oov_rate
+    FROM counts_lw c LEFT JOIN vocab v USING (word)
+    GROUP BY lang
+"""
+
+# Sharded curriculum interleave (queries_ext.q_curriculum_order):
+# quartile tiers of the lexical-diversity score, round-robin positions
+# within (shard, tier).
+EXT_ORACLES["q_curriculum_order"] = """
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(round(
+                   CAST(len(list_distinct(string_split(trim(text), ' ')))
+                        AS DOUBLE)
+                   / len(string_split(trim(text), ' ')) * 1000000.0, 0
+               ) AS BIGINT) AS score_micro,
+               CAST(((strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || '|cur'), 1, 1)
+                     ) - 1) * 16
+                     + strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR) || '|cur'), 2, 1)
+                     ) - 1) % 8 AS INT) AS shard
+        FROM documents
+    ),
+    cuts AS (
+        SELECT quantile_cont(score_micro, 0.25) AS q1,
+               quantile_cont(score_micro, 0.5) AS q2,
+               quantile_cont(score_micro, 0.75) AS q3
+        FROM scored
+    ),
+    tiered AS (
+        SELECT doc_id, score_micro, shard,
+               CAST(CASE
+                   WHEN score_micro <= q1 THEN 0
+                   WHEN score_micro <= q2 THEN 1
+                   WHEN score_micro <= q3 THEN 2
+                   ELSE 3 END AS INT) AS tier
+        FROM scored, cuts
+    )
+    SELECT shard, doc_id, tier, score_micro,
+           CAST((row_number() OVER (
+               PARTITION BY shard, tier
+               ORDER BY score_micro DESC, doc_id ASC
+           ) - 1) * 4 + tier AS BIGINT) AS position
+    FROM tiered
 """
 
 # Temperature mix (queries_ext.q_temperature_mix): n^0.3 micro-rounded

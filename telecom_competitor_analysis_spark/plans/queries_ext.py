@@ -429,6 +429,152 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage planning: per-language out-of-vocabulary
+    rate against the corpus-wide top-512 vocabulary — the table that
+    decides whether a shared vocab starves a language (the fertility
+    signal's set-membership twin).
+
+    Scale shape: ONE corpus-scale explode into per-(lang, word) counts
+    (persisted — it feeds both the vocab ranking and the per-language
+    rollup; the q_dsir_weights pattern); the global word counts DERIVE
+    from that aggregate, the top-512 vocab broadcasts back, and the
+    OOV rollup is O(langs × vocab). The vocab selection is sort+limit
+    — TakeOrderedAndProject, the distributed partial top-k
+    (plan-asserted) — NOT a global row_number window, which for an
+    unpartitioned spec plans a single-partition Window regardless of
+    the rank bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    counts_lw = (
+        tok.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .persist()
+    )
+    counts_w = counts_lw.groupBy("word").agg(
+        F.sum("n").cast("bigint").alias("n_total")
+    )
+    vocab = (
+        counts_w.orderBy(F.col("n_total").desc(), F.col("word").asc())
+        .limit(512)
+        .select("word")
+    )
+    flagged = counts_lw.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), on="word", how="left"
+    )
+    return flagged.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_oov"),
+        F.round(
+            F.sum(
+                F.when(F.col("__in").isNull(), F.col("n")).otherwise(0)
+            ).cast("double")
+            / F.sum("n"),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded curriculum ordering: every training shard interleaves
+    the four quality tiers round-robin (tier from exact quartiles of a
+    lexical-diversity score), so each worker's stream anneals through
+    the same quality mix — the deterministic loader-side form of
+    curriculum/annealing schedules.
+
+    Scale shape: quartile cutoffs are a 3-value percentile aggregate
+    broadcast for a map-side CASE (the q_perplexity_mix move — never a
+    global ntile sort); the position window partitions by
+    (shard, tier) — 32 balanced partitions, NOT 4 corpus-quarter hot
+    partitions, because a curriculum is consumed per worker shard
+    anyway (the q_training_shards insight). Positions within a shard
+    are unique by construction (pos = rank·4 + tier) but deliberately
+    sparse once short tiers exhaust — it is an ORDER, not an index."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    score = F.round(
+        n_distinct_words(t).cast("double") / n_words(t) * 1000000.0, 0
+    ).cast("bigint")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cur")))
+    scored = docs.select(
+        "doc_id",
+        score.alias("score_micro"),
+        F.pmod(
+            F.conv(F.substring(h, 1, 2), 16, 10).cast("int"), F.lit(8)
+        ).alias("shard"),
+    )
+    cuts = scored.agg(
+        F.percentile(F.col("score_micro"), F.lit(0.25)).alias("q1"),
+        F.percentile(F.col("score_micro"), F.lit(0.5)).alias("q2"),
+        F.percentile(F.col("score_micro"), F.lit(0.75)).alias("q3"),
+    )
+    tiered = scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "score_micro",
+        "shard",
+        F.when(F.col("score_micro") <= F.col("q1"), 0)
+        .when(F.col("score_micro") <= F.col("q2"), 1)
+        .when(F.col("score_micro") <= F.col("q3"), 2)
+        .otherwise(3)
+        .cast("int")
+        .alias("tier"),
+    )
+    w = Window.partitionBy("shard", "tier").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return tiered.select(
+        "shard",
+        "doc_id",
+        "tier",
+        "score_micro",
+        ((F.row_number().over(w) - 1) * 4 + F.col("tier"))
+        .cast("bigint")
+        .alias("position"),
+    )
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: shingle CONTAINMENT
+    max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.6 — catches a short document quoted
+    or embedded inside a longer one, which symmetric Jaccard misses
+    (|A∩B|/|A∪B| stays small when |B| ≫ |A|). Candidates come from the
+    same df-capped inverted-index join as q_ngram_jaccard (threshold=0
+    → no Jaccard gate; the containment gate replaces it); `direction`
+    names the contained side (the smaller shingle set). Containment is
+    ONE double division of exact integer set sizes — bit-identical
+    cross-engine."""
+    pairs = shingle_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        w=3,
+        threshold=0.0,
+    )
+    cont = F.greatest(
+        F.col("n_shared").cast("double") / F.col("n_a"),
+        F.col("n_shared").cast("double") / F.col("n_b"),
+    )
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(F.col("containment") >= 0.6)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            "containment",
+            F.when(F.col("n_a") <= F.col("n_b"), F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+    )
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash signatures (md5-nibble hyperplanes, exact integer
     bit sums → reproducible)."""
@@ -2944,6 +3090,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_common_ngrams": q_common_ngrams,
     "q_pii_scrub": q_pii_scrub,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_containment_pairs": q_containment_pairs,
+    "q_oov_rate": q_oov_rate,
+    "q_curriculum_order": q_curriculum_order,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

@@ -423,3 +423,25 @@ def test_bucketed_layout_append_stays_colocated(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS tcas_test_app")
+
+
+def test_oov_vocab_rank_is_partial_topk(spark, sf_dir):
+    """The top-512 vocab selection must plan as TakeOrderedAndProject
+    (distributed partial top-k over the aggregated word counts), never
+    a single-partition global window."""
+    plan = _plan(QUERIES["q_oov_rate"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_curriculum_order_windows_by_shard_and_tier(spark, sf_dir):
+    """The position window must partition by (shard, tier) — 32 balanced
+    partitions — never by tier alone (4 corpus-quarter hot partitions);
+    and the quartile cutoffs must be an aggregate + broadcast, never a
+    global ntile."""
+    plan = _plan(QUERIES["q_curriculum_order"](spark, sf_dir))
+    import re
+
+    assert "windowspecdefinition(shard" in plan
+    # standalone ntile( only — 'percentile(' contains the substring
+    assert not re.search(r"(?<![a-z])ntile\(", plan)
