@@ -80,3 +80,78 @@ def test_streaming_dedup_against_frozen_index(spark, dirs):
         # exactly-once across the restart: batch 1 processed docs 0-5,
         # batch 2 docs 6-11 — never re-probed, never skipped
         assert (r.id_a < 6) == (r.batch_id == 0)
+
+
+def test_streaming_admission_screen_plus_dedup(spark, dirs):
+    """The full ingestion-curation composite per micro-batch: Gopher
+    screen (stateless, thresholds tuned to the 12-word synthetic docs)
+    + near-dup probe against the frozen index → admitted/rejected with
+    a reason column. Per-batch work ∝ batch; exactly-once across a
+    checkpointed restart."""
+    keep = spark.createDataFrame(
+        [(1000, SyntheticDocumentsDataSource.KEEP_TEXT)],
+        "doc_id long, text string",
+    )
+    build_shingle_index(keep, "doc_id", "text", dirs["index"], w=3)
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+    )
+
+    def curate_batch(batch_df, batch_id: int) -> None:
+        screened = gopher_rules(
+            batch_df, "doc_id", "text",
+            min_words=5, min_mean_word_len=1.0, max_mean_word_len=20.0,
+            min_stopwords=0, max_top_word_fraction=0.9,
+            min_distinct_fraction=0.2, max_dup_bigram_fraction=0.9,
+        ).select("doc_id", "passes")
+        dups = (
+            near_dups_against_index(
+                batch_df, spark, dirs["index"], "doc_id", "text",
+                w=3, threshold=0.2,
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        out = (
+            batch_df.join(screened, on="doc_id")
+            .join(dups, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).alias("batch_id"),
+                (F.col("passes") & F.col("__dup").isNull()).alias(
+                    "admitted"
+                ),
+                F.when(F.col("__dup").isNotNull(), "dup")
+                .when(~F.col("passes"), "screen")
+                .alias("reason"),
+            )
+        )
+        out.write.mode("append").parquet(dirs["out"])
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_documents")
+            .option("docsPerBatch", "6")
+            .load()
+            .writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    run_once()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert set(rows) == set(range(12))  # exactly-once, no gaps/dupes
+    for i in range(12):
+        r = rows[i]
+        assert r.batch_id == (0 if i < 6 else 1)
+        if i % 3 == 0:  # planted near-dups of the frozen boilerplate
+            assert not r.admitted and r.reason == "dup"
+        else:
+            assert r.admitted and r.reason is None
