@@ -115,6 +115,10 @@ HEADLINE_EXT = [
     "q_containment_pairs",
     "q_oov_rate",
     "q_curriculum_order",
+    "q_quality_classifier",
+    "q_phrase_search",
+    "q_label_vote",
+    "q_dup_span_remove",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

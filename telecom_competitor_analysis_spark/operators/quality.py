@@ -230,3 +230,73 @@ def gopher_rules(
         *[c.alias(name) for name, c in rules.items()],
         passes.alias("passes"),
     )
+
+
+def classifier_weights(
+    n_buckets: int = 64, seed: int = 0
+) -> list[int]:
+    """Deterministic pseudo-weights for the hashed linear quality
+    scorer, in integer micro-units: bucket b's weight is derived from
+    md5('qw|{seed}|{b}') and lands uniformly in [-1e6, +1e6]. Like the
+    LSH hyperplanes (operators/similarity.py), the weights depend only
+    on constants, so they are generated driver-side (hashlib) and
+    inlined identically into the DuckDB oracle — a stand-in for a
+    trained fasttext-style model's weight vector, with the exact same
+    serving shape (the real pipeline would broadcast the trained
+    vector instead)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qw|{seed}|{b}".encode()).hexdigest()[:8], 16)
+        % 2_000_001
+        - 1_000_000
+        for b in range(n_buckets)
+    ]
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 64,
+    seed: int = 0,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Model-based quality filtering, the fasttext-classifier stage of
+    GPT-3/LLaMA-style pipelines (hashing-trick bag-of-words × a fixed
+    weight vector → score → keep/drop): each word hashes to one of
+    ``n_buckets`` feature buckets (first two hex chars of md5, mod
+    n_buckets — portable to any engine), the doc's score is the SUM of
+    its words' bucket weights in exact integer micro-units, and the
+    verdict is score ≥ 0.
+
+    Scale shape: this is pure MODEL INFERENCE and it plans as a
+    map-only projection — the per-doc sum is an ``aggregate`` fold over
+    the words array inside one codegen'd expression, the weight vector
+    is an array LITERAL (broadcast-by-constant-folding; n_buckets ≪
+    dictionary size is the hashing trick's point), and there is NO
+    explode, NO shuffle, NO Python. At 100 TB this runs at scan speed;
+    plan-asserted zero exchanges. Integer micro scoring keeps the sum
+    partial-order-free (exact, any engine, any partitioning).
+
+    Returns (id, *extra_cols, n_words, score_micro, keep)."""
+    w = classifier_weights(n_buckets, seed)
+    weights = F.array(*[F.lit(x).cast("long") for x in w])
+    bucket = lambda word: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(word), 1, 2), 16, 10).cast("int"),
+        F.lit(n_buckets),
+    )
+    ws = words(F.trim(F.col(text_col)))
+    score = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, word: acc
+        + F.element_at(weights, bucket(word) + F.lit(1)),
+    )
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in extra_cols],
+        F.size(ws).cast("long").alias("n_words"),
+        score.alias("score_micro"),
+        (score >= 0).alias("keep"),
+    )

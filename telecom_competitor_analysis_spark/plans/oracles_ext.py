@@ -3016,3 +3016,166 @@ EXT_ORACLES["q_star_join"] = """
       AND o.o_orderdate < TIMESTAMP '1996-01-01'
     GROUP BY n.n_name
 """
+
+
+def _md5_bucket_sql(expr: str, n_buckets: int) -> str:
+    """SQL for the portable hash bucket (first two hex chars of md5,
+    mod n_buckets) used by operators/quality.py::hashed_linear_score —
+    the same strpos hex parse as the curriculum shard hash."""
+    h = f"md5({expr})"
+    return (
+        f"(((strpos('0123456789abcdef', substr({h}, 1, 1)) - 1) * 16"
+        f" + strpos('0123456789abcdef', substr({h}, 2, 1)) - 1)"
+        f" % {n_buckets})"
+    )
+
+
+def _classifier_weights_sql(n_buckets: int = 64, seed: int = 0) -> str:
+    """Weight vector literal for the hashed linear scorer — generated
+    by the SAME code as the Spark side (operators/quality.py), inlined
+    as a DuckDB BIGINT[] literal."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        classifier_weights,
+    )
+
+    return (
+        "["
+        + ", ".join(f"{w}::BIGINT" for w in classifier_weights(n_buckets, seed))
+        + "]"
+    )
+
+
+# Hashed linear quality scorer (queries_ext.q_quality_classifier):
+# per-word bucket weight lookup summed in exact integer micro-units.
+EXT_ORACLES["q_quality_classifier"] = f"""
+    SELECT doc_id,
+           lang,
+           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(
+               string_split(trim(text), ' '),
+               w -> ({_classifier_weights_sql(64, 0)})[
+                   {_md5_bucket_sql('w', 64)} + 1]
+           )) AS BIGINT) AS score_micro,
+           list_sum(list_transform(
+               string_split(trim(text), ' '),
+               w -> ({_classifier_weights_sql(64, 0)})[
+                   {_md5_bucket_sql('w', 64)} + 1]
+           )) >= 0 AS keep
+    FROM documents
+"""
+
+# Positional phrase retrieval (queries_ext.q_phrase_search): global
+# top-1 3-gram (ties → smallest), then per-doc occurrence rollup.
+EXT_ORACLES["q_phrase_search"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split(trim(text), ' ')) AS w,
+               UNNEST(range(len(string_split(trim(text), ' ')))) AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               w || ' ' || lead(w, 1) OVER win || ' '
+                 || lead(w, 2) OVER win AS gram,
+               lead(w, 2) OVER win AS guard
+        FROM toks
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g AS (SELECT doc_id, pos, gram FROM grams WHERE guard IS NOT NULL),
+    top1 AS (
+        SELECT gram FROM g GROUP BY gram
+        ORDER BY COUNT(*) DESC, gram ASC LIMIT 1
+    )
+    SELECT doc_id,
+           gram AS phrase,
+           COUNT(*)::BIGINT AS n_hits,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM g JOIN top1 USING (gram)
+    GROUP BY doc_id, gram
+"""
+
+# Weighted majority-vote label aggregation (queries_ext.q_label_vote):
+# winner by total micro weight, ties to the smallest label.
+EXT_ORACLES["q_label_vote"] = """
+    WITH votes AS (
+        SELECT user_id,
+               event_type AS label,
+               CAST(round(value * 1000000, 0) AS BIGINT) AS w_micro
+        FROM events
+    ),
+    per_label AS (
+        SELECT user_id, label,
+               SUM(w_micro)::BIGINT AS weight_micro,
+               COUNT(*)::BIGINT AS n_votes
+        FROM votes GROUP BY user_id, label
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY weight_micro DESC, label ASC
+               ) AS rn,
+               SUM(weight_micro) OVER (PARTITION BY user_id) AS total
+        FROM per_label
+    )
+    SELECT user_id, label, weight_micro, n_votes,
+           round(CAST(weight_micro AS DOUBLE) / total, 6) AS vote_share
+    FROM ranked WHERE rn = 1
+"""
+
+# Exact-substring duplicate removal (queries_ext.q_dup_span_remove):
+# cut every position covered by a df>=2 3-gram, rebuild, sha256.
+EXT_ORACLES["q_dup_span_remove"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(string_split(trim(text), ' ')) AS w,
+               UNNEST(range(len(string_split(trim(text), ' ')))) AS pos
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, pos,
+               w || ' ' || lead(w, 1) OVER win || ' '
+                 || lead(w, 2) OVER win AS gram,
+               lead(w, 2) OVER win AS guard
+        FROM toks
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    g AS (SELECT doc_id, pos, gram FROM grams WHERE guard IS NOT NULL),
+    df_tbl AS (
+        SELECT gram FROM (
+            SELECT gram, COUNT(*) AS df
+            FROM (SELECT DISTINCT doc_id, gram FROM g)
+            GROUP BY gram
+        ) WHERE df >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(generate_series(pos, pos + 2)) AS cpos
+        FROM g JOIN df_tbl USING (gram)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.w
+        FROM toks t LEFT JOIN covered c
+          ON c.doc_id = t.doc_id AND c.cpos = t.pos
+        WHERE c.doc_id IS NULL
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               COUNT(*)::BIGINT AS kept_tokens,
+               string_agg(w, ' ' ORDER BY pos) AS cleaned
+        FROM kept GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS total_tokens
+        FROM documents
+    )
+    SELECT t.doc_id,
+           t.total_tokens,
+           COALESCE(r.kept_tokens, 0)::BIGINT AS kept_tokens,
+           (t.total_tokens - COALESCE(r.kept_tokens, 0))::BIGINT
+               AS removed_tokens,
+           sha256(COALESCE(r.cleaned, '')) AS cleaned_sha
+    FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""

@@ -3011,6 +3011,217 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample_topk(d, "doc_id", "lang", "n_words", k=20)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fasttext-classifier stage of
+    GPT-3/LLaMA data pipelines): hashed bag-of-words features × a fixed
+    weight vector → per-doc score → keep/drop verdict
+    (operators/quality.py::hashed_linear_score). The weight vector here
+    is a deterministic md5-derived stand-in with the exact serving
+    shape of a trained model (integer micro-units, broadcast as an
+    array literal).
+
+    Scale shape: pure map-only inference — the score is an ``aggregate``
+    fold over the words array inside one codegen'd projection; no
+    explode, no shuffle, no Python anywhere (plan-asserted ZERO
+    exchanges). At 100 TB this runs at parquet-scan speed, the ideal
+    shape for a per-document model pass."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        hashed_linear_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_linear_score(
+        docs, "doc_id", "text", n_buckets=64, seed=0, extra_cols=("lang",)
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase retrieval: mine the corpus's single most
+    frequent 3-word phrase (ties → lexicographically smallest), then
+    report every document containing it with occurrence count and
+    first position — the exact-phrase-query shape of a positional
+    inverted index, composed from the same lead-window 3-gram stage as
+    q_dup_span_stats.
+
+    Scale shape: 3-grams via two leads on ONE doc_id window exchange;
+    the global top-1 phrase is sort+limit → TakeOrderedAndProject (the
+    distributed partial top-k, plan-asserted — never a single-partition
+    global window); the 1-row phrase BROADCASTS back onto the gram
+    stream, so the retrieval leg is a map-side semi-filter followed by
+    a partial-agg per-doc rollup. At 100 TB the gram stream would come
+    from a materialized positional index (the build_shingle_index
+    pattern); the probe side is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.concat_ws(
+                " ",
+                F.col("w"),
+                F.lead("w", 1).over(win),
+                F.lead("w", 2).over(win),
+            ),
+        )
+        .withColumn("__guard", F.lead("w", 2).over(win))
+        .filter(F.col("__guard").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+    top1 = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .orderBy(F.col("n_total").desc(), F.col("gram").asc())
+        .limit(1)
+    )
+    return (
+        grams.join(F.broadcast(top1), on="gram")
+        .groupBy("doc_id", "gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+        .select("doc_id", F.col("gram").alias("phrase"), "n_hits", "first_pos")
+    )
+
+
+def q_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted majority-vote label aggregation — the annotation-
+    resolution stage of SFT/RLHF data pipelines (N raters per example →
+    one gold label): per user, each event casts a vote for its
+    event_type weighted by ``value`` (exact integer micro-units); the
+    winning label is the max total weight, ties to the
+    lexicographically smallest label; the vote share quantifies
+    agreement (low share = send back for re-annotation).
+
+    Scale shape: partial-aggregable groupBy (user, label) collapses the
+    vote stream map-side; the winner pick and the per-user total share
+    ONE user_id window exchange (label cardinality per user is tiny, so
+    the window input is |users|×|labels|, not |events|). Integer micro
+    weights keep the sums exact under any partitioning."""
+    events = load_table(spark, sf_dir, "events")
+    votes = events.select(
+        "user_id",
+        F.col("event_type").alias("label"),
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("w_micro"),
+    )
+    per_label = votes.groupBy("user_id", "label").agg(
+        F.sum("w_micro").alias("weight_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_votes"),
+    )
+    w_user = Window.partitionBy("user_id")
+    w_rank = w_user.orderBy(
+        F.col("weight_micro").desc(), F.col("label").asc()
+    )
+    return (
+        per_label.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__total", F.sum("weight_micro").over(w_user))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "label",
+            "weight_micro",
+            "n_votes",
+            F.round(
+                F.col("weight_micro").cast("double") / F.col("__total"), 6
+            ).alias("vote_share"),
+        )
+    )
+
+
+def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate REMOVAL (Lee et al. 2021,
+    arXiv:2107.06499 — 'deduplicating training data makes language
+    models better'): the action counterpart of q_dup_span_stats' audit.
+    Every token position covered by a 3-gram that also occurs in
+    another document is cut; the surviving tokens are re-joined in
+    order and the cleaned text is reported as a sha256 digest (content-
+    exact for the oracle without hauling full bodies through the
+    result) plus kept/removed counts.
+
+    Scale shape: the gram/document-frequency stages are
+    q_dup_span_stats' (df ≥ 2 over distinct (doc, gram) pairs — the
+    |vocab| table joins back 1:1 per occurrence, no posting-list
+    explosion); covered positions come from a bounded per-occurrence
+    sequence explode (≤3 rows each) deduped on (doc_id, pos) — partial-
+    agg on the same doc_id-prefixed key; the cut is an ANTI join of the
+    token stream against that set; reassembly is one array_sort over a
+    per-doc collect_list (bounded by doc length — the same per-doc
+    state bound as q_sequence_pack). Every shuffle is keyed by doc_id
+    or a doc_id-prefixed composite."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn(
+            "gram",
+            F.concat_ws(
+                " ",
+                F.col("w"),
+                F.lead("w", 1).over(win),
+                F.lead("w", 2).over(win),
+            ),
+        )
+        .withColumn("__guard", F.lead("w", 2).over(win))
+        .filter(F.col("__guard").isNotNull())
+        .select("doc_id", "pos", "gram")
+    )
+    df_tbl = (
+        grams.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    covered = (
+        grams.join(df_tbl, on="gram")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(2))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    kept = toks.join(covered, on=["doc_id", "pos"], how="left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("kept_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+        ).alias("__cleaned"),
+    )
+    totals = docs.select(
+        "doc_id",
+        F.size(words(F.trim(F.col("text")))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    return totals.join(rebuilt, on="doc_id", how="left").select(
+        "doc_id",
+        "total_tokens",
+        F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias(
+            "kept_tokens"
+        ),
+        (
+            F.col("total_tokens")
+            - F.coalesce(F.col("kept_tokens"), F.lit(0))
+        ).cast("long").alias("removed_tokens"),
+        F.sha2(F.coalesce(F.col("__cleaned"), F.lit("")), 256).alias(
+            "cleaned_sha"
+        ),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
@@ -3093,6 +3304,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_containment_pairs": q_containment_pairs,
     "q_oov_rate": q_oov_rate,
     "q_curriculum_order": q_curriculum_order,
+    "q_quality_classifier": q_quality_classifier,
+    "q_phrase_search": q_phrase_search,
+    "q_label_vote": q_label_vote,
+    "q_dup_span_remove": q_dup_span_remove,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

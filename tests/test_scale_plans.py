@@ -445,3 +445,49 @@ def test_curriculum_order_windows_by_shard_and_tier(spark, sf_dir):
     assert "windowspecdefinition(shard" in plan
     # standalone ntile( only — 'percentile(' contains the substring
     assert not re.search(r"(?<![a-z])ntile\(", plan)
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """Model inference via the hashing trick must plan as a pure
+    map-only projection: the per-doc score folds over the words array
+    inside one codegen'd expression — NO exchange, NO explode-generate,
+    NO Python stage. At 100 TB this is the difference between scan
+    speed and a corpus-scale shuffle."""
+    plan = _plan(QUERIES["q_quality_classifier"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan
+    assert "Python" not in plan
+
+
+def test_phrase_search_partial_topk_and_broadcast_probe(spark, sf_dir):
+    """The global top-1 phrase is sort+limit → TakeOrderedAndProject
+    (distributed partial top-k, never a single-partition window), and
+    the 1-row phrase comes back onto the gram stream as a BROADCAST
+    semi-filter — the gram stream itself never reshuffles for the
+    probe."""
+    plan = _plan(QUERIES["q_phrase_search"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_vote_preaggregates_before_window(spark, sf_dir):
+    """The vote stream collapses map-side (partial groupBy on
+    (user, label)) BEFORE any window: the winner-pick window reads
+    |users|×|labels| aggregated rows, never |events| raw votes; both
+    window functions (rank + per-user total) share one user_id
+    exchange."""
+    plan = _plan(QUERIES["q_label_vote"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "rangepartitioning" not in plan
+
+
+def test_dup_span_remove_shuffles_only_on_doc_keys(spark, sf_dir):
+    """Span removal: every exchange is keyed by doc_id / a
+    doc_id-prefixed composite / the gram df key — no range partitioning
+    (global sort) anywhere, no cartesian; reassembly's collect_list is
+    a hash aggregate bounded by doc length."""
+    plan = _plan(QUERIES["q_dup_span_remove"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
