@@ -119,6 +119,7 @@ HEADLINE_EXT = [
     "q_phrase_search",
     "q_label_vote",
     "q_dup_span_remove",
+    "q_rrf_fusion",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3179,3 +3179,50 @@ EXT_ORACLES["q_dup_span_remove"] = """
            sha256(COALESCE(r.cleaned, '')) AS cleaned_sha
     FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
+
+# Reciprocal Rank Fusion of BM25 + cosine retrieval
+# (queries_ext.q_rrf_fusion): rank-only fusion, micro-rounded 1/(60+r)
+# contributions summed as integers. The lexical leg embeds the
+# q_bm25_search oracle verbatim; the semantic leg is the
+# q_embedding_topk cosine shape anchored on vec_id 0.
+EXT_ORACLES["q_rrf_fusion"] = f"""
+    WITH lex_scores AS ({EXT_ORACLES["q_bm25_search"]}),
+    lex AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY score_micro DESC, doc_id ASC
+               ) AS INT) AS rank_lex
+        FROM lex_scores
+    ),
+    sem AS (
+        SELECT c.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                   ORDER BY list_cosine_similarity(
+                       CAST(c.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])) DESC,
+                   c.vec_id ASC
+               ) AS INT) AS rank_sem
+        FROM embeddings c
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id = 0) q
+        WHERE c.vec_id != q.vec_id
+        QUALIFY rank_sem <= 20
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               rank_lex,
+               rank_sem,
+               (CASE WHEN rank_lex IS NOT NULL
+                     THEN CAST(round(1000000.0 / (60.0 + rank_lex), 0)
+                               AS BIGINT) ELSE 0 END
+              + CASE WHEN rank_sem IS NOT NULL
+                     THEN CAST(round(1000000.0 / (60.0 + rank_sem), 0)
+                               AS BIGINT) ELSE 0 END) AS rrf_micro
+        FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem, rrf_micro,
+           CAST(row_number() OVER (
+               ORDER BY rrf_micro DESC, doc_id ASC
+           ) AS INT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 10
+"""

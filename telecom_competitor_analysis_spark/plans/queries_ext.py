@@ -3222,6 +3222,78 @@ def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with Reciprocal Rank Fusion (Cormack et al.
+    SIGIR'09, the fusion every hybrid lexical+vector search service
+    runs): the BM25 top-20 for the probe terms (the q_bm25_search
+    inverted-index leg) and the exact cosine top-20 for the anchor
+    query vector (vec_id 0; vec_id ≡ doc_id, the cross-modal key)
+    fuse by summed 1/(60+rank) contributions; top-10 fused results.
+    RANK-ONLY fusion is the point — RRF never compares raw scores
+    across scoring scales, so the two legs need no calibration.
+
+    Scale shape: each leg ends in its own distributed partial top-k
+    (BM25's postings-only window, cosine's WindowGroupLimit) BEFORE
+    fusion, so the fusion input is ≤ k_lex + k_sem rows by
+    construction — the full-outer join and the two unpartitioned
+    rank windows run on ≤40 rows regardless of corpus size (a
+    bounded-by-construction global window, like the dynamic pivot's
+    capped phase 1 — NOT a corpus-scale sort). Contributions are
+    micro-rounded per leg before the integer sum (no cross-engine FP
+    drift; no rank denominator lands on a .5 tie)."""
+    from telecom_competitor_analysis_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex_scores = bm25_topk(
+        docs, "doc_id", "text", terms=["join", "filter", "window"], k=20
+    )
+    w_lex = Window.orderBy(
+        F.col("score_micro").desc(), F.col("id").asc()
+    )
+    lex = lex_scores.select(
+        F.col("id").alias("doc_id"),
+        F.row_number().over(w_lex).cast("int").alias("rank_lex"),
+    )
+    sem = cosine_topk(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        "vec_id",
+        "embedding",
+        k=20,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank_sem"),
+    )
+
+    def contrib(rank_col):
+        return (
+            F.when(
+                rank_col.isNotNull(),
+                F.round(
+                    F.lit(1000000.0) / (F.lit(60.0) + rank_col), 0
+                ).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    fused = lex.join(sem, on="doc_id", how="full").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (contrib(F.col("rank_lex")) + contrib(F.col("rank_sem"))).alias(
+            "rrf_micro"
+        ),
+    )
+    w_fused = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(w_fused).cast("int")
+        )
+        .filter(F.col("fused_rank") <= 10)
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
@@ -3308,6 +3380,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_phrase_search": q_phrase_search,
     "q_label_vote": q_label_vote,
     "q_dup_span_remove": q_dup_span_remove,
+    "q_rrf_fusion": q_rrf_fusion,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

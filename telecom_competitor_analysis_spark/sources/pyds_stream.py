@@ -104,6 +104,16 @@ class SyntheticDocumentsDataSource(DataSource):
     def name(cls) -> str:
         return "synthetic_documents"
 
+    @classmethod
+    def text_for(cls, i: int) -> str:
+        """The feed's row content as a pure function of the offset —
+        exposed so tests can recompute any batch's documents exactly
+        (the exactly-once assertions and batch-side expectation
+        recomputes all go through this single definition)."""
+        if i % 3 == 0:
+            return f"{cls.KEEP_TEXT} tail{i}"
+        return " ".join(f"w{i}x{j}" for j in range(12))
+
     def schema(self) -> str:
         return "doc_id bigint, text string"
 
@@ -119,16 +129,10 @@ class SyntheticDocumentsStreamReader(SimpleDataSourceStreamReader):
         return {"offset": 0}
 
     def _rows(self, start: int, end: int) -> list[tuple]:
-        out = []
-        for i in range(start, end):
-            if i % 3 == 0:
-                text = (
-                    f"{SyntheticDocumentsDataSource.KEEP_TEXT} tail{i}"
-                )
-            else:
-                text = " ".join(f"w{i}x{j}" for j in range(12))
-            out.append((i, text))
-        return out
+        return [
+            (i, SyntheticDocumentsDataSource.text_for(i))
+            for i in range(start, end)
+        ]
 
     def read(self, start: dict):
         s = int(start["offset"])

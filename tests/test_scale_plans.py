@@ -491,3 +491,16 @@ def test_dup_span_remove_shuffles_only_on_doc_keys(spark, sf_dir):
     plan = _plan(QUERIES["q_dup_span_remove"](spark, sf_dir))
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rrf_fusion_legs_end_in_partial_topk(spark, sf_dir):
+    """Both retrieval legs finish their own DISTRIBUTED top-k before
+    fusion (BM25's TakeOrderedAndProject, cosine's WindowGroupLimit),
+    so the three unpartitioned rank windows operate on ≤ k_lex + k_sem
+    rows by construction — never a corpus-scale single-partition sort;
+    no cartesian anywhere (the cosine cross join is the broadcast
+    query-side, nested-loop Cross over a 1-row build)."""
+    plan = _plan(QUERIES["q_rrf_fusion"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -155,3 +155,105 @@ def test_streaming_admission_screen_plus_dedup(spark, dirs):
             assert not r.admitted and r.reason == "dup"
         else:
             assert r.admitted and r.reason is None
+
+
+def test_streaming_admission_with_model_screen(spark, dirs):
+    """The admission composite grown to three screens per micro-batch:
+    near-dup probe (frozen index) > Gopher rules > model-based quality
+    score (hashed_linear_score — map-only, so it adds ZERO shuffles to
+    the per-batch plan), with reason precedence dup > screen > model.
+    The model verdicts must equal an independent batch-side scoring of
+    the same docs (the scorer itself is oracle-checked elsewhere);
+    exactly-once across the checkpointed restart."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+        hashed_linear_score,
+    )
+
+    keep = spark.createDataFrame(
+        [(1000, SyntheticDocumentsDataSource.KEEP_TEXT)],
+        "doc_id long, text string",
+    )
+    build_shingle_index(keep, "doc_id", "text", dirs["index"], w=3)
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+
+    def curate_batch(batch_df, batch_id: int) -> None:
+        screened = gopher_rules(
+            batch_df, "doc_id", "text",
+            min_words=5, min_mean_word_len=1.0, max_mean_word_len=20.0,
+            min_stopwords=0, max_top_word_fraction=0.9,
+            min_distinct_fraction=0.2, max_dup_bigram_fraction=0.9,
+        ).select("doc_id", "passes")
+        model = hashed_linear_score(batch_df, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("model_keep")
+        )
+        dups = (
+            near_dups_against_index(
+                batch_df, spark, dirs["index"], "doc_id", "text",
+                w=3, threshold=0.2,
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        out = (
+            batch_df.join(screened, on="doc_id")
+            .join(model, on="doc_id")
+            .join(dups, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).alias("batch_id"),
+                (
+                    F.col("passes")
+                    & F.col("model_keep")
+                    & F.col("__dup").isNull()
+                ).alias("admitted"),
+                F.when(F.col("__dup").isNotNull(), "dup")
+                .when(~F.col("passes"), "screen")
+                .when(~F.col("model_keep"), "model")
+                .alias("reason"),
+            )
+        )
+        out.write.mode("append").parquet(dirs["out"])
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_documents")
+            .option("docsPerBatch", "6")
+            .load()
+            .writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    run_once()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert set(rows) == set(range(12))  # exactly-once, no gaps/dupes
+
+    # independent batch-side expectation for the model screen
+    stream_docs = spark.createDataFrame(
+        [
+            (i, SyntheticDocumentsDataSource.text_for(i))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    expected_keep = {
+        r.doc_id: r.keep
+        for r in hashed_linear_score(
+            stream_docs, "doc_id", "text"
+        ).collect()
+    }
+    for i in range(12):
+        r = rows[i]
+        assert r.batch_id == (0 if i < 6 else 1)
+        if i % 3 == 0:  # planted near-dups always lose to the dup screen
+            assert not r.admitted and r.reason == "dup"
+        elif not expected_keep[i]:
+            assert not r.admitted and r.reason == "model"
+        else:
+            assert r.admitted and r.reason is None
