@@ -120,6 +120,7 @@ HEADLINE_EXT = [
     "q_label_vote",
     "q_dup_span_remove",
     "q_rrf_fusion",
+    "q_rollup_incremental",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

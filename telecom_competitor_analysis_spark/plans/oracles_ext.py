@@ -3226,3 +3226,17 @@ EXT_ORACLES["q_rrf_fusion"] = f"""
     FROM fused
     QUALIFY fused_rank <= 10
 """
+
+# Incremental rollup maintenance (queries_ext.q_rollup_incremental):
+# the oracle is deliberately the FULL RECOMPUTE over all orders — the
+# query's merged stored+batch partials must equal it exactly (the
+# materialized-view maintenance invariant; integer cents make the
+# partial merge order-free).
+EXT_ORACLES["q_rollup_incremental"] = """
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           COUNT(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY 1
+"""

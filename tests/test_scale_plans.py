@@ -504,3 +504,19 @@ def test_rrf_fusion_legs_end_in_partial_topk(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_incremental_never_rescans_history(spark, sf_dir):
+    """MV-delta refresh: the plan must scan the ORDERS source exactly
+    once (the batch side, with the cutoff pushed to the scan) — the
+    frozen history enters only through the materialized rollup's
+    parquet; the merge is partial-aggregated before its single
+    exchange."""
+    df = QUERIES["q_rollup_incremental"](spark, sf_dir)
+    full = df._jdf.queryExecution().toString()
+    # exactly one scan of the orders source file (the batch leg)
+    assert full.count("orders.parquet") == 1
+    # the cutoff reaches the batch leg's scan as a pushed filter
+    assert "GreaterThanOrEqual(o_orderdate" in full
+    plan = _plan(df)
+    assert "partial_sum" in plan
