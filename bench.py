@@ -121,6 +121,7 @@ HEADLINE_EXT = [
     "q_dup_span_remove",
     "q_rrf_fusion",
     "q_rollup_incremental",
+    "q_leakage_safe_split",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

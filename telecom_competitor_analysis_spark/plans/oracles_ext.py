@@ -3240,3 +3240,23 @@ EXT_ORACLES["q_rollup_incremental"] = """
     FROM orders
     GROUP BY 1
 """
+
+# Leakage-safe split (queries_ext.q_leakage_safe_split): the
+# q_dedup_clusters component CTE with the hash split taken on the
+# component label — whole near-dup clusters land in one split.
+EXT_ORACLES["q_leakage_safe_split"] = (
+    EXT_ORACLES["q_dedup_clusters"].rsplit("SELECT id, MIN(label)", 1)[0]
+    + """,
+    cl AS (
+        SELECT id, MIN(label) AS cluster_id
+        FROM cc
+        GROUP BY id
+    )
+    SELECT id AS doc_id,
+           cluster_id,
+           CASE WHEN substr(
+                    md5(CAST(cluster_id AS VARCHAR) || '|split'), 1, 2
+                ) < 'cd' THEN 'train' ELSE 'test' END AS split
+    FROM cl
+"""
+)

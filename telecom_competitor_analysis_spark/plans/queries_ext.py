@@ -3359,6 +3359,38 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged
 
 
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the hash split is taken on the
+    near-dup CLUSTER id, not the document id, so an entire connected
+    component of near-duplicates lands in one split — the guard
+    against the classic evaluation leak where a test doc's near-twin
+    sits in train (exactly the contamination q_decontaminate measures
+    after the fact; this op prevents it structurally — no LSH pair can
+    straddle the split, pinned by test). Composes two existing pieces:
+    the MATERIALIZED pair graph's connected components
+    (q_dedup_clusters' operator) and hash_split (q_train_test_split's
+    primitive) applied to the component label.
+
+    Scale shape: the pair graph is the shared materialized artifact
+    (built once); min-label propagation is the O(log diameter)
+    pointer-doubling loop; the split itself is a map-side md5 on the
+    |docs|-row labeled table — no new shuffle beyond the component
+    computation. Returns (doc_id, cluster_id, split)."""
+    from telecom_competitor_analysis_spark.operators.curate import hash_split
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    return clusters.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        hash_split(F.col("cluster_id")).alias("split"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
@@ -3447,6 +3479,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_span_remove": q_dup_span_remove,
     "q_rrf_fusion": q_rrf_fusion,
     "q_rollup_incremental": q_rollup_incremental,
+    "q_leakage_safe_split": q_leakage_safe_split,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

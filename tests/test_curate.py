@@ -206,3 +206,25 @@ def test_dsir_weights_rank_planted_target_like_docs_first(spark, sf_dir):
     # weights must not be constant (the LM actually discriminates)
     ws = {r.logw_micro for r in rows}
     assert len(ws) > 50
+
+
+def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
+    """The structural guarantee q_leakage_safe_split exists for: no
+    near-dup pair may have one endpoint in train and the other in test
+    (both endpoints share a component, the split hashes the component
+    label). Also pins that both splits are non-degenerate on the real
+    corpus."""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _materialized_lsh_pairs,
+    )
+
+    split = {
+        r.doc_id: r.split
+        for r in QUERIES["q_leakage_safe_split"](spark, sf_dir).collect()
+    }
+    pairs = _materialized_lsh_pairs(spark, sf_dir).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    for p in pairs:
+        assert split[p.id_a] == split[p.id_b], (p.id_a, p.id_b)
+    assert {"train", "test"} == set(split.values())
