@@ -116,6 +116,38 @@ def shingle_rows(
     ).filter(F.col("__guard").isNotNull()).drop("__guard")
 
 
+def positional_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(id, pos, gram) rows — ``shingle_rows`` with the gram's START
+    POSITION kept. The ONE shared stage behind every positional
+    consumer (phrase retrieval, duplicate-span audit/removal): same
+    posexplode + lead-window formulation, same doc-id partitioning
+    reused by downstream per-doc work (r7 review: this block was
+    copy-pasted three times before being factored here — change the
+    gram shape HERE and every consumer plus its oracle CTE constant
+    follows)."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(id_col).orderBy("pos")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words(F.trim(F.col(text_col)))).alias("pos", "w"),
+    )
+    parts = ["w"] + [F.lead("w", j).over(win) for j in range(1, n)]
+    guard = F.lead("w", n - 1).over(win)
+    return (
+        toks.select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(" ", *parts).alias("gram"),
+            guard.alias("__guard"),
+        )
+        .filter(F.col("__guard").isNotNull())
+        .drop("__guard")
+    )
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,

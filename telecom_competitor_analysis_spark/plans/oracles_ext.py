@@ -1064,7 +1064,13 @@ EXT_ORACLES["q_embedding_outlier"] = f"""
 # node: the component-minimum label satisfies that on every path, so each
 # node's MIN(label) is exactly the component minimum, while larger labels
 # are pruned instead of enumerating all |component|² pairs.
-EXT_ORACLES["q_dedup_clusters"] = """
+# Shared component-labeling CTE chain (shingles → MinHash signature →
+# banded LSH pairs → recursive connected components): the single
+# definition composed by BOTH q_dedup_clusters and q_leakage_safe_split
+# (r7 review: the split oracle previously carved this out of the
+# clusters oracle by string surgery — a cosmetic edit there would have
+# produced invalid SQL far from the edit site).
+_NEARDUP_CC_CTES = """
     WITH RECURSIVE t AS (
         SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
     ),
@@ -1115,11 +1121,16 @@ EXT_ORACLES["q_dedup_clusters"] = """
         SELECT e.dst, cc.label
         FROM cc JOIN edges e ON cc.id = e.src
         WHERE cc.label < e.dst
-    )
+    )"""
+
+EXT_ORACLES["q_dedup_clusters"] = (
+    _NEARDUP_CC_CTES
+    + """
     SELECT id, MIN(label) AS cluster_id
     FROM cc
     GROUP BY id
 """
+)
 
 # q_embedding_lsh_topk — same md5-derived hyperplane buckets as the Spark
 # plan (operators/similarity.py:98, n_planes=4 seed=0), candidates only
@@ -3047,26 +3058,30 @@ def _classifier_weights_sql(n_buckets: int = 64, seed: int = 0) -> str:
 
 # Hashed linear quality scorer (queries_ext.q_quality_classifier):
 # per-word bucket weight lookup summed in exact integer micro-units.
+# The scoring fold is computed ONCE in the inner query; keep derives
+# from score_micro (r7 review: the expression was inlined twice, a
+# drift hazard between score and verdict).
 EXT_ORACLES["q_quality_classifier"] = f"""
-    SELECT doc_id,
-           lang,
-           CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words,
-           CAST(list_sum(list_transform(
-               string_split(trim(text), ' '),
-               w -> ({_classifier_weights_sql(64, 0)})[
-                   {_md5_bucket_sql('w', 64)} + 1]
-           )) AS BIGINT) AS score_micro,
-           list_sum(list_transform(
-               string_split(trim(text), ' '),
-               w -> ({_classifier_weights_sql(64, 0)})[
-                   {_md5_bucket_sql('w', 64)} + 1]
-           )) >= 0 AS keep
-    FROM documents
+    SELECT doc_id, lang, n_words, score_micro, score_micro >= 0 AS keep
+    FROM (
+        SELECT doc_id,
+               lang,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_words,
+               CAST(list_sum(list_transform(
+                   string_split(trim(text), ' '),
+                   w -> ({_classifier_weights_sql(64, 0)})[
+                       {_md5_bucket_sql('w', 64)} + 1]
+               )) AS BIGINT) AS score_micro
+        FROM documents
+    )
 """
 
-# Positional phrase retrieval (queries_ext.q_phrase_search): global
-# top-1 3-gram (ties → smallest), then per-doc occurrence rollup.
-EXT_ORACLES["q_phrase_search"] = """
+# Positional 3-gram CTE chain (toks → lead-window grams → guard
+# filter): the single definition composed by BOTH positional-gram
+# oracles below — mirrors operators/dedup.py::positional_ngrams (r7
+# review: was copy-pasted per oracle).
+_POSITIONAL_GRAMS_CTES = """
     WITH toks AS (
         SELECT doc_id,
                UNNEST(string_split(trim(text), ' ')) AS w,
@@ -3081,7 +3096,11 @@ EXT_ORACLES["q_phrase_search"] = """
         FROM toks
         WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
     ),
-    g AS (SELECT doc_id, pos, gram FROM grams WHERE guard IS NOT NULL),
+    g AS (SELECT doc_id, pos, gram FROM grams WHERE guard IS NOT NULL)"""
+
+# Positional phrase retrieval (queries_ext.q_phrase_search): global
+# top-1 3-gram (ties → smallest), then per-doc occurrence rollup.
+EXT_ORACLES["q_phrase_search"] = _POSITIONAL_GRAMS_CTES + """,
     top1 AS (
         SELECT gram FROM g GROUP BY gram
         ORDER BY COUNT(*) DESC, gram ASC LIMIT 1
@@ -3125,22 +3144,7 @@ EXT_ORACLES["q_label_vote"] = """
 
 # Exact-substring duplicate removal (queries_ext.q_dup_span_remove):
 # cut every position covered by a df>=2 3-gram, rebuild, sha256.
-EXT_ORACLES["q_dup_span_remove"] = """
-    WITH toks AS (
-        SELECT doc_id,
-               UNNEST(string_split(trim(text), ' ')) AS w,
-               UNNEST(range(len(string_split(trim(text), ' ')))) AS pos
-        FROM documents
-    ),
-    grams AS (
-        SELECT doc_id, pos,
-               w || ' ' || lead(w, 1) OVER win || ' '
-                 || lead(w, 2) OVER win AS gram,
-               lead(w, 2) OVER win AS guard
-        FROM toks
-        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
-    ),
-    g AS (SELECT doc_id, pos, gram FROM grams WHERE guard IS NOT NULL),
+EXT_ORACLES["q_dup_span_remove"] = _POSITIONAL_GRAMS_CTES + """,
     df_tbl AS (
         SELECT gram FROM (
             SELECT gram, COUNT(*) AS df
@@ -3241,11 +3245,11 @@ EXT_ORACLES["q_rollup_incremental"] = """
     GROUP BY 1
 """
 
-# Leakage-safe split (queries_ext.q_leakage_safe_split): the
-# q_dedup_clusters component CTE with the hash split taken on the
-# component label — whole near-dup clusters land in one split.
+# Leakage-safe split (queries_ext.q_leakage_safe_split): the shared
+# component CTE chain with the hash split taken on the component
+# label — whole near-dup clusters land in one split.
 EXT_ORACLES["q_leakage_safe_split"] = (
-    EXT_ORACLES["q_dedup_clusters"].rsplit("SELECT id, MIN(label)", 1)[0]
+    _NEARDUP_CC_CTES
     + """,
     cl AS (
         SELECT id, MIN(label) AS cluster_id

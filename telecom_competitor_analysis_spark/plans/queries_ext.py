@@ -3051,26 +3051,12 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     a partial-agg per-doc rollup. At 100 TB the gram stream would come
     from a materialized positional index (the build_shingle_index
     pattern); the probe side is unchanged."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        positional_ngrams,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        toks.withColumn(
-            "gram",
-            F.concat_ws(
-                " ",
-                F.col("w"),
-                F.lead("w", 1).over(win),
-                F.lead("w", 2).over(win),
-            ),
-        )
-        .withColumn("__guard", F.lead("w", 2).over(win))
-        .filter(F.col("__guard").isNotNull())
-        .select("doc_id", "pos", "gram")
-    )
+    grams = positional_ngrams(docs, "doc_id", "text", n=3)
     top1 = (
         grams.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n_total"))
@@ -3152,26 +3138,16 @@ def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc collect_list (bounded by doc length — the same per-doc
     state bound as q_sequence_pack). Every shuffle is keyed by doc_id
     or a doc_id-prefixed composite."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        positional_ngrams,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
     )
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        toks.withColumn(
-            "gram",
-            F.concat_ws(
-                " ",
-                F.col("w"),
-                F.lead("w", 1).over(win),
-                F.lead("w", 2).over(win),
-            ),
-        )
-        .withColumn("__guard", F.lead("w", 2).over(win))
-        .filter(F.col("__guard").isNotNull())
-        .select("doc_id", "pos", "gram")
-    )
+    grams = positional_ngrams(docs, "doc_id", "text", n=3)
     df_tbl = (
         grams.select("doc_id", "gram")
         .distinct()
@@ -3338,13 +3314,22 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     history = orders.filter(F.col("o_orderdate") < cutoff)
     batch = orders.filter(F.col("o_orderdate") >= cutoff)
+    # builder closure lives in THIS file, which _code_version()'s module
+    # hash does not cover — so the closure's own source plus the captured
+    # cutoff are folded into the artifact TAG (r7 review): any edit to
+    # day_rollup or the cutoff re-fingerprints and rebuilds automatically,
+    # no manual ARTIFACT_SCHEMA_VERSION bump to forget.
+    import hashlib
+    import inspect
+
+    build_sig = hashlib.md5(
+        f"{cutoff}|{inspect.getsource(day_rollup)}".encode()
+    ).hexdigest()[:8]
     stored = _materialized(
         spark,
         sf_dir,
-        "day_rollup_pre19950601",
+        f"day_rollup_{build_sig}",
         "orders",
-        # builder closure lives in THIS file: any semantic change here
-        # must bump ARTIFACT_SCHEMA_VERSION (the module hash can't see it)
         lambda p: day_rollup(history).write.mode("overwrite").parquet(p),
     )
     merged = (
