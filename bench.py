@@ -122,6 +122,9 @@ HEADLINE_EXT = [
     "q_rrf_fusion",
     "q_rollup_incremental",
     "q_leakage_safe_split",
+    "q_setsim_join",
+    "q_corpus_overlap",
+    "q_zorder_layout",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -1,0 +1,128 @@
+"""Prefix-filtered set-similarity self-join (the PPJoin family,
+Xiao et al., WWW'08 "Efficient Similarity Joins for Near Duplicate
+Detection").
+
+The reference's dedup story stops at exact surrogate-key matches
+(/root/reference/dags/bigquery.py:100-122); the engine's near-dup
+family (MinHash-LSH, SimHash, shingle-Jaccard) covers the
+probabilistic/banded side. This operator adds the third classic
+candidate-generation strategy: EXACT set-similarity join via prefix
+filtering — no hashing, no false negatives, candidates from an
+equi-join on a provably sufficient token prefix.
+
+Prefix-filter theorem (self-join, overlap form): order every set's
+tokens by one GLOBAL total order (here: ascending document frequency,
+ties by token — rarest first). If |A ∩ B| / |A ∪ B| ≥ t then A and B
+must share at least one token among the first ``|S| - ceil(t·|S|) + 1``
+tokens of each set's ordering (otherwise the remaining suffixes are too
+short to reach the required overlap ``ceil(t/(1+t)·(|A|+|B|))``).
+So the candidate join only touches each set's PREFIX, and rare-first
+ordering makes those prefix tokens the most selective join keys the
+set has. Completeness is a theorem, not a heuristic — the oracle is
+the brute-force any-shared-token form and must agree exactly.
+
+Stopword pruning (``max_df_frac``): tokens appearing in more than a
+fraction of the corpus carry no similarity signal and would dominate
+the candidate join (a df=N token alone generates N²/2 candidates).
+Similarity is therefore DEFINED over the pruned token sets — the
+standard PPJoin+IDF practice — and the cap is part of the operator's
+semantics, applied identically in the oracle. Residual hot prefix
+tokens can still appear when many documents are genuinely near-equal;
+those candidates all VERIFY, so the quadratic term is bounded by the
+true output size, not by corpus size.
+
+Scale shape: one shuffle for df counts, one word-join to attach df,
+one per-doc window (row_number over (df, word)) for the prefix, one
+equi-join on prefix tokens for candidates, then an O(candidates)
+verify against the per-doc sorted token arrays (array_intersect — no
+re-explode). Every stage keys on doc_id or word; nothing is global.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+JACCARD_MICRO = 1_000_000
+
+
+def pruned_token_sets(
+    docs: DataFrame,
+    id_col: str,
+    tokens_col: Column,
+    max_df_frac: float = 0.2,
+) -> DataFrame:
+    """(id, word, df) rows for the stopword-pruned distinct-token sets:
+    tokens kept iff df * round(1/max_df_frac) <= n_docs (integer-exact
+    predicate — both engines evaluate it identically)."""
+    inv = round(1.0 / max_df_frac)
+    tok = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens_col)).alias("word"),
+    )
+    df_counts = tok.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    return (
+        tok.join(df_counts, "word")
+        .join(F.broadcast(n_docs))
+        .where(F.col("df") * F.lit(inv) <= F.col("n_docs"))
+        .select("id", "word", "df")
+    )
+
+
+def prefix_filter_pairs(
+    token_sets: DataFrame,
+    threshold_pct: int,
+) -> DataFrame:
+    """All pairs (id_a < id_b) of token sets with Jaccard >= t over the
+    given (id, word, df) rows, via prefix-filter candidates + exact
+    array verify. ``threshold_pct`` is an integer percentage so the
+    prefix length and the final predicate are exact integer arithmetic
+    (t=50 → keep iff 2·|∩| ≥ |∪|).
+
+    Returns (id_a, id_b, inter_size, union_size, jaccard_micro)."""
+    # per-set size + rare-first rank; prefix length = sz - ceil(t·sz) + 1
+    w = Window.partitionBy("id").orderBy("df", "word")
+    ranked = token_sets.withColumn("rn", F.row_number().over(w)).withColumn(
+        "sz", F.count("*").over(Window.partitionBy("id"))
+    )
+    # ceil(t·sz) with integer arithmetic: -floordiv(-t*sz, 100)
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("sz") + F.floor(F.lit(-threshold_pct) * F.col("sz") / 100) + 1
+    ).select("id", "word")
+
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "word")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    arrays = token_sets.groupBy("id").agg(
+        F.array_sort(F.collect_list("word")).alias("arr")
+    )
+    return (
+        cand.join(arrays.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("arr", "arr_a")
+        .join(arrays.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("arr", "arr_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("inter_size"),
+            F.size(F.array_union("arr_a", "arr_b"))
+            .cast("long")
+            .alias("union_size"),
+        )
+        .where(
+            F.col("inter_size") * 100 >= F.lit(threshold_pct) * F.col("union_size")
+        )
+        .withColumn(
+            "jaccard_micro",
+            F.expr(f"inter_size * {JACCARD_MICRO} div union_size"),
+        )
+    )

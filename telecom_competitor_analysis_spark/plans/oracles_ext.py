@@ -3264,3 +3264,119 @@ EXT_ORACLES["q_leakage_safe_split"] = (
     FROM cl
 """
 )
+
+# q_setsim_join (queries_ext.q_setsim_join) — BRUTE-FORCE mirror of the
+# prefix-filtered set-similarity join: same stopword-pruned word sets
+# (df*5 <= n_docs), but candidates from ANY shared token (complete by
+# construction since Jaccard > 0 requires a shared token). A green row
+# therefore PROVES the Spark side's prefix filter lossless on this
+# corpus. Integer-exact threshold: 2*|inter| >= |union| (t = 0.5).
+EXT_ORACLES["q_setsim_join"] = """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY word),
+    keep AS (
+        SELECT t.doc_id, t.word
+        FROM tok t JOIN df USING (word), n
+        WHERE df.df * 5 <= n.n_docs
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM keep GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_size
+        FROM keep a JOIN keep b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, inter_size,
+           sa.sz + sb.sz - inter_size AS union_size,
+           CAST(inter_size * 1000000 // (sa.sz + sb.sz - inter_size)
+                AS BIGINT) AS jaccard_micro
+    FROM inter
+    JOIN sz sa ON inter.doc_a = sa.doc_id
+    JOIN sz sb ON inter.doc_b = sb.doc_id
+    WHERE 2 * inter_size >= sa.sz + sb.sz - inter_size
+"""
+
+# q_corpus_overlap (queries_ext.q_corpus_overlap) — KMV sketch algebra
+# over the distinct-3-shingle universes of the two doc_id-parity halves;
+# md5 ordering is engine-portable so the k=64 sketches (and hence the
+# estimate) are bit-identical. Exact intersection rides along.
+EXT_ORACLES["q_corpus_overlap"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    g AS (
+        SELECT DISTINCT doc_id % 2 AS side,
+               arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+    ),
+    va AS (SELECT DISTINCT sh FROM g WHERE side = 0),
+    vb AS (SELECT DISTINCT sh FROM g WHERE side = 1),
+    ha AS (SELECT md5(sh) AS h FROM va ORDER BY h LIMIT 64),
+    hb AS (SELECT md5(sh) AS h FROM vb ORDER BY h LIMIT 64),
+    merged AS (
+        SELECT DISTINCT h
+        FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)
+        ORDER BY h LIMIT 64
+    ),
+    hits AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS est_overlap_hits
+        FROM merged JOIN ha USING (h) JOIN hb USING (h)
+    ),
+    ex AS (
+        SELECT CAST((SELECT COUNT(*) FROM va JOIN vb USING (sh)) AS BIGINT)
+                   AS exact_inter,
+               CAST((SELECT COUNT(*) FROM va) AS BIGINT) AS na,
+               CAST((SELECT COUNT(*) FROM vb) AS BIGINT) AS nb
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           hits.est_overlap_hits,
+           CAST(hits.est_overlap_hits * 1000000 // 64 AS BIGINT)
+               AS est_jaccard_micro,
+           ex.exact_inter,
+           ex.na + ex.nb - ex.exact_inter AS exact_union,
+           CAST(ex.exact_inter * 1000000 // (ex.na + ex.nb - ex.exact_inter)
+                AS BIGINT) AS exact_jaccard_micro
+    FROM hits, ex
+"""
+
+# q_zorder_layout (queries_ext.q_zorder_layout) — identical 4-bit
+# quantization + Morton interleave (portable div/mod arithmetic, no
+# engine bit-op dialects) + per-zfile min/max stats.
+_Z_INTERLEAVE = " + ".join(
+    "((bx // {p}) % 2) * {wx} + ((qy // {p}) % 2) * {wy}".format(
+        p=1 << i, wx=1 << (2 * i + 1), wy=1 << (2 * i)
+    )
+    for i in range(4)
+)
+
+EXT_ORACLES["q_zorder_layout"] = f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    b AS (
+        SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+               MIN(cents) AS minp, MAX(cents) AS maxp
+        FROM o
+    ),
+    q AS (
+        SELECT o_custkey, cents,
+               LEAST(15, (o_custkey - minc) * 16 // (maxc - minc + 1)) AS bx,
+               LEAST(15, (cents - minp) * 16 // (maxp - minp + 1)) AS qy
+        FROM o, b
+    ),
+    z AS (SELECT o_custkey, cents, {_Z_INTERLEAVE} AS zv FROM q)
+    SELECT CAST(zv // 4 AS BIGINT) AS zfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_custkey) AS min_cust,
+           MAX(o_custkey) AS max_cust,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM z
+    GROUP BY 1
+"""

@@ -1200,6 +1200,9 @@ VERIFY_PRIORITY = [
     "q_rrf_fusion",
     "q_rollup_incremental",
     "q_leakage_safe_split",
+    "q_setsim_join",
+    "q_corpus_overlap",
+    "q_zorder_layout",
     # The 45 r5 greens (byte-identical code) — oldest after the r7
     # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",

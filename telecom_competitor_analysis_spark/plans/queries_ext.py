@@ -3376,6 +3376,157 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (the PPJoin family,
+    Xiao et al. WWW'08) — the third classic near-dup candidate
+    strategy next to the banded families (MinHash-LSH / SimHash):
+    EXACT, no hashing, zero false negatives. Pairs of documents whose
+    stopword-pruned word sets (df·5 ≤ N tokens only — ubiquitous
+    tokens carry no similarity signal and would each generate df²/2
+    candidates) have Jaccard ≥ 0.5, via operators/setsim.py:
+    candidates come from an equi-join on each set's rare-first PREFIX
+    (sz - ceil(t·sz) + 1 tokens), a provably sufficient subset.
+
+    The oracle is the BRUTE-FORCE any-shared-token form over the same
+    pruned sets, so a green row proves the prefix filter lossless on
+    this corpus — the candidate set the operator actually joins is
+    strictly smaller (prefix tokens only, rarest first).
+
+    Scale: df-count shuffle + doc window + prefix equi-join + verify
+    against per-doc arrays; all keyed on doc_id or word. Hot prefix
+    tokens can only arise from genuinely near-equal document groups,
+    whose pairs all verify — candidate volume is output-bound, not
+    corpus-bound. Thresholds are integer-exact (2·|∩| ≥ |∪|)."""
+    from telecom_competitor_analysis_spark.operators.setsim import (
+        prefix_filter_pairs,
+        pruned_token_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = pruned_token_sets(
+        docs, "doc_id", words(F.trim(F.col("text"))), max_df_frac=0.2
+    )
+    return prefix_filter_pairs(sets, threshold_pct=50).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "inter_size",
+        "union_size",
+        "jaccard_micro",
+    )
+
+
+def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap estimation via KMV sketch ALGEBRA (Beyer et al.
+    SIGMOD'07) — the crawl-to-crawl content-drift check run before
+    committing a new snapshot to the training mix. Universe = distinct
+    3-word shingles of each corpus half (doc_id parity = the two
+    snapshots); each side is summarized by its k=64 smallest
+    md5(shingle) values, and the two sketches COMBINE closed-form:
+    merge → k smallest of the union; Jaccard ≈ |merged ∩ A ∩ B| / k.
+    At 100 TB each side's sketch is one distributed partial top-k
+    (TakeOrderedAndProject — no global sort, no shuffle of the shingle
+    sets); the estimate itself is sketch-only arithmetic, so two
+    snapshots are compared without ever co-shuffling their contents.
+    The exact intersection (one equi-join) rides along as the accuracy
+    mirror — at scale one would drop it and keep only the sketches.
+    md5 is engine-portable, so the estimate is bit-identical in the
+    DuckDB oracle (same convention as q_kmv_distinct)."""
+    from telecom_competitor_analysis_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", w=3).select(
+        (F.col("doc_id") % 2).alias("side"), F.col("word").alias("sh")
+    )
+    vocab = sh.distinct()
+    va = vocab.where(F.col("side") == 0).select("sh")
+    vb = vocab.where(F.col("side") == 1).select("sh")
+    ha = va.select(F.md5("sh").alias("h")).orderBy("h").limit(64)
+    hb = vb.select(F.md5("sh").alias("h")).orderBy("h").limit(64)
+    merged = ha.union(hb).distinct().orderBy("h").limit(64)
+    hits = (
+        merged.join(ha, "h").join(hb, "h").agg(F.count("*").alias("est_overlap_hits"))
+    )
+    exact = (
+        va.join(vb, "sh")
+        .agg(F.count("*").alias("exact_inter"))
+        .crossJoin(va.agg(F.count("*").alias("na")))
+        .crossJoin(vb.agg(F.count("*").alias("nb")))
+    )
+    return (
+        hits.crossJoin(exact)
+        .select(
+            F.lit(64).cast("long").alias("k"),
+            F.col("est_overlap_hits").cast("long"),
+            F.expr("est_overlap_hits * 1000000 div 64")
+            .cast("long")
+            .alias("est_jaccard_micro"),
+            F.col("exact_inter").cast("long"),
+            (F.col("na") + F.col("nb") - F.col("exact_inter"))
+            .cast("long")
+            .alias("exact_union"),
+            F.expr("exact_inter * 1000000 div (na + nb - exact_inter)")
+            .cast("long")
+            .alias("exact_jaccard_micro"),
+        )
+    )
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
+    ZORDER move: co-locate rows that are close in TWO dimensions
+    (customer, price) into the same file so min/max file statistics
+    prune scans for predicates on EITHER dimension. Each dim is
+    quantized to 4 bits over its global [min, max] (integer-exact
+    fixed-width buckets), the bits INTERLEAVED into an 8-bit Morton
+    code, and rows grouped into 64 z-"files" (code div 4). The output
+    is exactly what a layout optimizer reports: per-file row count and
+    per-file min/max of BOTH dimensions — under a linear sort only the
+    leading dimension's ranges narrow; under z-order both do, which is
+    the pruning guarantee. Scale: two scans (one 4-value global agg
+    broadcast, then a map-side code computation) + one groupBy on the
+    64 codes — the real write would be ``repartitionByRange(zfile)``
+    into the sink with identical statistics."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    bounds = o.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("cents").alias("minp"),
+        F.max("cents").alias("maxp"),
+    )
+    q = o.join(F.broadcast(bounds)).select(
+        "o_custkey",
+        "cents",
+        F.least(
+            F.lit(15), F.expr("(o_custkey - minc) * 16 div (maxc - minc + 1)")
+        ).alias("bx"),
+        F.least(
+            F.lit(15), F.expr("(cents - minp) * 16 div (maxp - minp + 1)")
+        ).alias("by"),
+    )
+    # Morton interleave: x bits land at odd positions, y bits at even —
+    # portable integer arithmetic (div/mod), no engine bit-op dialects.
+    interleave = " + ".join(
+        f"((bx div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((by div {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(4)
+    )
+    return (
+        q.withColumn("zv", F.expr(interleave))
+        .groupBy(F.expr("zv div 4").cast("long").alias("zfile"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
@@ -3465,6 +3616,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_rrf_fusion": q_rrf_fusion,
     "q_rollup_incremental": q_rollup_incremental,
     "q_leakage_safe_split": q_leakage_safe_split,
+    "q_setsim_join": q_setsim_join,
+    "q_corpus_overlap": q_corpus_overlap,
+    "q_zorder_layout": q_zorder_layout,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

@@ -520,3 +520,36 @@ def test_rollup_incremental_never_rescans_history(spark, sf_dir):
     assert "GreaterThanOrEqual(o_orderdate" in full
     plan = _plan(df)
     assert "partial_sum" in plan
+
+
+def test_setsim_prefix_join_no_cartesian_no_global_window(spark, sf_dir):
+    """PPJoin: the prefix window partitions by doc id (never a global
+    single-partition window), candidates come from an EQUI-join on the
+    prefix token, and the only nested-loop is the broadcast of the
+    1-row corpus count — no CartesianProduct, no range partitioning."""
+    plan = _plan(QUERIES["q_setsim_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    # the prefix/size window is keyed on the set id
+    assert "Window" in plan
+    assert "hashpartitioning(id" in plan
+
+
+def test_corpus_overlap_sketches_are_partial_topk(spark, sf_dir):
+    """KMV sketch construction must be distributed partial top-k
+    (TakeOrderedAndProject) — each side's 64 smallest hashes are found
+    without a global sort, and the sketch-combine stages operate on
+    ≤128 rows by construction."""
+    plan = _plan(QUERIES["q_corpus_overlap"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_zorder_layout_single_agg_exchange(spark, sf_dir):
+    """Z-order stats: the Morton code is a map-side projection over the
+    broadcast 1-row bounds; the per-zfile stats partial-aggregate
+    before their single hash exchange (64 groups) — no global sort."""
+    plan = _plan(QUERIES["q_zorder_layout"](spark, sf_dir))
+    assert "partial_count" in plan or "partial_min" in plan
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
