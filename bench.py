@@ -125,6 +125,7 @@ HEADLINE_EXT = [
     "q_setsim_join",
     "q_corpus_overlap",
     "q_zorder_layout",
+    "q_pq_ann",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

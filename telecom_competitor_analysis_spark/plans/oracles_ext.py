@@ -3380,3 +3380,74 @@ EXT_ORACLES["q_zorder_layout"] = f"""
     FROM z
     GROUP BY 1
 """
+
+# q_pq_ann (queries_ext.q_pq_ann) — product quantization mirror:
+# identical micro-int quantization, codebook seeding (4 lowest-id
+# vectors), per-subspace nearest-code assignment (ties -> lowest code),
+# ADC table, and top-10 per query by (approx_dist, vec_id). All
+# integer arithmetic — bit-identical across engines.
+EXT_ORACLES["q_pq_ann"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    elem AS (
+        SELECT vec_id, i, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM e, unnest(generate_series(1, 64)) t(i)
+    ),
+    sub AS (
+        SELECT vec_id, (i - 1) // 8 AS j, (i - 1) % 8 AS p, x FROM elem
+    ),
+    cb AS (
+        SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+        FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 4)
+    ),
+    cbs AS (
+        SELECT cb.c, s.j, s.p, s.x FROM sub s JOIN cb USING (vec_id)
+    ),
+    dist AS (
+        SELECT s.vec_id, s.j, cbs.c,
+               CAST(SUM((s.x - cbs.x) * (s.x - cbs.x)) AS BIGINT) AS d
+        FROM sub s JOIN cbs ON s.j = cbs.j AND s.p = cbs.p
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, j, c FROM (
+            SELECT vec_id, j, c,
+                   row_number() OVER (PARTITION BY vec_id, j
+                                      ORDER BY d, c) AS rn
+            FROM dist
+        ) WHERE rn = 1
+    ),
+    qsub AS (
+        SELECT vec_id AS qid, j, p, x FROM sub WHERE vec_id < 5
+    ),
+    adc AS (
+        SELECT q.qid, cbs.j, cbs.c,
+               CAST(SUM((q.x - cbs.x) * (q.x - cbs.x)) AS BIGINT) AS d
+        FROM qsub q JOIN cbs ON q.j = cbs.j AND q.p = cbs.p
+        GROUP BY 1, 2, 3
+    ),
+    approx AS (
+        SELECT adc.qid, codes.vec_id,
+               CAST(SUM(adc.d) AS BIGINT) AS approx_dist
+        FROM codes JOIN adc ON codes.j = adc.j AND codes.c = adc.c
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT q.qid, s.vec_id,
+               CAST(SUM((s.x - q.x) * (s.x - q.x)) AS BIGINT) AS exact_dist
+        FROM sub s JOIN qsub q ON s.j = q.j AND s.p = q.p
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT a.qid, a.vec_id, a.approx_dist, x.exact_dist,
+               row_number() OVER (PARTITION BY a.qid
+                                  ORDER BY a.approx_dist, a.vec_id) AS rn
+        FROM approx a
+        JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
+        WHERE a.vec_id != a.qid
+    )
+    SELECT qid AS query_id, vec_id, CAST(rn AS INT) AS rank,
+           approx_dist, exact_dist
+    FROM ranked WHERE rn <= 10
+"""

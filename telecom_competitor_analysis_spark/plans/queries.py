@@ -1203,6 +1203,7 @@ VERIFY_PRIORITY = [
     "q_setsim_join",
     "q_corpus_overlap",
     "q_zorder_layout",
+    "q_pq_ann",
     # The 45 r5 greens (byte-identical code) — oldest after the r7
     # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",

@@ -3471,6 +3471,31 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    memory-bound ANN scale path, completing the family: LSH and IVF
+    prune WHICH vectors get scored; PQ compresses HOW each one is
+    scored. The 64-dim corpus is encoded as 8 sub-codes (k=4 per
+    subspace, codebooks seeded from the lowest-id vectors — the IVF
+    anchor convention, zero training iterations); each of the 5 query
+    vectors builds one 8×4 Asymmetric-Distance lookup table
+    (broadcast), and every corpus vector is scored by 8 integer table
+    lookups instead of 64 multiplies. Top-10 per query by
+    (approx_dist, vec_id) via WindowGroupLimit partial top-k; the
+    EXACT squared-L2 rides along as the accuracy mirror. At 100 TB the
+    codes table is ~32× smaller than the vectors — the scoring scan
+    reads codes only; exact re-ranking would touch just the k
+    finalists. All arithmetic is micro-int (round(x·1e6) BIGINT), so
+    the DuckDB oracle is bit-identical. operators/similarity.py::
+    pq_adc_topk."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
     ZORDER move: co-locate rows that are close in TWO dimensions
@@ -3619,6 +3644,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_setsim_join": q_setsim_join,
     "q_corpus_overlap": q_corpus_overlap,
     "q_zorder_layout": q_zorder_layout,
+    "q_pq_ann": q_pq_ann,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

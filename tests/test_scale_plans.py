@@ -553,3 +553,16 @@ def test_zorder_layout_single_agg_exchange(spark, sf_dir):
     assert "partial_count" in plan or "partial_min" in plan
     assert "rangepartitioning" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pq_ann_scores_codes_not_vectors(spark, sf_dir):
+    """PQ/ADC: the corpus-scale scoring stage reads the (id, j, code)
+    rows joined to the BROADCAST ADC tables — the codebook and every
+    per-query lookup table arrive as BroadcastHashJoins; the per-query
+    top-k is WindowGroupLimit partial top-k; no cartesian, no global
+    range sort anywhere."""
+    plan = _plan(QUERIES["q_pq_ann"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
