@@ -126,6 +126,8 @@ HEADLINE_EXT = [
     "q_corpus_overlap",
     "q_zorder_layout",
     "q_pq_ann",
+    "q_knn_label_audit",
+    "q_hard_negatives",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3451,3 +3451,96 @@ EXT_ORACLES["q_pq_ann"] = """
            approx_dist, exact_dist
     FROM ranked WHERE rn <= 10
 """
+
+# q_knn_label_audit (queries_ext.q_knn_label_audit) — exact integer
+# squared-L2 kNN (k=10) for the first-20 audit batch, Borda weights
+# 11-rank, argmax vote with lowest-label tie-break. All integers.
+EXT_ORACLES["q_knn_label_audit"] = """
+    WITH e AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    elem AS (
+        SELECT vec_id, i, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM e, unnest(generate_series(1, 64)) t(i)
+    ),
+    qelem AS (
+        SELECT vec_id AS qid, i, x FROM elem WHERE vec_id < 20
+    ),
+    d AS (
+        SELECT q.qid, c.vec_id,
+               CAST(SUM((c.x - q.x) * (c.x - q.x)) AS BIGINT) AS d
+        FROM elem c JOIN qelem q ON c.i = q.i AND c.vec_id != q.qid
+        GROUP BY 1, 2
+    ),
+    nn AS (
+        SELECT qid, vec_id, rn FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY d, vec_id) AS rn
+            FROM d
+        ) WHERE rn <= 10
+    ),
+    votes AS (
+        SELECT nn.qid, e.label AS nlabel,
+               CAST(SUM(11 - nn.rn) AS BIGINT) AS w
+        FROM nn JOIN e ON nn.vec_id = e.vec_id
+        GROUP BY 1, 2
+    ),
+    win AS (
+        SELECT qid, nlabel, w,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY w DESC, nlabel ASC) AS rw
+        FROM votes
+    )
+    SELECT q.vec_id, q.label AS own_label,
+           win.nlabel AS predicted_label,
+           win.w AS vote_weight,
+           q.label != win.nlabel AS mismatch
+    FROM win JOIN e q ON win.qid = q.vec_id
+    WHERE win.rw = 1
+"""
+
+# q_hard_negatives (queries_ext.q_hard_negatives) — the shared
+# component CTE chain supplies the not-a-near-dup guard; exact integer
+# squared-L2 top-5 per query among vectors OUTSIDE the query's
+# component (vec_id = doc_id cross-modal key).
+EXT_ORACLES["q_hard_negatives"] = (
+    _NEARDUP_CC_CTES
+    + """,
+    cl AS (
+        SELECT id, MIN(label) AS cluster_id
+        FROM cc
+        GROUP BY id
+    ),
+    e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    elem AS (
+        SELECT vec_id, i, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM e, unnest(generate_series(1, 64)) t(i)
+    ),
+    qelem AS (SELECT vec_id AS qid, i, x FROM elem WHERE vec_id < 5),
+    d AS (
+        SELECT q.qid, c.vec_id,
+               CAST(SUM((c.x - q.x) * (c.x - q.x)) AS BIGINT) AS dist
+        FROM elem c JOIN qelem q ON c.i = q.i AND c.vec_id != q.qid
+        GROUP BY 1, 2
+    ),
+    guarded AS (
+        SELECT d.qid, d.vec_id, d.dist
+        FROM d
+        JOIN cl cq ON cq.id = d.qid
+        JOIN cl cn ON cn.id = d.vec_id
+        WHERE cq.cluster_id != cn.cluster_id
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id,
+           CAST(rn AS INT) AS rank, dist
+    FROM (
+        SELECT qid, vec_id, dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dist, vec_id) AS rn
+        FROM guarded
+    ) WHERE rn <= 5
+"""
+)

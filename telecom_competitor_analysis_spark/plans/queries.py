@@ -1204,6 +1204,8 @@ VERIFY_PRIORITY = [
     "q_corpus_overlap",
     "q_zorder_layout",
     "q_pq_ann",
+    "q_knn_label_audit",
+    "q_hard_negatives",
     # The 45 r5 greens (byte-identical code) — oldest after the r7
     # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",

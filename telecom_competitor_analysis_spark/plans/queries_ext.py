@@ -3496,6 +3496,145 @@ def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
 
 
+def q_knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via k-NN consensus (the Confident-Learning /
+    cleanlab move, Northcutt et al. JAIR'21): a sample whose nearest
+    neighbors vote for a DIFFERENT class than its recorded label is a
+    likely annotation error — the standard pre-training sweep over
+    labeled SFT/classification data. For each audited vector (the
+    first 20 ids — the audit batch; at 100 TB the batch is whatever
+    slice is under review, scored against the corpus via the ANN
+    index instead of this exact scan): top-10 neighbors by EXACT
+    integer squared-L2 over micro-quantized components, Borda-weighted
+    vote (weight 11−rank — integers, so the tally is order-independent
+    and bit-identical in the oracle), predicted label = argmax with
+    lowest-label tie-break. Plan: 20-row broadcast → map-side scoring
+    scan → WindowGroupLimit partial top-10 → one (audit×10)-row vote
+    aggregate — the corpus is scanned once, never shuffled."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        l2sq_micro,
+        micro_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = ensure_parallelism(
+        emb.select(
+            "vec_id",
+            F.col("label").alias("nlabel"),
+            micro_vec(F.col("embedding")).alias("mv"),
+        )
+    )
+    audit = F.broadcast(
+        emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("own_label"),
+            micro_vec(F.col("embedding")).alias("qmv"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    nn = (
+        corpus.join(audit, F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "own_label",
+            "vec_id",
+            "nlabel",
+            l2sq_micro(F.col("mv"), F.col("qmv")).alias("d"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+    )
+    votes = nn.groupBy("qid", "own_label", "nlabel").agg(
+        F.sum(F.lit(11) - F.col("rn")).cast("long").alias("w")
+    )
+    return (
+        votes.groupBy("qid", "own_label")
+        .agg(
+            F.max_by("nlabel", F.struct(F.col("w"), -F.col("nlabel"))).alias(
+                "predicted_label"
+            ),
+            F.max("w").cast("long").alias("vote_weight"),
+        )
+        .select(
+            F.col("qid").alias("vec_id"),
+            "own_label",
+            "predicted_label",
+            "vote_weight",
+            (F.col("own_label") != F.col("predicted_label")).alias("mismatch"),
+        )
+    )
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training (the
+    DPR / SimCSE data-prep step, Karpukhin et al. EMNLP'20): for each
+    query, the nearest vectors that are NOT near-duplicates of it —
+    semantically close enough to be informative negatives, but
+    guaranteed (structurally, not by a score threshold) not to be
+    positives in disguise. The not-a-duplicate guard reuses the
+    MATERIALIZED LSH pair graph's connected components (the same
+    component labels that drive q_dedup_clusters /
+    q_leakage_safe_split, vec_id ≡ doc_id cross-modal key): a
+    candidate is excluded iff it shares the query's component. Top-5
+    per query by EXACT integer squared-L2 (micro components, ties →
+    lowest id). Plan: component labels join the corpus once (hash
+    join on id), the 5 queries broadcast, WindowGroupLimit partial
+    top-5 — at 100 TB the retrieval leg swaps to ann_against_index
+    with the same cluster-exclusion join-back."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+        ensure_parallelism,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        l2sq_micro,
+        micro_vec,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id").select(
+        F.col("id").alias("vec_id"), "cluster_id"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = ensure_parallelism(
+        emb.select("vec_id", micro_vec(F.col("embedding")).alias("mv"))
+    ).join(clusters, "vec_id")
+    qs = F.broadcast(
+        emb.where(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), micro_vec(F.col("embedding")).alias("qmv"))
+        .join(
+            clusters.select(
+                F.col("vec_id").alias("qid"), F.col("cluster_id").alias("qcluster")
+            ),
+            "qid",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy("dist", "vec_id")
+    return (
+        corpus.join(
+            qs,
+            (F.col("vec_id") != F.col("qid"))
+            & (F.col("cluster_id") != F.col("qcluster")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            l2sq_micro(F.col("mv"), F.col("qmv")).alias("dist"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("int"),
+            "dist",
+        )
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
     ZORDER move: co-locate rows that are close in TWO dimensions
@@ -3645,6 +3784,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_overlap": q_corpus_overlap,
     "q_zorder_layout": q_zorder_layout,
     "q_pq_ann": q_pq_ann,
+    "q_knn_label_audit": q_knn_label_audit,
+    "q_hard_negatives": q_hard_negatives,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

@@ -566,3 +566,23 @@ def test_pq_ann_scores_codes_not_vectors(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_knn_label_audit_partial_topk_broadcast_probe(spark, sf_dir):
+    """kNN consensus: the 20-row audit batch broadcasts onto a single
+    map-side scoring scan; per-query neighbor selection is
+    WindowGroupLimit partial top-k; the corpus itself is never
+    reshuffled (no range sort anywhere)."""
+    plan = _plan(QUERIES["q_knn_label_audit"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_hard_negatives_partial_topk_no_range_sort(spark, sf_dir):
+    """Hard-negative mining: cluster labels hash-join the corpus, the
+    query batch broadcasts (non-equi guard -> nested loop over the
+    5-row build side only), top-5 via WindowGroupLimit."""
+    plan = _plan(QUERIES["q_hard_negatives"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
