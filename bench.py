@@ -128,6 +128,7 @@ HEADLINE_EXT = [
     "q_pq_ann",
     "q_knn_label_audit",
     "q_hard_negatives",
+    "q_interval_overlap",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -51,10 +51,21 @@ def pruned_token_sets(
     id_col: str,
     tokens_col: Column,
     max_df_frac: float = 0.2,
+    max_df_abs: int = 1000,
 ) -> DataFrame:
     """(id, word, df) rows for the stopword-pruned distinct-token sets:
-    tokens kept iff df * round(1/max_df_frac) <= n_docs (integer-exact
-    predicate — both engines evaluate it identically)."""
+    tokens kept iff df * round(1/max_df_frac) <= n_docs AND
+    df <= max_df_abs (integer-exact predicates — both engines evaluate
+    them identically).
+
+    The ABSOLUTE cap is the scale guard, not a tuning knob: a token
+    sitting just under the relative cap alone has df = Θ(N) and
+    generates Θ(N²) candidate pairs — quadratic in corpus size
+    (measured: a ×10 replication probe went 1.3 s → 477 s with only
+    the relative cap). With the absolute cap every token contributes
+    ≤ max_df_abs²/2 candidates regardless of N, so total candidate
+    volume is linear in vocabulary size — the same df-cap discipline
+    as operators/dedup.py's shingle families."""
     inv = round(1.0 / max_df_frac)
     tok = docs.select(
         F.col(id_col).alias("id"),
@@ -65,7 +76,10 @@ def pruned_token_sets(
     return (
         tok.join(df_counts, "word")
         .join(F.broadcast(n_docs))
-        .where(F.col("df") * F.lit(inv) <= F.col("n_docs"))
+        .where(
+            (F.col("df") * F.lit(inv) <= F.col("n_docs"))
+            & (F.col("df") <= F.lit(max_df_abs))
+        )
         .select("id", "word", "df")
     )
 

@@ -3281,7 +3281,7 @@ EXT_ORACLES["q_setsim_join"] = """
     keep AS (
         SELECT t.doc_id, t.word
         FROM tok t JOIN df USING (word), n
-        WHERE df.df * 5 <= n.n_docs
+        WHERE df.df * 5 <= n.n_docs AND df.df <= 1000
     ),
     sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM keep GROUP BY doc_id),
     inter AS (
@@ -3544,3 +3544,26 @@ EXT_ORACLES["q_hard_negatives"] = (
     ) WHERE rn <= 5
 """
 )
+
+# q_interval_overlap (queries_ext.q_interval_overlap) — brute-force
+# theta-join mirror of the binned exactly-once overlap join: green
+# proves completeness (no pair missed by binning) AND uniqueness (no
+# pair double-counted across bins).
+EXT_ORACLES["q_interval_overlap"] = """
+    WITH a AS (
+        SELECT o_orderkey AS a_key,
+               date_diff('day', DATE '1992-01-01', o_orderdate) AS sa,
+               date_diff('day', DATE '1992-01-01', o_orderdate) + 1 AS ea
+        FROM orders WHERE o_orderkey % 17 = 0
+    ),
+    b AS (
+        SELECT o_orderkey AS b_key,
+               date_diff('day', DATE '1992-01-01', o_orderdate) AS sb,
+               date_diff('day', DATE '1992-01-01', o_orderdate) + 2 AS eb
+        FROM orders WHERE o_orderkey % 23 = 0
+    )
+    SELECT a_key, b_key,
+           CAST(LEAST(ea, eb) - GREATEST(sa, sb) + 1 AS BIGINT)
+               AS overlap_len
+    FROM a JOIN b ON sa <= eb AND sb <= ea
+"""

@@ -3381,9 +3381,10 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Xiao et al. WWW'08) — the third classic near-dup candidate
     strategy next to the banded families (MinHash-LSH / SimHash):
     EXACT, no hashing, zero false negatives. Pairs of documents whose
-    stopword-pruned word sets (df·5 ≤ N tokens only — ubiquitous
-    tokens carry no similarity signal and would each generate df²/2
-    candidates) have Jaccard ≥ 0.5, via operators/setsim.py:
+    stopword-pruned word sets (df·5 ≤ N AND df ≤ 1000 — ubiquitous
+    tokens carry no similarity signal, and the ABSOLUTE cap bounds each
+    token's df²/2 candidates independent of corpus size; the relative
+    cap alone is Θ(N²) on a token at the cap — measured ×10 blow-up) have Jaccard ≥ 0.5, via operators/setsim.py:
     candidates come from an equi-join on each set's rare-first PREFIX
     (sz - ceil(t·sz) + 1 tokens), a provably sufficient subset.
 
@@ -3404,7 +3405,8 @@ def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sets = pruned_token_sets(
-        docs, "doc_id", words(F.trim(F.col("text"))), max_df_frac=0.2
+        docs, "doc_id", words(F.trim(F.col("text"))), max_df_frac=0.2,
+        max_df_abs=1000,
     )
     return prefix_filter_pairs(sets, threshold_pct=50).select(
         F.col("id_a").alias("doc_a"),
@@ -3635,6 +3637,39 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval OVERLAP join (operators/interval.py) — the
+    missing sibling of q_range_join's point-in-interval form: which
+    promo windows overlapped which availability windows. Two interval
+    sets are derived deterministically from orders (every 17th order
+    key opens a 2-day window, every 23rd a 3-day window, in integer
+    day coordinates from 1992-01-01); the join replicates each
+    interval to the 7-day bins it touches, equi-joins on the bin key,
+    and emits each qualifying pair EXACTLY ONCE via the canonical-bin
+    rule (the bin containing max(start_a, start_b)) — no distinct
+    pass over the pair stream, which at 100 TB would be a second
+    corpus-scale shuffle. Replication factor is len/width + 1 ≈ 1.3
+    here; the oracle is the brute-force theta join, so green proves
+    both completeness AND the exactly-once rule."""
+    from telecom_competitor_analysis_spark.operators.interval import (
+        interval_overlap_join,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    a = orders.where(F.col("o_orderkey") % 17 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        day.alias("s"),
+        (day + 1).alias("e"),
+    )
+    b = orders.where(F.col("o_orderkey") % 23 == 0).select(
+        F.col("o_orderkey").alias("b_key"),
+        day.alias("s"),
+        (day + 2).alias("e"),
+    )
+    return interval_overlap_join(a, b, bin_width=7)
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
     ZORDER move: co-locate rows that are close in TWO dimensions
@@ -3786,6 +3821,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pq_ann": q_pq_ann,
     "q_knn_label_audit": q_knn_label_audit,
     "q_hard_negatives": q_hard_negatives,
+    "q_interval_overlap": q_interval_overlap,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

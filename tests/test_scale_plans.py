@@ -586,3 +586,16 @@ def test_hard_negatives_partial_topk_no_range_sort(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_equi_join_no_dedup_shuffle(spark, sf_dir):
+    """Binned overlap join: candidates come from a plain equi-join on
+    the bin key (SortMergeJoin/ShuffledHashJoin — never a theta
+    nested-loop), and the exactly-once canonical-bin rule means NO
+    post-join distinct/aggregate pass appears in the plan."""
+    plan = _plan(QUERIES["q_interval_overlap"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # no dedup stage after the join: the only aggregates would come
+    # from a distinct(); there are none in this plan
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan
