@@ -1185,11 +1185,11 @@ VERIFY_PRIORITY = [
     "q_session_window",
     "q_key_skew",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # r8 tier 2 FIRST: ten oracles declared after the r7 window
-    # filled (the 36-green rotation debt + 11 new already = 50) —
-    # never driver-hash-checked; suite-oracle-checked at sf0.001 and
-    # locally swept at sf0.01/sf0.1 (NOTES.md). Promote these into the
-    # r8 window ahead of everything else.
+    # r8 tier 2 FIRST: the seventeen oracles declared after the r7
+    # window filled (the 36-green rotation debt + 11 new already =
+    # 50) — never driver-hash-checked; suite-oracle-checked at
+    # sf0.001 and locally swept at sf0.01/sf0.1 (NOTES.md). Promote
+    # these into the r8 window ahead of everything else.
     "q_containment_pairs",
     "q_oov_rate",
     "q_curriculum_order",

@@ -1,0 +1,97 @@
+"""Behavior tests for the round-7 continuation operators: prefix-filter
+set-similarity join (operators/setsim.py) and the interval-overlap join
+(operators/interval.py). The declared queries' oracles prove end-to-end
+parity; these pin the operator-level edge cases on crafted rows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.operators.interval import (
+    interval_overlap_join,
+)
+from telecom_competitor_analysis_spark.operators.setsim import (
+    prefix_filter_pairs,
+    pruned_token_sets,
+)
+
+
+def _intervals(spark, rows, key):
+    return spark.createDataFrame(rows, f"{key} long, s long, e long")
+
+
+def test_interval_overlap_edge_cases(spark):
+    """Touching endpoints count (inclusive ends), disjoint don't,
+    nesting counts, and bin-boundary-crossing pairs appear exactly
+    once despite being joinable in several bins."""
+    a = _intervals(spark, [(1, 0, 13), (2, 20, 21), (3, 40, 45)], "a_key")
+    b = _intervals(
+        spark,
+        [
+            (10, 13, 15),   # touches a1 at 13 → overlap_len 1
+            (11, 5, 6),     # nested in a1 → 2
+            (12, 22, 30),   # overlaps a2 at [22,21]? no: s=22 > e=21 → none
+            (13, 46, 50),   # disjoint from a3
+        ],
+        "b_key",
+    )
+    got = {
+        (r.a_key, r.b_key): r.overlap_len
+        for r in interval_overlap_join(a, b, bin_width=7).collect()
+    }
+    assert got == {(1, 10): 1, (1, 11): 2}
+
+
+def test_interval_overlap_exactly_once_across_bins(spark):
+    """A pair of long intervals sharing MANY bins must be emitted once,
+    with the full overlap length."""
+    a = _intervals(spark, [(1, 0, 100)], "a_key")
+    b = _intervals(spark, [(2, 50, 200)], "b_key")
+    rows = interval_overlap_join(a, b, bin_width=7).collect()
+    assert len(rows) == 1
+    assert rows[0].overlap_len == 51  # [50, 100] inclusive
+
+
+def test_setsim_df_caps_and_threshold(spark):
+    """The ubiquitous token is pruned by the relative cap, the
+    absolute cap prunes independently, and the Jaccard threshold is
+    integer-exact over the PRUNED sets."""
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare1 rare2"),
+            (1, "common rare1 rare2"),
+            (2, "common rare1 zzz"),
+            (3, "common aaa bbb"),
+            (4, "common ccc ddd"),
+            (5, "common eee fff"),
+            (6, "common ggg hhh"),
+            (7, "common iii jjj"),
+            (8, "common kkk lll"),
+            (9, "common mmm nnn"),
+        ],
+        "doc_id long, text string",
+    )
+    sets = pruned_token_sets(
+        docs, "doc_id", F.split(F.trim(F.col("text")), " "),
+        max_df_frac=0.2, max_df_abs=1000,
+    )
+    # relative cap with N=10, frac 0.2 → df <= 2: 'common' (df=10) and
+    # 'rare1' (df=3) are pruned; 'rare2' (df=2) survives
+    kept = {r.word for r in sets.select("word").distinct().collect()}
+    assert "common" not in kept and "rare1" not in kept and "rare2" in kept
+    pairs = {
+        (r.id_a, r.id_b): (r.inter_size, r.union_size)
+        for r in prefix_filter_pairs(sets, threshold_pct=50).collect()
+    }
+    # only docs 0/1 share their (pruned) singleton set {rare2} → J=1
+    assert pairs == {(0, 1): (1, 1)}
+
+    # absolute cap binds even when the relative cap would admit:
+    sets_abs = pruned_token_sets(
+        docs, "doc_id", F.split(F.trim(F.col("text")), " "),
+        max_df_frac=1.0, max_df_abs=2,
+    )
+    kept_abs = {r.word for r in sets_abs.select("word").distinct().collect()}
+    assert "common" not in kept_abs          # df=10 > 2
+    assert "rare1" not in kept_abs           # df=3 > 2
+    assert "rare2" in kept_abs               # df=2 <= 2
