@@ -129,6 +129,7 @@ HEADLINE_EXT = [
     "q_knn_label_audit",
     "q_hard_negatives",
     "q_interval_overlap",
+    "q_embedding_drift",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

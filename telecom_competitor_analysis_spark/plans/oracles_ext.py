@@ -3567,3 +3567,38 @@ EXT_ORACLES["q_interval_overlap"] = """
                AS overlap_len
     FROM a JOIN b ON sa <= eb AND sb <= ea
 """
+
+# q_embedding_drift (queries_ext.q_embedding_drift) — identical
+# numerics: exact micro-int per-dim sums, one IEEE division per dim,
+# round-half-away to micro ints, exact integer squared-shift sum.
+_DRIFT_SUMS = ", ".join(
+    f"CAST(SUM(CAST(round(v[{d + 1}] * 1000000, 0) AS BIGINT))"
+    f" AS BIGINT) AS s{d}"
+    for d in range(64)
+)
+_DRIFT_MEANS = ", ".join(
+    f"CAST(round(s{d} / n) AS BIGINT) AS m{d}" for d in range(64)
+)
+_DRIFT_MEANS_B = ", ".join(
+    f"CAST(round(s{d} / n) AS BIGINT) AS mb{d}" for d in range(64)
+)
+_DRIFT_SHIFT = " + ".join(
+    f"(m{d} - mb{d}) * (m{d} - mb{d})" for d in range(64)
+)
+
+EXT_ORACLES["q_embedding_drift"] = f"""
+    WITH e AS (
+        SELECT vec_id % 2 AS side, label,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    agg AS (
+        SELECT side, label, CAST(COUNT(*) AS BIGINT) AS n, {_DRIFT_SUMS}
+        FROM e GROUP BY 1, 2
+    ),
+    a AS (SELECT label, n AS n_a, {_DRIFT_MEANS} FROM agg WHERE side = 0),
+    b AS (SELECT label, n AS n_b, {_DRIFT_MEANS_B} FROM agg WHERE side = 1)
+    SELECT a.label, a.n_a, b.n_b,
+           CAST({_DRIFT_SHIFT} AS BIGINT) AS centroid_shift_sq
+    FROM a JOIN b USING (label)
+"""

@@ -3670,6 +3670,57 @@ def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_join(a, b, bin_width=7)
 
 
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor — the check run between
+    two corpus snapshots (doc_id parity = old/new crawl) before
+    trusting a retriever or classifier trained on the old one: per
+    label, the squared L2 shift between the two snapshots' class
+    centroids. Numerics follow the proven k-means parity convention:
+    per-dim micro-int sums (exact BIGINT), ONE IEEE division per dim
+    (s/n — bit-identical across engines), rounded back to micro ints,
+    then an exact integer squared-difference sum. Plan: one
+    partial-aggregated groupBy (label, side) — 20 rows out regardless
+    of corpus size — then a 10-row self-join; the 64-term shift
+    expression evaluates on aggregated rows only (the parsed-big-expr
+    cost lesson applies to per-row eval, not to 10 rows)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sums = [
+        F.expr(
+            f"sum(cast(round(cast(embedding[{d}] as double) * 1000000, 0)"
+            f" as bigint)) as s{d}"
+        )
+        for d in range(EMBEDDING_DIM)
+    ]
+    agg = emb.groupBy(
+        (F.col("vec_id") % 2).alias("side"), "label"
+    ).agg(*sums, F.count("*").alias("n"))
+    means = [
+        F.expr(f"cast(round(s{d} / n) as bigint) as m{d}")
+        for d in range(EMBEDDING_DIM)
+    ]
+    a = agg.where(F.col("side") == 0).select(
+        "label", F.col("n").alias("n_a"), *means
+    )
+    b = agg.where(F.col("side") == 1).select(
+        "label", F.col("n").alias("n_b"), *[
+            F.expr(f"cast(round(s{d} / n) as bigint) as mb{d}")
+            for d in range(EMBEDDING_DIM)
+        ]
+    )
+    shift = " + ".join(
+        f"(m{d} - mb{d}) * (m{d} - mb{d})" for d in range(EMBEDDING_DIM)
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.expr(shift).cast("long").alias("centroid_shift_sq"),
+        )
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
     ZORDER move: co-locate rows that are close in TWO dimensions
@@ -3822,6 +3873,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_knn_label_audit": q_knn_label_audit,
     "q_hard_negatives": q_hard_negatives,
     "q_interval_overlap": q_interval_overlap,
+    "q_embedding_drift": q_embedding_drift,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

@@ -599,3 +599,14 @@ def test_interval_overlap_equi_join_no_dedup_shuffle(spark, sf_dir):
     # no dedup stage after the join: the only aggregates would come
     # from a distinct(); there are none in this plan
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
+
+
+def test_embedding_drift_partial_agg_tiny_join(spark, sf_dir):
+    """Drift monitor: the corpus collapses in ONE partial-aggregated
+    groupBy (label, side) — 20 rows out at any scale; the self-join
+    runs on aggregated rows (broadcast), and no window/range-sort
+    appears anywhere."""
+    plan = _plan(QUERIES["q_embedding_drift"](spark, sf_dir))
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "rangepartitioning" not in plan
+    assert "Window" not in plan
