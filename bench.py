@@ -130,6 +130,7 @@ HEADLINE_EXT = [
     "q_hard_negatives",
     "q_interval_overlap",
     "q_embedding_drift",
+    "q_bloom_prefilter_join",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

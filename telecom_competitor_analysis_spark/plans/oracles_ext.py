@@ -3602,3 +3602,16 @@ EXT_ORACLES["q_embedding_drift"] = f"""
            CAST({_DRIFT_SHIFT} AS BIGINT) AS centroid_shift_sq
     FROM a JOIN b USING (label)
 """
+
+# q_bloom_prefilter_join (queries_ext.q_bloom_prefilter_join) — the
+# Bloom stage is answer-transparent, so the oracle is the PLAIN
+# join+aggregate; green proves zero false negatives.
+EXT_ORACLES["q_bloom_prefilter_join"] = """
+    SELECT s.s_suppkey, s.s_name,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey = 3
+    GROUP BY 1, 2
+"""

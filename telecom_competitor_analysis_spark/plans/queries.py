@@ -1208,6 +1208,7 @@ VERIFY_PRIORITY = [
     "q_hard_negatives",
     "q_interval_overlap",
     "q_embedding_drift",
+    "q_bloom_prefilter_join",
     # The 45 r5 greens (byte-identical code) — oldest after the r7
     # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",

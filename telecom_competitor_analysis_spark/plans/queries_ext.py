@@ -3721,6 +3721,62 @@ def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via a hand-rolled Bloom filter — the
+    runtime-filter pattern (Spark's own InjectRuntimeFilter /
+    BloomFilterAggregate does this automatically when statistics
+    justify it; rolled explicitly here so the mechanics are pinned and
+    portable): the selective build side (nation-3 suppliers, ~4% of
+    suppliers) publishes a 2-hash md5 Bloom set (its set bits as a
+    sorted position array — deterministic, engine-portable), the
+    fact-scale probe side (lineitem) drops non-members BEFORE the
+    join boundary, and only survivors reach the exact join. At 100 TB
+    with a non-broadcastable build side this is the difference
+    between shuffling the whole fact table and shuffling ~the
+    matching fraction (+ false positives ≤ (2·|keys|/m)² per probe).
+    The Bloom stage is ANSWER-TRANSPARENT (no false negatives by
+    construction), so the oracle is the plain join+aggregate — green
+    proves transparency. Output: per-supplier revenue cents."""
+    m = 8192
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(F.col("s_nationkey") == 3)
+
+    def h(col, off: int):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1 + off, 8), 16, 10
+        ).cast("long") % m
+
+    bits = F.broadcast(
+        supp.select(
+            F.explode(
+                F.array(h(F.col("s_suppkey"), 0), h(F.col("s_suppkey"), 8))
+            ).alias("p")
+        )
+        .agg(F.array_sort(F.collect_set("p")).alias("bloom"))
+    )
+    survivors = (
+        li.select("l_suppkey", "l_extendedprice")
+        .join(bits)
+        .where(
+            F.array_contains(F.col("bloom"), h(F.col("l_suppkey"), 0))
+            & F.array_contains(F.col("bloom"), h(F.col("l_suppkey"), 8))
+        )
+        .drop("bloom")
+    )
+    return (
+        survivors.join(
+            supp.select(F.col("s_suppkey").alias("l_suppkey"), "s_name"),
+            "l_suppkey",
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"), "s_name")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("revenue_cents")
+        )
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
     ZORDER move: co-locate rows that are close in TWO dimensions
@@ -3874,6 +3930,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hard_negatives": q_hard_negatives,
     "q_interval_overlap": q_interval_overlap,
     "q_embedding_drift": q_embedding_drift,
+    "q_bloom_prefilter_join": q_bloom_prefilter_join,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,

@@ -610,3 +610,23 @@ def test_embedding_drift_partial_agg_tiny_join(spark, sf_dir):
     assert "partial_sum" in plan or "partial_count" in plan
     assert "rangepartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_bloom_prefilter_drops_rows_before_exact_join(spark, sf_dir):
+    """The Bloom membership filter must sit BELOW the exact join (probe
+    rows drop before any join boundary), and the filter itself must be
+    a broadcast of the 1-row bit-set — no shuffle is introduced by the
+    reduction stage."""
+    df = QUERIES["q_bloom_prefilter_join"](spark, sf_dir)
+    plan = _plan(df)
+    assert "array_contains" in plan
+    assert plan.index("array_contains") > plan.index("HashAggregate"), (
+        "executedPlan prints top-down: the membership filter must appear "
+        "BELOW (after, in print order) the final aggregate"
+    )
+    assert "rangepartitioning" not in plan
+    # and the reduction is genuinely selective on this data: fewer rows
+    # survive the bloom than the probe table holds
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+
+    assert df.count() < load_table(spark, sf_dir, "lineitem").count()
