@@ -131,6 +131,7 @@ HEADLINE_EXT = [
     "q_interval_overlap",
     "q_embedding_drift",
     "q_bloom_prefilter_join",
+    "q_pq_recall",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

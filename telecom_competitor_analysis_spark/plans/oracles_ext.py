@@ -3386,8 +3386,11 @@ EXT_ORACLES["q_zorder_layout"] = f"""
 # vectors), per-subspace nearest-code assignment (ties -> lowest code),
 # ADC table, and top-10 per query by (approx_dist, vec_id). All
 # integer arithmetic — bit-identical across engines.
-EXT_ORACLES["q_pq_ann"] = """
-    WITH e AS (
+# Shared PQ CTE chain (micro-int elements -> subvectors -> codebook ->
+# codes -> per-query ADC tables -> approx/exact distances -> ranked):
+# composed by BOTH q_pq_ann and q_pq_recall.
+_PQ_CTES = """
+    e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     elem AS (
@@ -3447,9 +3450,35 @@ EXT_ORACLES["q_pq_ann"] = """
         JOIN exact x ON a.qid = x.qid AND a.vec_id = x.vec_id
         WHERE a.vec_id != a.qid
     )
+"""
+
+EXT_ORACLES["q_pq_ann"] = f"""
+    WITH {_PQ_CTES}
     SELECT qid AS query_id, vec_id, CAST(rn AS INT) AS rank,
            approx_dist, exact_dist
     FROM ranked WHERE rn <= 10
+"""
+
+# q_pq_recall (queries_ext.q_pq_recall) — recall@10 of the PQ/ADC
+# top-10 against the EXACT integer-L2 top-10 (self excluded, ties by
+# vec_id) — the ANN-observability twin of q_ann_recall for the PQ path.
+EXT_ORACLES["q_pq_recall"] = f"""
+    WITH {_PQ_CTES},
+    pq10 AS (SELECT qid, vec_id FROM ranked WHERE rn <= 10),
+    ex10 AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY exact_dist, vec_id) AS ern
+            FROM exact WHERE vec_id != qid
+        ) WHERE ern <= 10
+    )
+    SELECT pq10.qid AS query_id,
+           CAST(COUNT(ex10.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(ex10.vec_id) * 100000 AS BIGINT) AS recall_micro
+    FROM pq10 LEFT JOIN ex10
+      ON pq10.qid = ex10.qid AND pq10.vec_id = ex10.vec_id
+    GROUP BY 1
 """
 
 # q_knn_label_audit (queries_ext.q_knn_label_audit) — exact integer

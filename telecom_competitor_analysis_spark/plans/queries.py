@@ -1209,6 +1209,7 @@ VERIFY_PRIORITY = [
     "q_interval_overlap",
     "q_embedding_drift",
     "q_bloom_prefilter_join",
+    "q_pq_recall",
     # The 45 r5 greens (byte-identical code) — oldest after the r7
     # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",

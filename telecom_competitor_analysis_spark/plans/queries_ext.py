@@ -3777,6 +3777,59 @@ def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN observability for the PQ path — recall@10 of q_pq_ann's
+    ADC top-10 against the EXACT integer-L2 top-10 (the q_ann_recall
+    twin for product quantization): the number every PQ deployment
+    monitors when choosing m×k. Both legs end in per-query partial
+    top-k; the recall join then touches ≤ 2·k·|queries| rows at any
+    corpus size. recall_micro = hits · 100000 (k=10) — all integers."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        l2sq_micro,
+        micro_vec,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    pq10 = pq_adc_topk(emb, queries, k=10).select("query_id", "vec_id")
+
+    corpus = ensure_parallelism(
+        emb.select("vec_id", micro_vec(F.col("embedding")).alias("mv"))
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            micro_vec(F.col("embedding")).alias("qmv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_dist", "vec_id")
+    ex10 = (
+        corpus.join(qv, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            l2sq_micro(F.col("mv"), F.col("qmv")).alias("exact_dist"),
+        )
+        .withColumn("ern", F.row_number().over(w))
+        .where(F.col("ern") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return (
+        pq10.join(ex10.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("hits"))
+        .select(
+            "query_id",
+            F.col("hits").cast("long"),
+            (F.col("hits") * 100000).cast("long").alias("recall_micro"),
+        )
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton-curve) data layout — the lakehouse OPTIMIZE
     ZORDER move: co-locate rows that are close in TWO dimensions
@@ -3931,6 +3984,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_interval_overlap": q_interval_overlap,
     "q_embedding_drift": q_embedding_drift,
     "q_bloom_prefilter_join": q_bloom_prefilter_join,
+    "q_pq_recall": q_pq_recall,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
     "q_lang_id": q_lang_id,
