@@ -132,6 +132,9 @@ HEADLINE_EXT = [
     "q_embedding_drift",
     "q_bloom_prefilter_join",
     "q_pq_recall",
+    "q_heavy_hitters",
+    "q_profile_table",
+    "q_dup_rate_by_domain",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3644,3 +3644,75 @@ EXT_ORACLES["q_bloom_prefilter_join"] = """
     WHERE s.s_nationkey = 3
     GROUP BY 1, 2
 """
+
+# q_heavy_hitters (queries_ext.q_heavy_hitters) — the PLAIN exact
+# threshold count over all bigrams: the Spark side's Misra-Gries
+# candidate pass is answer-transparent (guaranteed superset + exact
+# verify), so a hash match proves the bounded-state summary lossless.
+# generate_series(1, 0) is empty in DuckDB, mirroring the size >= 2
+# guard; the threshold compare is exact integer arithmetic.
+EXT_ORACLES["q_heavy_hitters"] = """
+    WITH t AS (
+        SELECT string_split(trim(lower(text)), ' ') AS arr FROM documents
+    ),
+    g AS (
+        SELECT arr[i] || ' ' || arr[i + 1] AS token
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+    ),
+    c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY token
+    )
+    SELECT token, cnt FROM c
+    WHERE cnt * 800 > (SELECT COUNT(*) FROM g)
+"""
+
+# q_profile_table (queries_ext.q_profile_table) — per-column UNION ALL
+# over the SAME string canon the Spark side unpivots (bigints verbatim,
+# timestamps second-truncated ISO). min/max are over the string canon
+# in both engines by construction.
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"),
+)
+EXT_ORACLES["q_profile_table"] = " UNION ALL ".join(
+    f"""
+    SELECT '{name}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+           MIN(v) AS min_val,
+           MAX(v) AS max_val
+    FROM (SELECT {expr} AS v FROM orders)
+    """
+    for name, expr in _PROFILE_COLS
+)
+
+# q_dup_rate_by_domain (queries_ext.q_dup_rate_by_domain) — reuses the
+# shared LSH pair CTE chain (the cc CTE goes unreferenced and is never
+# evaluated); dup_ppm is floor division on non-negative operands in
+# both engines. DISTINCT-over-UNION-ALL, not bare UNION: inside a
+# WITH RECURSIVE chain DuckDB does NOT set-dedup a bare UNION in a
+# non-self-referencing CTE (measured — endpoints came back with
+# multiplicity and inflated the LEFT JOIN), so the dedup is explicit.
+EXT_ORACLES["q_dup_rate_by_domain"] = (
+    _NEARDUP_CC_CTES
+    + """
+    , dup AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT id_a AS doc_id FROM pairs
+            UNION ALL
+            SELECT id_b AS doc_id FROM pairs
+        )
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dup.doc_id) AS BIGINT) AS n_dup_docs,
+           CAST(COUNT(dup.doc_id) * 1000000 // COUNT(*) AS BIGINT)
+               AS dup_ppm
+    FROM documents d LEFT JOIN dup USING (doc_id)
+    GROUP BY d.source
+"""
+)

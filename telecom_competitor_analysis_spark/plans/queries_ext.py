@@ -3886,6 +3886,112 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (bigrams above 1/800 of all bigram
+    occurrences) via the Misra-Gries candidate + exact verify pattern
+    (operators/freq.py): bounded per-task summary state, candidate set
+    broadcast into the verify count — the full bigram vocabulary is
+    NEVER shuffled. The oracle is the plain threshold count, so a green
+    run proves the bounded-state candidate pass lossless on this corpus
+    (the same proof shape as q_setsim_join's prefix filter). k = 800
+    counters is BELOW the bigram vocabulary (~916 at sf0.01), so the MG
+    decrement path genuinely fires here — this is not a vocabulary that
+    fits the summary trivially. Threshold compare is exact integer
+    arithmetic (cnt·800 > N)."""
+    from telecom_competitor_analysis_spark.operators.freq import (
+        heavy_hitters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = words(F.trim(F.lower(F.col("text"))))
+    bigrams = (
+        docs.select(arr.alias("arr"))
+        .filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2), "
+                    "i -> concat(arr[i], ' ', arr[i + 1]))"
+                )
+            ).alias("token")
+        )
+    )
+    return heavy_hitters(bigrams, "token", inv_frac=800)
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-agnostic column profiler over orders — the stats-
+    collection step every warehouse/curation pipeline runs on ingest
+    (null counts, exact distinct cardinality, value range per column).
+    Shape: every profiled column is cast to ONE string canon (bigints
+    verbatim, timestamps second-truncated ISO — documented contract:
+    the profile ranges are over the string canon, so '100' < '2'), the
+    table is unpivoted to long (col_name, val) — a MAP-SIDE 5× row
+    multiply of two narrow columns, no exchange — and a single
+    groupBy(col_name) computes count / non-null / exact distinct /
+    min / max. Spark plans the lone count(DISTINCT) via the two-phase
+    rewrite: partial agg keyed (col_name, val), then (col_name) — both
+    exchanges are bounded by column-count × column-cardinality, never
+    by table width × rows, and there is no per-column Expand blowup
+    (profiling N columns with N separate countDistinct aggs multiplies
+    the scan N× through Expand; the long form pays the multiply once,
+    in the cheap map stage)."""
+    o = load_table(spark, sf_dir, "orders")
+    canon = o.select(
+        F.col("o_orderkey").cast("string").alias("o_orderkey"),
+        F.col("o_custkey").cast("string").alias("o_custkey"),
+        F.col("o_orderstatus").alias("o_orderstatus"),
+        F.col("o_orderpriority").alias("o_orderpriority"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+            "o_orderdate"
+        ),
+    )
+    long_form = canon.unpivot(
+        [], list(canon.columns), "col_name", "val"
+    )
+    return long_form.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("val").cast("long").alias("n_nonnull"),
+        F.count_distinct("val").cast("long").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def q_dup_rate_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplication rate per source domain — the curation
+    observability readout that tells you WHICH crawl sources are
+    flooding the corpus with near-dups (RefinedWeb-style source
+    triage). Consumes the shared MATERIALIZED near-dup pair graph
+    (_materialized_lsh_pairs — built once, fifth consumer), so the
+    per-source rollup costs one distinct over pair endpoints plus one
+    doc_id join: nothing is re-signed or re-banded here. dup_ppm is
+    exact integer millionths (floor division — both engines floor on
+    non-negative operands)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    dup_ids = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_ids, on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("__dup").cast("long").alias("n_dup_docs"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("CAST(n_dup_docs * 1000000 DIV n_docs AS BIGINT)"),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
@@ -4000,4 +4106,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_meta": q_multimodal_meta,
     "q_multimodal_decode": q_multimodal_decode,
     "q_frame_sample": q_frame_sample,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_profile_table": q_profile_table,
+    "q_dup_rate_by_domain": q_dup_rate_by_domain,
 }

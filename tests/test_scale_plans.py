@@ -630,3 +630,41 @@ def test_bloom_prefilter_drops_rows_before_exact_join(spark, sf_dir):
     from telecom_competitor_analysis_spark.sources.readers import load_table
 
     assert df.count() < load_table(spark, sf_dir, "lineitem").count()
+
+
+def test_heavy_hitters_no_vocabulary_shuffle(spark, sf_dir):
+    """The MG candidate pass is a map-only MapInPandas (no exchange of
+    the token stream); the verify count joins tokens to the broadcast
+    candidate set — never a sort-merge join, never a range sort. The
+    only wide exchanges are candidate-bounded."""
+    plan = _plan(QUERIES["q_heavy_hitters"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_profile_table_two_phase_distinct_no_per_column_scans(spark, sf_dir):
+    """The profiler must plan as ONE scan: unpivot (Spark's Expand — the
+    intended map-side row multiply) feeding a two-phase aggregate keyed
+    (col_name, val) then (col_name). Exactly two hash exchanges, both
+    bounded by column-count × column-cardinality; N separate per-column
+    countDistinct jobs would scan the table N times instead."""
+    df = QUERIES["q_profile_table"](spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "hashpartitioning(col_name" in plan
+    assert "count(distinct val" in plan
+    # one scan of orders, not one per profiled column
+    assert plan.count("Scan parquet") == 1
+
+
+def test_dup_rate_by_domain_reads_materialized_pairs(spark, sf_dir):
+    """Fifth consumer of the shared materialized pair graph: the plan
+    must read the pairs parquet artifact (no inline minhash/banding —
+    no md5/xxhash of text anywhere) and roll up with plain aggregates,
+    no window."""
+    plan = _plan(QUERIES["q_dup_rate_by_domain"](spark, sf_dir))
+    assert "tcas_materialized" in plan  # scans the artifact, not text
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan
