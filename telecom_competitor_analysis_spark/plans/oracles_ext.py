@@ -3716,3 +3716,47 @@ EXT_ORACLES["q_dup_rate_by_domain"] = (
     GROUP BY d.source
 """
 )
+
+# q_ann_filtered (queries_ext.q_ann_filtered) — q_ann_index_probe's
+# frozen-universe IVF chain (8 lowest-id anchors, nprobe=2) with the
+# metadata predicate applied to the CANDIDATE side before the top-k
+# (pre-filtering): rank only label=3 vectors inside the probed buckets.
+EXT_ORACLES["q_ann_filtered"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            e.label,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS (
+        SELECT vec_id, v, anchor_id AS bucket FROM assign
+        WHERE rn = 1 AND label = 3
+    ),
+    q AS (
+        SELECT vec_id, v, anchor_id AS bucket
+        FROM assign WHERE vec_id < 5 AND rn <= 2
+    )
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) AS INT) AS rank
+    FROM c
+    JOIN q ON c.bucket = q.bucket
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+"""

@@ -203,6 +203,28 @@ def _materialized_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{path}/pairs")
 
 
+def _materialized_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """The embeddings IVF index as a materialized artifact — ONE build
+    shared by every probe query (q_ann_index_probe, q_semantic_neighbors,
+    q_ann_filtered). 8 anchors, skew cap 50, and the ``label`` column
+    carried INLINE so filtered searches push their predicate into the
+    index scan instead of joining back to a metadata table."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _materialized(
+        spark,
+        sf_dir,
+        "ivf_idx_a8_cap50",
+        "embeddings",
+        lambda p: build_ivf_index(
+            emb, p, n_anchors=8, max_bucket_size=50, carry_cols=("label",)
+        ),
+    )
+
+
 # --- dedup ---------------------------------------------------------------
 
 
@@ -949,19 +971,12 @@ def q_semantic_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join touches k×|queries| rows."""
     from telecom_competitor_analysis_spark.operators.similarity import (
         ann_against_index,
-        build_ivf_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     queries = emb.filter(F.col("vec_id") < 5)
-    idx = _materialized(
-        spark,
-        sf_dir,
-        "ivf_idx_a8_cap50",
-        "embeddings",
-        lambda p: build_ivf_index(emb, p, n_anchors=8, max_bucket_size=50),
-    )
+    idx = _materialized_ivf_index(spark, sf_dir)
     topk = ann_against_index(queries, spark, idx, k=3, nprobe=2)
     meta = docs.select(
         F.col("doc_id").alias("neighbor_id"),
@@ -2830,19 +2845,45 @@ def q_ann_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded sub-partitions — answer-preserving, layout-only)."""
     from telecom_competitor_analysis_spark.operators.similarity import (
         ann_against_index,
-        build_ivf_index,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    idx = _materialized(
-        spark,
-        sf_dir,
-        "ivf_idx_a8_cap50",
-        "embeddings",
-        lambda p: build_ivf_index(emb, p, n_anchors=8, max_bucket_size=50),
-    )
+    idx = _materialized_ivf_index(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5)
     return ann_against_index(queries, spark, idx, k=10, nprobe=2)
+
+
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-k under a metadata predicate
+    (label = 3), the retrieval shape every production vector store
+    serves ("nearest docs WHERE lang='en' AND license='permissive'").
+    PRE-filtering, not post-filtering: the predicate applies to the
+    index scan BEFORE the top-k window, so each query gets k qualifying
+    neighbors whenever the probed buckets hold that many (post-filtering
+    an unfiltered top-k silently returns fewer than k). The label rides
+    INLINE in the materialized IVF index rows (build-time
+    ``carry_cols`` — the Milvus/Vespa scalar-field design), so the plan
+    is: dynamic partition pruning on the probed buckets AND a pushed
+    parquet filter on label, zero metadata join-back. At 100 TB the
+    alternative — joining the index scan to a metadata table before the
+    top-k — is a second corpus-sized shuffle; carrying the column
+    deletes it. Same frozen-universe oracle chain as q_ann_index_probe
+    with the filter on the candidate side."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized_ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ann_against_index(
+        queries,
+        spark,
+        idx,
+        k=10,
+        nprobe=2,
+        pre_filter=F.col("label") == 3,
+    )
 
 
 def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4109,4 +4150,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_heavy_hitters": q_heavy_hitters,
     "q_profile_table": q_profile_table,
     "q_dup_rate_by_domain": q_dup_rate_by_domain,
+    "q_ann_filtered": q_ann_filtered,
 }

@@ -379,3 +379,55 @@ def test_ivf_index_bucket_cap_splits_hot_bucket(spark, tmp_path):
         queries, spark, capped, k=10, nprobe=2
     )._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ann_filtered_prefilter_semantics_and_pushdown(spark, emb, tmp_path):
+    """Filtered search against the IVF index with the label carried
+    inline: (a) nprobe = n_anchors (exhaustive probing) must EQUAL exact
+    brute force over the label-filtered corpus — the pre-filter changes
+    WHO is ranked, not the ranking; (b) pre-filtering beats
+    post-filtering on this data: filtering the UNfiltered top-10 after
+    the fact yields fewer than k survivors for every query; (c) the
+    plan pushes the label predicate into the index parquet scan AND
+    keeps the dynamic bucket pruning."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_carry")
+    build_ivf_index(
+        emb, idx, n_anchors=8, max_bucket_size=50, carry_cols=("label",)
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    pred = F.col("label") == 3
+
+    full = ann_against_index(
+        queries, spark, idx, k=10, nprobe=8, pre_filter=pred
+    )
+    exact = cosine_topk(emb.filter(pred), queries, k=10)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+    # post-filtering an unfiltered top-10 starves: every query keeps
+    # fewer than k neighbors (labels are ~1/10th of the corpus each)
+    unfiltered = ann_against_index(queries, spark, idx, k=10, nprobe=8)
+    lab = emb.select(
+        F.col("vec_id").alias("neighbor_id"), "label"
+    )
+    post = (
+        unfiltered.join(lab, on="neighbor_id")
+        .filter(pred)
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert all(r["count"] < 10 for r in post)
+
+    probe = ann_against_index(
+        queries, spark, idx, k=10, nprobe=2, pre_filter=pred
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert "PushedFilters: [" in plan and "EqualTo(label,3)" in plan
