@@ -765,6 +765,77 @@ def l2sq_micro(a: Column, b: Column) -> Column:
     )
 
 
+def maxsim_topk(
+    chunks: DataFrame,
+    query_docs: DataFrame,
+    k: int = 3,
+    doc_col: str = "doc",
+    chunk_col: str = "chunk_id",
+    vec_col: str = "mv",
+) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia
+    SIGIR'20) multi-vector retrieval: a document is a SET of chunk
+    vectors, and a query document scores a candidate as
+    Σ_{query chunk} best-match(candidate chunks). Here similarity is
+    exact integer squared-L2 over micro-int components (best-match =
+    MIN distance), so every aggregation is exact integer arithmetic —
+    bit-identical to the DuckDB oracle with no float-association risk
+    (the repo's kmeans/PQ convention; on normalized embeddings L2 order
+    ≡ cosine order).
+
+    Plan shape: the query side (|query docs| × chunks — a handful of
+    rows) broadcasts against the corpus chunk scan; the pairwise
+    distance row is projected NARROW (ids + one long) immediately
+    (the measured k-means lesson — never carry vectors through an
+    aggregate), then two map-side-combinable aggregates fold
+    chunk-pairs → per-query-chunk best → per-doc score, and a per-query
+    top-k window ranks ≤ |corpus docs| rows per query. At 100 TB the
+    brute-force chunk-pair stage swaps for ``ann_against_index`` chunk
+    candidates feeding the SAME two aggregates — the MaxSim fold is
+    candidate-source-agnostic. Expects micro-int vectors
+    (``micro_vec``). Returns (query_doc, doc, score, rank)."""
+    q = F.broadcast(
+        query_docs.select(
+            F.col(doc_col).alias("qdoc"),
+            F.col(chunk_col).alias("qc"),
+            F.col(vec_col).alias("qv"),
+        )
+    )
+    c = chunks.select(
+        F.col(doc_col).alias("cdoc"),
+        F.col(chunk_col).alias("cc"),
+        F.col(vec_col).alias("cv"),
+    )
+    # narrow immediately: ids + one exact integer distance per pair
+    pair_d = c.crossJoin(q).select(
+        "qdoc",
+        "qc",
+        "cdoc",
+        l2sq_micro(F.col("qv"), F.col("cv")).alias("d"),
+    )
+    best = (
+        pair_d.filter(F.col("cdoc") != F.col("qdoc"))
+        .groupBy("qdoc", "qc", "cdoc")
+        .agg(F.min("d").alias("md"))
+    )
+    score = best.groupBy("qdoc", "cdoc").agg(
+        F.sum("md").cast("long").alias("score")
+    )
+    w = Window.partitionBy("qdoc").orderBy(
+        F.col("score").asc(), F.col("cdoc").asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("cdoc").alias("doc"),
+            "score",
+            "rank",
+        )
+    )
+
+
 def pq_subvectors(
     df: DataFrame, id_col: str, vec_col: str, m: int = PQ_SUBSPACES,
     dsub: int = PQ_SUBDIM,

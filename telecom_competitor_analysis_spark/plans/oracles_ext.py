@@ -3760,3 +3760,44 @@ EXT_ORACLES["q_ann_filtered"] = """
     WHERE c.vec_id != q.vec_id
     QUALIFY rank <= 10
 """
+
+# q_maxsim_retrieval (queries_ext.q_maxsim_retrieval) — ColBERT MaxSim
+# over micro-int chunks: per (query chunk, candidate doc) MIN integer
+# L2², summed per candidate doc. Exact integer arithmetic end to end
+# (the PQ/kmeans convention), so the score column hash-matches.
+EXT_ORACLES["q_maxsim_retrieval"] = """
+    WITH e AS (
+        SELECT vec_id, vec_id // 4 AS doc,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    elem AS (
+        SELECT vec_id, doc, i,
+               CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM e, unnest(generate_series(1, 64)) t(i)
+    ),
+    qe AS (
+        SELECT vec_id AS qc, doc AS qdoc, i, x FROM elem WHERE vec_id < 8
+    ),
+    dist AS (
+        SELECT qe.qdoc, qe.qc, elem.doc AS cdoc,
+               elem.vec_id AS cc,
+               CAST(SUM((qe.x - elem.x) * (qe.x - elem.x)) AS BIGINT) AS d
+        FROM qe JOIN elem ON qe.i = elem.i
+        WHERE elem.doc != qe.qdoc
+        GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+        SELECT qdoc, qc, cdoc, MIN(d) AS md FROM dist GROUP BY 1, 2, 3
+    ),
+    score AS (
+        SELECT qdoc, cdoc, CAST(SUM(md) AS BIGINT) AS score
+        FROM best GROUP BY 1, 2
+    )
+    SELECT qdoc AS query_doc, cdoc AS doc, score,
+           CAST(row_number() OVER (
+               PARTITION BY qdoc ORDER BY score ASC, cdoc ASC
+           ) AS INT) AS rank
+    FROM score
+    QUALIFY rank <= 3
+"""

@@ -3927,6 +3927,35 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT MaxSim): groups
+    of 4 consecutive embedding rows form one logical document's chunk
+    set (vec_id div 4 — the chunked-document layout a real pipeline
+    materializes); query docs 0 and 1 rank the corpus by
+    Σ_{query chunk} min_{candidate chunk} L2²(micro-int) — exact
+    integer end to end (operators/similarity.py::maxsim_topk). Output
+    is 2 query docs × top-3, constant at any corpus size; the scored
+    candidate stream is ≤ |docs| rows per query after the two
+    map-side-combinable folds."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        maxsim_topk,
+        micro_vec,
+    )
+
+    # the 64-dim pairwise-distance stage is compute-heavy; guard the
+    # under-split local scan (no-op on a well-split cluster scan)
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    chunks = emb.select(
+        F.expr("vec_id div 4").cast("long").alias("doc"),
+        F.col("vec_id").alias("chunk_id"),
+        micro_vec(F.col("embedding")).alias("mv"),
+    )
+    return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (bigrams above 1/800 of all bigram
     occurrences) via the Misra-Gries candidate + exact verify pattern
@@ -3939,11 +3968,19 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     decrement path genuinely fires here — this is not a vocabulary that
     fits the summary trivially. Threshold compare is exact integer
     arithmetic (cnt·800 > N)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
     from telecom_competitor_analysis_spark.operators.freq import (
         heavy_hitters,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # under-split guard on the DOC scan (before the explode): the MG
+    # summary is the one Python-bound stage here, and a single parquet
+    # split serializes it onto one core (measured 4.7× at the ×10 probe
+    # on a 2-split scan); repartitioning docs is doc-granular — the
+    # token stream itself is never shuffled
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     arr = words(F.trim(F.lower(F.col("text"))))
     bigrams = (
         docs.select(arr.alias("arr"))
@@ -4151,4 +4188,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_profile_table": q_profile_table,
     "q_dup_rate_by_domain": q_dup_rate_by_domain,
     "q_ann_filtered": q_ann_filtered,
+    "q_maxsim_retrieval": q_maxsim_retrieval,
 }

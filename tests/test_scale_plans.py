@@ -668,3 +668,24 @@ def test_dup_rate_by_domain_reads_materialized_pairs(spark, sf_dir):
     assert "tcas_materialized" in plan  # scans the artifact, not text
     assert "Window" not in plan
     assert "rangepartitioning" not in plan
+
+
+def test_maxsim_folds_map_side_and_stays_narrow(spark, sf_dir):
+    """MaxSim: the query side broadcasts (BroadcastNestedLoopJoin — the
+    deliberate |q|×corpus brute-force baseline), both folds (per-chunk
+    MIN, per-doc SUM) partial-aggregate map-side, and the pairwise rows
+    are NARROW — no 64-element vector column survives past the distance
+    projection into an aggregate."""
+    plan = _plan(QUERIES["q_maxsim_retrieval"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_min" in plan
+    assert "partial_sum" in plan
+    assert "rangepartitioning" not in plan
+    assert "WindowGroupLimit" in plan  # top-3 prunes before the exchange
+    # every aggregate row is ids + one long — the vector columns never
+    # enter an aggregate's keys or output (check the agg lines only:
+    # the plan prints children below, so the distance projection with
+    # qv/cv legitimately appears further down)
+    for line in plan.splitlines():
+        if "HashAggregate" in line:
+            assert "qv" not in line and "cv#" not in line
