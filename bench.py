@@ -137,6 +137,7 @@ HEADLINE_EXT = [
     "q_dup_rate_by_domain",
     "q_ann_filtered",
     "q_maxsim_retrieval",
+    "q_skyline",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

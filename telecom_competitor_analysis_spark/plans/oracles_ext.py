@@ -3801,3 +3801,31 @@ EXT_ORACLES["q_maxsim_retrieval"] = """
     FROM score
     QUALIFY rank <= 3
 """
+
+# q_skyline (queries_ext.q_skyline) — the naive NOT EXISTS dominance
+# form over distinct (x, y) representatives: the Spark side's bucketed
+# local-skyline + suffix-max decomposition must reproduce it exactly.
+EXT_ORACLES["q_skyline"] = """
+    WITH d AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS n_words,
+               CAST(len(list_distinct(string_split(trim(text), ' ')))
+                    * 1000000
+                    // len(string_split(trim(text), ' ')) AS BIGINT)
+                   AS distinct_ppm
+        FROM documents
+    ),
+    p AS (
+        SELECT n_words, distinct_ppm, MIN(doc_id) AS doc_id
+        FROM d GROUP BY n_words, distinct_ppm
+    )
+    SELECT doc_id, n_words, distinct_ppm
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.n_words >= a.n_words
+          AND b.distinct_ppm >= a.distinct_ppm
+          AND (b.n_words != a.n_words OR b.distinct_ppm != a.distinct_ppm)
+    )
+"""

@@ -3956,6 +3956,33 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-optimal document selection under (word count, lexical
+    diversity) — the multi-objective curation frontier
+    (operators/skyline.py::skyline_2d). Both dimensions exact integers
+    (diversity as distinct-word ppm, floor division), duplicates
+    collapse to the min doc_id representative. The oracle is the naive
+    NOT EXISTS dominance anti-join, so green proves the bucketed
+    local-skyline + suffix-max decomposition lossless — the same
+    candidate+verify proof shape as q_setsim_join / q_heavy_hitters,
+    here with zero Python and no O(n²) stage."""
+    from telecom_competitor_analysis_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    arr = words(F.trim(F.col("text")))
+    d = docs.select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_words"),
+        F.expr(
+            "CAST(size(array_distinct(split(trim(text), ' '))) * 1000000 "
+            "DIV size(split(trim(text), ' ')) AS BIGINT)"
+        ).alias("distinct_ppm"),
+    )
+    return skyline_2d(d, "n_words", "distinct_ppm", "doc_id")
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (bigrams above 1/800 of all bigram
     occurrences) via the Misra-Gries candidate + exact verify pattern
@@ -4189,4 +4216,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dup_rate_by_domain": q_dup_rate_by_domain,
     "q_ann_filtered": q_ann_filtered,
     "q_maxsim_retrieval": q_maxsim_retrieval,
+    "q_skyline": q_skyline,
 }

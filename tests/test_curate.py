@@ -228,3 +228,44 @@ def test_leakage_safe_split_no_pair_straddles(spark, sf_dir):
     for p in pairs:
         assert split[p.id_a] == split[p.id_b], (p.id_a, p.id_b)
     assert {"train", "test"} == set(split.values())
+
+
+def test_skyline_2d_matches_bruteforce_with_planted_ties(spark):
+    """skyline_2d vs brute-force dominance on a planted layout that
+    exercises every edge: duplicate points (collapse to min id), x-ties
+    inside a bucket, equal-y dominance across buckets, and a small
+    n_buckets so cross-bucket pruning genuinely fires."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    pts = [
+        # (id, x, y)
+        (1, 100, 10),   # frontier (max x)
+        (2, 100, 9),    # x-tie, lower y -> dominated by 1
+        (3, 90, 10),    # y ties frontier point with higher x -> dominated
+        (4, 90, 20),    # frontier
+        (5, 90, 20),    # duplicate of 4 -> collapses, rep id 4
+        (6, 10, 30),    # frontier (max y)
+        (7, 9, 30),     # equal y, lower x -> dominated by 6
+        (8, 50, 15),    # interior -> dominated by 4
+        (9, 10, 29),    # dominated by 6
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(pts, columns=["id", "x", "y"])
+    )
+    got = sorted(
+        map(tuple, skyline_2d(df, "x", "y", "id", n_buckets=4).collect())
+    )
+    assert got == [(1, 100, 10), (4, 90, 20), (6, 10, 30)]
+
+    # degenerate: all points share one x (single bucket, minx == maxx)
+    one = spark.createDataFrame(
+        pd.DataFrame([(1, 5, 1), (2, 5, 9), (3, 5, 9)],
+                     columns=["id", "x", "y"])
+    )
+    assert sorted(
+        map(tuple, skyline_2d(one, "x", "y", "id").collect())
+    ) == [(2, 5, 9)]

@@ -689,3 +689,21 @@ def test_maxsim_folds_map_side_and_stays_narrow(spark, sf_dir):
     for line in plan.splitlines():
         if "HashAggregate" in line:
             assert "qv" not in line and "cv#" not in line
+
+
+def test_skyline_no_quadratic_join_no_global_data_sort(spark, sf_dir):
+    """The skyline must NOT plan the naive dominance anti-join: no
+    cartesian, no sort-merge join — broadcasts only (global bounds,
+    bucket suffix-max). The only data-sized exchanges are the
+    distinct-point aggregate and the bucket hash partition; the lone
+    unpartitioned window runs over bucket METADATA (<= n_buckets
+    rows)."""
+    plan = _plan(QUERIES["q_skyline"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastHashJoin" in plan  # suffix-max join-back
+    # the distinct-point set is localCheckpointed: every consumer reads
+    # the checkpointed RDD, so the raw documents scan never appears in
+    # (nor re-runs for) the final frontier plan
+    assert "Scan parquet" not in plan
