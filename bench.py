@@ -138,6 +138,7 @@ HEADLINE_EXT = [
     "q_ann_filtered",
     "q_maxsim_retrieval",
     "q_skyline",
+    "q_kcenter_select",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -765,6 +765,70 @@ def l2sq_micro(a: Column, b: Column) -> Column:
     )
 
 
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "mv",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) selection — the coreset /
+    diversity-sampling seed (Gonzalez 1985; the 2-approximation for the
+    k-center objective): start from the lowest-id vector, then k-1
+    times pick the point farthest (max-min integer L2² over micro-int
+    components — exact, the kmeans/PQ convention) from everything
+    selected so far. The anti-pole of dedup: dedup drops what is too
+    close; k-center KEEPS what is maximally spread — the "seed a
+    diverse eval set / label these first" selection.
+
+    Fully declarative, NO driver-side collect between rounds (the
+    selected set stays a DataFrame): each unrolled round broadcasts the
+    ≤ r selected rows against the corpus scan, folds min-distance
+    map-side per vector, and takes the argmax as a 1-row sort-limit
+    (TakeOrderedAndProject — distributed partial top-1, never a global
+    sort). k scans of the corpus total — the declarative trade the
+    unrolled kmeans documents, and what keeps every round
+    oracle-mirrorable as one CTE. Ties break on lowest id everywhere.
+    Expects micro-int vectors (``micro_vec``). Returns
+    (sel_round, ``id_col``) — the selection order IS the diversity
+    ranking, so a prefix of the result is itself a valid smaller
+    selection."""
+    first = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(1)
+        .select(F.lit(0).alias("sel_round"), F.col(id_col), F.col(vec_col))
+    )
+    selected = first
+    for r in range(1, k):
+        # fold NARROW (id + one long — the measured k-means lesson:
+        # never carry the vector through an aggregate); the argmax is a
+        # 1-row distributed sort-limit, whose vector re-enters via a
+        # 1-row equi-join on the id
+        dmin = (
+            corpus.crossJoin(
+                F.broadcast(
+                    selected.select(
+                        F.col(id_col).alias("__sid"),
+                        F.col(vec_col).alias("__sv"),
+                    )
+                )
+            )
+            .select(
+                id_col,
+                l2sq_micro(F.col(vec_col), F.col("__sv")).alias("__d"),
+            )
+            .groupBy(id_col)
+            .agg(F.min("__d").alias("__dmin"))
+        )
+        nxt_id = dmin.orderBy(
+            F.col("__dmin").desc(), F.col(id_col).asc()
+        ).limit(1)
+        nxt = nxt_id.join(corpus, on=id_col).select(
+            F.lit(r).alias("sel_round"), F.col(id_col), F.col(vec_col)
+        )
+        selected = selected.unionByName(nxt)
+    return selected.select("sel_round", id_col)
+
+
 def maxsim_topk(
     chunks: DataFrame,
     query_docs: DataFrame,

@@ -3829,3 +3829,42 @@ EXT_ORACLES["q_skyline"] = """
           AND (b.n_words != a.n_words OR b.distinct_ppm != a.distinct_ppm)
     )
 """
+
+
+def _kcenter_cte_sql(k: int = 4) -> str:
+    """Unrolled greedy k-center rounds (q_kcenter_select's oracle):
+    round r picks the vector with the maximum min-L2²(micro-int) to the
+    union of rounds 0..r-1 (lowest-id tie-break); round 0 is the lowest
+    id. One CTE pair (dist, selection) per round — the q_kmeans_assign
+    unrolling convention."""
+    ctes = [
+        """e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    elem AS (
+        SELECT vec_id, i, CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM e, unnest(generate_series(1, 64)) t(i)
+    ),
+    s0 AS (SELECT vec_id FROM e ORDER BY vec_id ASC LIMIT 1)"""
+    ]
+    for r in range(1, k):
+        sel_union = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(r)
+        )
+        ctes.append(f"""d{r}p AS (
+        SELECT a.vec_id, b.vec_id AS sid,
+               CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
+        FROM elem a
+        JOIN elem b ON a.i = b.i
+        WHERE b.vec_id IN ({sel_union})
+        GROUP BY 1, 2
+    ),
+    d{r} AS (SELECT vec_id, MIN(d) AS d FROM d{r}p GROUP BY vec_id),
+    s{r} AS (SELECT vec_id FROM d{r} ORDER BY d DESC, vec_id ASC LIMIT 1)""")
+    body = " UNION ALL ".join(
+        f"SELECT {r} AS sel_round, vec_id FROM s{r}" for r in range(k)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + body
+
+
+EXT_ORACLES["q_kcenter_select"] = _kcenter_cte_sql(4)

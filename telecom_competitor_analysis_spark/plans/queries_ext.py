@@ -3956,6 +3956,30 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity selection over the embedding corpus
+    (operators/similarity.py::kcenter_select, k=4): the coreset /
+    "label these first" seed — iteratively keep the vector farthest
+    (max-min exact integer L2²) from everything kept so far. The
+    anti-pole of the dedup family on the same table. No driver collect
+    between rounds; each unrolled round is one broadcast + one narrow
+    map-side min-fold + a distributed 1-row sort-limit. Oracle =
+    unrolled CTE rounds (the q_kmeans_assign convention)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kcenter_select,
+        micro_vec,
+    )
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select(
+        "vec_id", micro_vec(F.col("embedding")).alias("mv")
+    )
+    return kcenter_select(corpus, k=4)
+
+
 def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto-optimal document selection under (word count, lexical
     diversity) — the multi-objective curation frontier
@@ -4217,4 +4241,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_filtered": q_ann_filtered,
     "q_maxsim_retrieval": q_maxsim_retrieval,
     "q_skyline": q_skyline,
+    "q_kcenter_select": q_kcenter_select,
 }

@@ -707,3 +707,17 @@ def test_skyline_no_quadratic_join_no_global_data_sort(spark, sf_dir):
     # the checkpointed RDD, so the raw documents scan never appears in
     # (nor re-runs for) the final frontier plan
     assert "Scan parquet" not in plan
+
+
+def test_kcenter_narrow_folds_distributed_argmax(spark, sf_dir):
+    """Every k-center round folds min-distance over NARROW rows (no
+    vector column in any aggregate) and takes its argmax as a
+    distributed 1-row sort-limit (TakeOrderedAndProject) — never a
+    global sort; the selected set enters each round as a broadcast."""
+    plan = _plan(QUERIES["q_kcenter_select"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # selected-set broadcast
+    for line in plan.splitlines():
+        if "HashAggregate" in line:
+            assert "mv" not in line

@@ -431,3 +431,50 @@ def test_ann_filtered_prefilter_semantics_and_pushdown(spark, emb, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert "PushedFilters: [" in plan and "EqualTo(label,3)" in plan
+
+
+def test_kcenter_covers_planted_clusters_and_matches_bruteforce(spark):
+    """kcenter_select on 4 planted well-separated clusters must pick
+    exactly one point per cluster (the farthest-point guarantee), and
+    the full selection sequence must equal a brute-force greedy
+    reference."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    # clusters at the corners of a square, side >> intra-cluster spread
+    centers = [(0, 0), (1000, 0), (0, 1000), (1000, 1000)]
+    rows = []
+    vid = 0
+    for cx, cy in centers:
+        for dx, dy in ((0, 0), (1, 2), (3, 1)):
+            rows.append((vid, [cx + dx, cy + dy] + [0] * 62))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "mv"])
+    df = spark.createDataFrame(pdf).select(
+        "vec_id", F.col("mv").cast("array<long>").alias("mv")
+    )
+    got = {
+        r.sel_round: r.vec_id
+        for r in kcenter_select(df, k=4).collect()
+    }
+
+    # brute-force greedy reference
+    pts = {r[0]: r[1] for r in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    sel = [min(pts)]
+    for _ in range(3):
+        best = max(
+            ((vid, min(d2(v, pts[s]) for s in sel))
+             for vid, v in pts.items()),
+            key=lambda t: (t[1], -t[0]),
+        )
+        sel.append(best[0])
+    assert [got[r] for r in range(4)] == sel
+    # one selection per planted cluster
+    assert sorted(got[r] // 3 for r in range(4)) == [0, 1, 2, 3]
