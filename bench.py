@@ -139,6 +139,7 @@ HEADLINE_EXT = [
     "q_maxsim_retrieval",
     "q_skyline",
     "q_kcenter_select",
+    "q_vocab_coverage",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3868,3 +3868,29 @@ def _kcenter_cte_sql(k: int = 4) -> str:
 
 
 EXT_ORACLES["q_kcenter_select"] = _kcenter_cte_sql(4)
+
+# q_vocab_coverage (queries_ext.q_vocab_coverage) — top-20 words with
+# cumulative corpus share (exact integer ppm, floor division).
+EXT_ORACLES["q_vocab_coverage"] = """
+    WITH toks AS (
+        SELECT unnest(string_split(trim(lower(text)), ' ')) AS word
+        FROM documents
+    ),
+    c AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM toks GROUP BY word
+    ),
+    top AS (
+        SELECT word, cnt,
+               CAST(row_number() OVER (ORDER BY cnt DESC, word ASC) AS INT)
+                   AS rank
+        FROM c
+        ORDER BY cnt DESC, word ASC
+        LIMIT 20
+    )
+    SELECT rank, word, cnt,
+           CAST(SUM(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+                * 1000000 // (SELECT COUNT(*) FROM toks) AS BIGINT)
+               AS coverage_ppm
+    FROM top
+"""

@@ -3956,6 +3956,48 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design readout ("how
+    much of the corpus do the top-k vocabulary entries cover"): top-20
+    words by frequency with the cumulative corpus share of each prefix
+    in exact integer ppm. Scale shape: the global top-20 is a
+    DISTRIBUTED sort-limit (TakeOrderedAndProject — never a
+    single-partition window over the full vocabulary, which at web
+    scale is billions of n-grams); the cumulative window then runs over
+    exactly 20 rows, and the corpus total arrives as a broadcast 1-row
+    aggregate. Ties break on the word for a deterministic curve."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(words(F.trim(F.lower(F.col("text"))))).alias("word")
+    )
+    counts = toks.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    top = counts.orderBy(F.col("cnt").desc(), F.col("word").asc()).limit(20)
+    total = toks.agg(F.count(F.lit(1)).cast("long").alias("__total"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            ),
+        )
+        .withColumn("cum_cnt", F.sum("cnt").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "word",
+            "cnt",
+            F.expr("CAST(cum_cnt * 1000000 DIV __total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
 def q_kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diversity selection over the embedding corpus
     (operators/similarity.py::kcenter_select, k=4): the coreset /
@@ -4242,4 +4284,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_maxsim_retrieval": q_maxsim_retrieval,
     "q_skyline": q_skyline,
     "q_kcenter_select": q_kcenter_select,
+    "q_vocab_coverage": q_vocab_coverage,
 }

@@ -721,3 +721,13 @@ def test_kcenter_narrow_folds_distributed_argmax(spark, sf_dir):
     for line in plan.splitlines():
         if "HashAggregate" in line:
             assert "mv" not in line
+
+
+def test_vocab_coverage_topk_before_window(spark, sf_dir):
+    """The coverage curve's global top-20 must be a distributed
+    sort-limit (TakeOrderedAndProject); the only unpartitioned window
+    runs over those 20 rows, never the vocabulary."""
+    plan = _plan(QUERIES["q_vocab_coverage"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # print order is top-down: the window must sit ABOVE the top-k
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
