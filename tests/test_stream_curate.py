@@ -257,3 +257,123 @@ def test_streaming_admission_with_model_screen(spark, dirs):
             assert not r.admitted and r.reason == "model"
         else:
             assert r.admitted and r.reason is None
+
+
+def test_streaming_admission_with_boilerplate_screen(spark, dirs):
+    """Fourth admission signal: BATCH-LEVEL boilerplate detection via
+    the exact heavy-hitter operator (operators/freq.py) — bigrams
+    holding > 1/40 of the micro-batch's bigram mass are batch
+    boilerplate, and a doc whose bigrams are majority-heavy is flagged
+    (the CCNet-style 'shared template' screen, computed per batch with
+    bounded state, no corpus-wide counts). In this feed the planted
+    near-dups all share KEEP_TEXT, so exactly the i%3==0 docs must
+    flag; novel-vocab docs never do. The flag is emitted alongside the
+    dup/screen/model verdicts (reason precedence unchanged) and must
+    survive the checkpointed restart exactly-once."""
+    from telecom_competitor_analysis_spark.operators.freq import (
+        heavy_hitters,
+    )
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+    )
+
+    keep = spark.createDataFrame(
+        [(1000, SyntheticDocumentsDataSource.KEEP_TEXT)],
+        "doc_id long, text string",
+    )
+    build_shingle_index(keep, "doc_id", "text", dirs["index"], w=3)
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+
+    def curate_batch(batch_df, batch_id: int) -> None:
+        bigrams = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+                    " i -> concat(split(trim(text), ' ')[i], ' ',"
+                    " split(trim(text), ' ')[i + 1]))"
+                )
+            ).alias("token"),
+        )
+        heavy = heavy_hitters(
+            bigrams.select("token"), "token", inv_frac=40
+        ).select("token")
+        n_bg = bigrams.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        n_heavy = (
+            bigrams.join(F.broadcast(heavy), on="token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__nh"))
+        )
+        boiler = (
+            n_bg.join(n_heavy, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                (
+                    F.coalesce(F.col("__nh"), F.lit(0)) * 2 > F.col("__n")
+                ).alias("boilerplate"),
+            )
+        )
+        screened = gopher_rules(
+            batch_df, "doc_id", "text",
+            min_words=5, min_mean_word_len=1.0, max_mean_word_len=20.0,
+            min_stopwords=0, max_top_word_fraction=0.9,
+            min_distinct_fraction=0.2, max_dup_bigram_fraction=0.9,
+        ).select("doc_id", "passes")
+        dups = (
+            near_dups_against_index(
+                batch_df, spark, dirs["index"], "doc_id", "text",
+                w=3, threshold=0.2,
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        out = (
+            batch_df.join(screened, on="doc_id")
+            .join(boiler, on="doc_id")
+            .join(dups, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).alias("batch_id"),
+                "boilerplate",
+                (
+                    F.col("passes")
+                    & ~F.col("boilerplate")
+                    & F.col("__dup").isNull()
+                ).alias("admitted"),
+                F.when(F.col("__dup").isNotNull(), "dup")
+                .when(F.col("boilerplate"), "boilerplate")
+                .when(~F.col("passes"), "screen")
+                .alias("reason"),
+            )
+        )
+        out.write.mode("append").parquet(dirs["out"])
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_documents")
+            .option("docsPerBatch", "6")
+            .load()
+            .writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    run_once()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert set(rows) == set(range(12))  # exactly-once across restart
+    for i in range(12):
+        r = rows[i]
+        assert r.batch_id == (0 if i < 6 else 1)
+        # exactly the planted template docs are batch-boilerplate
+        assert r.boilerplate == (i % 3 == 0), i
+        if i % 3 == 0:
+            assert not r.admitted and r.reason == "dup"  # dup outranks
+        else:
+            assert r.admitted and r.reason is None
