@@ -101,6 +101,13 @@ def heavy_hitters(
     paid is a vocabulary-wide shuffle. The threshold compare is exact
     integer arithmetic (count·inv_frac > N), mirrored verbatim in the
     DuckDB oracle. Returns (``col``, cnt).
+
+    NULL tokens are excluded from the universe entirely (the counts,
+    the candidates AND the total N) — the one consistent contract the
+    pipeline can mirror: pandas ``value_counts`` drops NaN in the
+    candidate pass and an equi-join never matches NULL, so any other
+    treatment would silently omit a genuinely heavy NULL while still
+    counting it in N.
     """
     if k is None:
         k = inv_frac
@@ -109,6 +116,7 @@ def heavy_hitters(
             f"k={k} < inv_frac={inv_frac} voids the MG superset "
             "guarantee (needs k >= inv_frac)"
         )
+    tokens = tokens.filter(F.col(col).isNotNull())
     cand = misra_gries_candidates(tokens, col, k).distinct()
     total = tokens.agg(F.count(F.lit(1)).cast("long").alias("__total"))
     return (

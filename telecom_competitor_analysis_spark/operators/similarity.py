@@ -635,13 +635,26 @@ def append_to_ivf_index(
     bucket's STORED sub count (``{path}/meta``), then appended to the
     (bucket, sub) partition layout. Per-append cost ∝ batch — the
     corpus is never re-read. Buckets absent from meta (an uncapped
-    build) default to one sub."""
+    build) default to one sub.
+
+    Carried metadata follows the INDEX, not the caller: the stored
+    assignment schema is inspected and every carried column (anything
+    beyond neighbor_id/c_vec/bucket/sub) is selected from the batch —
+    so appends to a ``carry_cols`` index can never silently write
+    label-less rows that filtered searches would exclude forever; a
+    batch missing a carried column fails analysis loudly here."""
     anchors = spark.read.parquet(f"{path}/anchors")
     meta = spark.read.parquet(f"{path}/meta")
+    stored = {
+        f.name
+        for f in spark.read.parquet(f"{path}/assignments").schema.fields
+    }
+    carried = sorted(stored - {"neighbor_id", "c_vec", "bucket", "sub"})
     assigned = ivf_assign(
         batch.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("c_vec"),
+            *[F.col(c) for c in carried],
         ),
         anchors,
         "neighbor_id",
@@ -799,6 +812,13 @@ def kcenter_select(
     )
     selected = first
     for r in range(1, k):
+        # lineage truncation per round (the dedup_clusters discipline):
+        # selected(r) otherwise embeds every prior round's corpus-wide
+        # aggregation in its plan, and each broadcast would recompute
+        # the whole chain — checkpointing the INPUT of each round keeps
+        # it at one corpus pass per round while the returned plan still
+        # shows the final round's structure
+        selected = selected.localCheckpoint(eager=False)
         # fold NARROW (id + one long — the measured k-means lesson:
         # never carry the vector through an aggregate); the argmax is a
         # 1-row distributed sort-limit, whose vector re-enters via a
@@ -819,9 +839,19 @@ def kcenter_select(
             .groupBy(id_col)
             .agg(F.min("__d").alias("__dmin"))
         )
-        nxt_id = dmin.orderBy(
-            F.col("__dmin").desc(), F.col(id_col).asc()
-        ).limit(1)
+        # anti-join out the already-selected ids: on a degenerate
+        # corpus (fewer distinct vectors than k) every remaining
+        # __dmin is 0 and the lowest-id tie-break would otherwise
+        # re-pick round 0's point — k DISTINCT ids are the contract
+        nxt_id = (
+            dmin.join(
+                F.broadcast(selected.select(id_col)),
+                on=id_col,
+                how="left_anti",
+            )
+            .orderBy(F.col("__dmin").desc(), F.col(id_col).asc())
+            .limit(1)
+        )
         nxt = nxt_id.join(corpus, on=id_col).select(
             F.lit(r).alias("sel_round"), F.col(id_col), F.col(vec_col)
         )

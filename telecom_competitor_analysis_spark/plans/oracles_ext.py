@@ -3860,7 +3860,11 @@ def _kcenter_cte_sql(k: int = 4) -> str:
         GROUP BY 1, 2
     ),
     d{r} AS (SELECT vec_id, MIN(d) AS d FROM d{r}p GROUP BY vec_id),
-    s{r} AS (SELECT vec_id FROM d{r} ORDER BY d DESC, vec_id ASC LIMIT 1)""")
+    s{r} AS (
+        SELECT vec_id FROM d{r}
+        WHERE vec_id NOT IN ({sel_union})
+        ORDER BY d DESC, vec_id ASC LIMIT 1
+    )""")
     body = " UNION ALL ".join(
         f"SELECT {r} AS sel_round, vec_id FROM s{r}" for r in range(k)
     )

@@ -4041,9 +4041,11 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         F.size(arr).cast("long").alias("n_words"),
+        # BIGINT before the multiply: size() is INT32, and a real web
+        # doc with >=2148 distinct tokens would overflow (ANSI throws)
         F.expr(
-            "CAST(size(array_distinct(split(trim(text), ' '))) * 1000000 "
-            "DIV size(split(trim(text), ' ')) AS BIGINT)"
+            "CAST(size(array_distinct(split(trim(text), ' '))) AS BIGINT)"
+            " * 1000000 DIV size(split(trim(text), ' '))"
         ).alias("distinct_ppm"),
     )
     return skyline_2d(d, "n_words", "distinct_ppm", "doc_id")
@@ -4067,6 +4069,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from telecom_competitor_analysis_spark.operators.freq import (
         heavy_hitters,
     )
+    from telecom_competitor_analysis_spark.operators.lm import bigram_rows
 
     # under-split guard on the DOC scan (before the explode): the MG
     # summary is the one Python-bound stage here, and a single parquet
@@ -4074,19 +4077,11 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on a 2-split scan); repartitioning docs is doc-granular — the
     # token stream itself is never shuffled
     docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
-    arr = words(F.trim(F.lower(F.col("text"))))
-    bigrams = (
-        docs.select(arr.alias("arr"))
-        .filter(F.size("arr") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(arr) - 2), "
-                    "i -> concat(arr[i], ' ', arr[i + 1]))"
-                )
-            ).alias("token")
-        )
-    )
+    bigrams = bigram_rows(
+        docs.select("doc_id", F.lower(F.col("text")).alias("text")),
+        "doc_id",
+        "text",
+    ).select(F.concat_ws(" ", "w1", "w2").alias("token"))
     return heavy_hitters(bigrams, "token", inv_frac=800)
 
 

@@ -86,3 +86,17 @@ def test_heavy_hitters_guards_invalid_k(spark):
         heavy_hitters(toks, "token", inv_frac=100, k=50)
     with pytest.raises(ValueError, match="k must be >= 2"):
         misra_gries_candidates(toks, "token", 1)
+
+
+def test_heavy_hitters_excludes_nulls_consistently(spark):
+    # NULL occupies well over 1/4 of rows; the contract excludes it
+    # from counts AND from N (value_counts drops NaN and equi-joins
+    # never match NULL — any other treatment is silently lossy)
+    pdf = pd.DataFrame({"token": ["a"] * 40 + [None] * 50 + ["b"] * 10})
+    toks = spark.createDataFrame(pdf)
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters(toks, "token", inv_frac=4).collect()
+    }
+    # non-null universe is 50 tokens: a (40) > 50/4, b (10) < 50/4
+    assert got == {"a": 40}

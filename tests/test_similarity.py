@@ -478,3 +478,69 @@ def test_kcenter_covers_planted_clusters_and_matches_bruteforce(spark):
     assert [got[r] for r in range(4)] == sel
     # one selection per planted cluster
     assert sorted(got[r] // 3 for r in range(4)) == [0, 1, 2, 3]
+
+
+def test_kcenter_degenerate_corpus_yields_distinct_ids(spark):
+    """Fewer distinct vectors than k: the anti-join keeps the contract
+    of k DISTINCT ids (ties at dmin=0 pick the lowest unselected id)
+    instead of re-selecting round 0's point forever."""
+    import pandas as pd
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    rows = [(i, [i % 2 * 100, 0, 0, 0]) for i in range(5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "mv"])
+    ).select("vec_id", F.col("mv").cast("array<long>").alias("mv"))
+    got = kcenter_select(df, k=4).collect()
+    ids = [r.vec_id for r in got]
+    assert len(set(ids)) == 4
+    # round 0 = lowest id, round 1 = the other pole, then zero-distance
+    # fill-ins in id order
+    by_round = {r.sel_round: r.vec_id for r in got}
+    assert by_round[0] == 0 and by_round[1] == 1
+    assert {by_round[2], by_round[3]} == {2, 3}
+
+
+def test_append_to_ivf_index_carries_stored_metadata(spark, emb, tmp_path):
+    """Appends to a carry_cols index must follow the STORED schema:
+    appended rows keep the carried label, and a filtered probe over the
+    appended index equals the same probe over a full rebuild."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    # day0 keeps the lowest ids so the frozen anchors equal the
+    # rebuild's anchor pick (append ≡ rebuild needs the same anchors —
+    # the existing equivalence test's precondition)
+    day0 = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    appended = str(tmp_path / "appended")
+    rebuilt = str(tmp_path / "rebuilt")
+    build_ivf_index(
+        day0, appended, n_anchors=4, max_bucket_size=20,
+        carry_cols=("label",),
+    )
+    append_to_ivf_index(batch, spark, appended)
+    build_ivf_index(
+        emb, rebuilt, n_anchors=4, max_bucket_size=20,
+        carry_cols=("label",),
+    )
+    # appended rows kept their label (no NULL holes)
+    stored = spark.read.parquet(f"{appended}/assignments")
+    assert stored.filter(F.col("label").isNull()).count() == 0
+    queries = emb.filter(F.col("vec_id") < 5)
+    pred = F.col("label") == 3
+    a = ann_against_index(
+        queries, spark, appended, k=5, nprobe=2, pre_filter=pred
+    )
+    b = ann_against_index(
+        queries, spark, rebuilt, k=5, nprobe=2, pre_filter=pred
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
