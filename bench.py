@@ -140,6 +140,7 @@ HEADLINE_EXT = [
     "q_skyline",
     "q_kcenter_select",
     "q_vocab_coverage",
+    "q_gram_matrix",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3898,3 +3898,32 @@ EXT_ORACLES["q_vocab_coverage"] = """
                AS coverage_ppm
     FROM top
 """
+
+# q_gram_matrix (queries_ext.q_gram_matrix) — the NAIVE elem⋈elem
+# self-join form of the centered Gram statistic (the Spark side
+# generates the outer product map-side instead); exact e4-scaled
+# integers, HUGEINT sums cast back to BIGINT.
+EXT_ORACLES["q_gram_matrix"] = """
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    elem AS (
+        SELECT vec_id, CAST(i - 1 AS INT) AS i,
+               CAST(round(v[i] * 10000, 0) AS BIGINT) AS x
+        FROM e, unnest(generate_series(1, 64)) t(i)
+    ),
+    sxy AS (
+        SELECT a.i AS i, b.i AS j,
+               CAST(SUM(a.x * b.x) AS BIGINT) AS sxy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM elem a JOIN elem b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY 1, 2
+    ),
+    sx AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sx FROM elem GROUP BY i)
+    SELECT s.i, s.j,
+           CAST(s.n * s.sxy - sa.sx * sb.sx AS BIGINT) AS cov_scaled
+    FROM sxy s
+    JOIN sx sa ON s.i = sa.i
+    JOIN sx sb ON s.j = sb.i
+"""

@@ -3956,6 +3956,86 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Gram/covariance statistic over the embedding corpus —
+    the input every PCA / whitening / mean-centering stage needs (the
+    64×64 reduction is the distributed-heavy part; the driver-side
+    eigensolve on 2080 numbers is free). Exact scaled-integer
+    arithmetic: components quantize at 1e4 (values are in [-0.6, 0.6];
+    products land in e8 units), so Σxᵢxⱼ and the centered numerator
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ are exact BIGINTs with ×10 headroom (at ~5M rows
+    the convention drops a digit of precision for range — documented
+    trade; DECIMAL(38) is the fallback).
+
+    Scale shape: the upper-triangle outer product is generated PER ROW
+    map-side (flatten/transform — 2080 narrow structs per vector, no
+    join), so the partial aggregation collapses each task to ≤ 2080
+    rows BEFORE the only exchange; the per-dimension sums are a second
+    64-row broadcast agg. Compare the naive elem⋈elem self-join, which
+    shuffles n·64 rows twice — that shape is the ORACLE here, not the
+    plan. Returns (i, j, cov_scaled) for i ≤ j."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    dim = EMBEDDING_DIM
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    base = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 10_000).cast("long"),
+        ).alias("a")
+    )
+    outer = F.expr(
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        "struct(i AS i, j AS j, a[i] * a[j] AS v))))"
+    )
+    sxy = (
+        base.select(F.explode(outer).alias("p"))
+        .select(
+            F.col("p.i").cast("int").alias("i"),
+            F.col("p.j").cast("int").alias("j"),
+            F.col("p.v").alias("v"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("v").alias("sxy"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    # 64-row aggregate with TWO join consumers (sx_i and sx_j) —
+    # localCheckpoint so the corpus scan behind it runs once, not once
+    # per consumer (the skyline/kcenter multi-consumer discipline)
+    sums = (
+        base.select(F.posexplode("a").alias("i", "x"))
+        .groupBy(F.col("i").cast("int").alias("i"))
+        .agg(F.sum("x").alias("sx"))
+        .localCheckpoint(eager=False)
+    )
+    return (
+        sxy.join(
+            F.broadcast(sums.select("i", F.col("sx").alias("sx_i"))),
+            on="i",
+        )
+        .join(
+            F.broadcast(
+                sums.select(
+                    F.col("i").alias("j"), F.col("sx").alias("sx_j")
+                )
+            ),
+            on="j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+            .cast("long")
+            .alias("cov_scaled"),
+        )
+    )
+
+
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve — the tokenizer-design readout ("how
     much of the corpus do the top-k vocabulary entries cover"): top-20
@@ -4280,4 +4360,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_skyline": q_skyline,
     "q_kcenter_select": q_kcenter_select,
     "q_vocab_coverage": q_vocab_coverage,
+    "q_gram_matrix": q_gram_matrix,
 }

@@ -731,3 +731,18 @@ def test_vocab_coverage_topk_before_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     # print order is top-down: the window must sit ABOVE the top-k
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
+def test_gram_matrix_mapside_outer_product_no_self_join(spark, sf_dir):
+    """The Gram reduction must be the map-side outer-product shape:
+    partial aggregation collapses each task to <= 2080 rows before the
+    exchange, the per-dimension sums broadcast back, and the naive
+    elem-self-join (the oracle's plan) never appears — no sort-merge
+    join, exactly two hash exchanges."""
+    plan = _plan(QUERIES["q_gram_matrix"](spark, sf_dir))
+    assert "partial_sum" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # one exchange: the pair groupBy (the 64-row per-dim sums are a
+    # checkpointed side input broadcast to both join consumers)
+    assert plan.count("Exchange hashpartitioning") == 1
