@@ -141,6 +141,7 @@ HEADLINE_EXT = [
     "q_kcenter_select",
     "q_vocab_coverage",
     "q_gram_matrix",
+    "q_ivf_bucket_stats",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3927,3 +3927,32 @@ EXT_ORACLES["q_gram_matrix"] = """
     JOIN sx sa ON s.i = sa.i
     JOIN sx sb ON s.j = sb.i
 """
+
+# q_ivf_bucket_stats (queries_ext.q_ivf_bucket_stats) — recompute the
+# IVF quantization (8 lowest-id anchors) and the build's sub-split
+# arithmetic (ceil(count / max_bucket_size=50)); green re-proves the
+# stored index assignment against the anchor policy.
+EXT_ORACLES["q_ivf_bucket_stats"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    )
+    SELECT
+        CAST(anchor_id AS INT) AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(ceil(COUNT(*) / 50.0) AS INT) AS n_subs
+    FROM assign WHERE rn = 1
+    GROUP BY anchor_id
+"""

@@ -3956,6 +3956,38 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health observability for the materialized IVF index: rows
+    and skew-split sub count per bucket — the audit that tells an
+    operator when the anchor set needs rebalancing (one bucket
+    absorbing the corpus defeats nprobe pruning even with the physical
+    split bounding partition size). Reads ONLY the index artifact
+    (counting a partition column — at 100 TB this can come from
+    partition metadata, never the vectors). The oracle recomputes the
+    quantization from scratch, so green also re-proves the stored
+    assignment against the anchor policy. Sub-level row counts are
+    deliberately absent here: the sub hash is xxhash64 (not
+    SQL-portable); its size bound is pinned by the planted-hot-cluster
+    behavior test instead."""
+    idx = _materialized_ivf_index(spark, sf_dir)
+    assignments = spark.read.parquet(f"{idx}/assignments")
+    meta = spark.read.parquet(f"{idx}/meta")
+    return (
+        assignments.groupBy(F.col("bucket").cast("int").alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .join(
+            F.broadcast(
+                meta.select(
+                    F.col("bucket").cast("int").alias("bucket"),
+                    F.col("n_subs").cast("int").alias("n_subs"),
+                )
+            ),
+            on="bucket",
+        )
+        .select("bucket", "n_rows", "n_subs")
+    )
+
+
 def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Gram/covariance statistic over the embedding corpus —
     the input every PCA / whitening / mean-centering stage needs (the
@@ -4361,4 +4393,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_kcenter_select": q_kcenter_select,
     "q_vocab_coverage": q_vocab_coverage,
     "q_gram_matrix": q_gram_matrix,
+    "q_ivf_bucket_stats": q_ivf_bucket_stats,
 }
