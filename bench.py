@@ -142,6 +142,7 @@ HEADLINE_EXT = [
     "q_vocab_coverage",
     "q_gram_matrix",
     "q_ivf_bucket_stats",
+    "q_gram_incremental",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3956,3 +3956,8 @@ EXT_ORACLES["q_ivf_bucket_stats"] = """
     FROM assign WHERE rn = 1
     GROUP BY anchor_id
 """
+
+# q_gram_incremental — the STRONGEST oracle: full recompute over all
+# embeddings, identical to q_gram_matrix's SQL; green proves
+# merged-incremental ≡ recompute (the MV-maintenance invariant).
+EXT_ORACLES["q_gram_incremental"] = EXT_ORACLES["q_gram_matrix"]

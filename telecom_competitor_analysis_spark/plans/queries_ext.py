@@ -3956,6 +3956,132 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def _gram_partials(emb: DataFrame, dim: int = EMBEDDING_DIM):
+    """Map-side Gram partials over e4-scaled integer components:
+    returns (sxy, sums) — the commutative-monoid state (Σxᵢxⱼ, n per
+    upper-triangle pair; Σxᵢ per dimension) that merges exactly in any
+    order, which is what makes both the one-shot q_gram_matrix and the
+    incremental q_gram_incremental forms of the same statistic green
+    against ONE full-recompute oracle. The outer product is generated
+    per row (flatten/transform, no self-join), so partial aggregation
+    collapses each task to ≤ dim(dim+1)/2 rows before the exchange."""
+    base = emb.select(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") * 10_000).cast("long"),
+        ).alias("a")
+    )
+    outer = F.expr(
+        f"flatten(transform(sequence(0, {dim - 1}), i -> "
+        f"transform(sequence(i, {dim - 1}), j -> "
+        "struct(i AS i, j AS j, a[i] * a[j] AS v))))"
+    )
+    sxy = (
+        base.select(F.explode(outer).alias("p"))
+        .select(
+            F.col("p.i").cast("int").alias("i"),
+            F.col("p.j").cast("int").alias("j"),
+            F.col("p.v").alias("v"),
+        )
+        .groupBy("i", "j")
+        .agg(
+            F.sum("v").alias("sxy"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    sums = (
+        base.select(F.posexplode("a").alias("i", "x"))
+        .groupBy(F.col("i").cast("int").alias("i"))
+        .agg(F.sum("x").alias("sx"))
+    )
+    return sxy, sums
+
+
+def _gram_finalize(sxy: DataFrame, sums: DataFrame) -> DataFrame:
+    """Centered Gram numerator n·Σxᵢxⱼ − Σxᵢ·Σxⱼ from the partial
+    state. The 64-row sums table has TWO join consumers (sx_i, sx_j) —
+    localCheckpointed so the scan behind it runs once (the
+    skyline/kcenter multi-consumer discipline)."""
+    sums = sums.localCheckpoint(eager=False)
+    return (
+        sxy.join(
+            F.broadcast(sums.select("i", F.col("sx").alias("sx_i"))),
+            on="i",
+        )
+        .join(
+            F.broadcast(
+                sums.select(
+                    F.col("i").alias("j"), F.col("sx").alias("sx_j")
+                )
+            ),
+            on="j",
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
+            .cast("long")
+            .alias("cov_scaled"),
+        )
+    )
+
+
+def q_gram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the Gram/covariance statistic — the
+    MV-delta pattern (q_rollup_incremental) applied to the statistics
+    a drift monitor or whitening stage keeps warm: the FROZEN history
+    (vec_id % 4 != 0) is materialized once as partial-aggregate state
+    (Σxᵢxⱼ/n per pair, Σxᵢ per dim — exact integer monoid, so merging
+    is order-independent), the arriving batch aggregates ALONE, and
+    the published matrix is stored ∪ batch partials re-summed.
+    Per-refresh work ∝ batch + 2080 state rows; the history is never
+    re-scanned. The oracle is the FULL RECOMPUTE over all embeddings —
+    the same SQL as q_gram_matrix verbatim — so green proves
+    merged-incremental ≡ recompute exactly."""
+    import hashlib
+    import inspect
+
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    history = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+
+    def build(path: str) -> None:
+        hsxy, hsums = _gram_partials(history)
+        hsxy.write.mode("overwrite").parquet(f"{path}/sxy")
+        hsums.write.mode("overwrite").parquet(f"{path}/sums")
+
+    # the builder closure lives in this file (outside the module-hash
+    # fingerprint) — fold its source into the tag so any edit
+    # re-fingerprints automatically (the q_rollup_incremental rule)
+    build_sig = hashlib.md5(
+        inspect.getsource(_gram_partials).encode()
+    ).hexdigest()[:8]
+    stored = _materialized(
+        spark, sf_dir, f"gram_hist_mod4_{build_sig}", "embeddings", build
+    )
+    bsxy, bsums = _gram_partials(batch)
+    sxy = (
+        spark.read.parquet(f"{stored}/sxy")
+        .unionByName(bsxy)
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").cast("long").alias("sxy"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
+    sums = (
+        spark.read.parquet(f"{stored}/sums")
+        .unionByName(bsums)
+        .groupBy("i")
+        .agg(F.sum("sx").cast("long").alias("sx"))
+    )
+    return _gram_finalize(sxy, sums)
+
+
 def q_ivf_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index-health observability for the materialized IVF index: rows
     and skew-split sub count per bucket — the audit that tells an
@@ -4010,62 +4136,9 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ensure_parallelism,
     )
 
-    dim = EMBEDDING_DIM
     emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
-    base = emb.select(
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.round(x.cast("double") * 10_000).cast("long"),
-        ).alias("a")
-    )
-    outer = F.expr(
-        f"flatten(transform(sequence(0, {dim - 1}), i -> "
-        f"transform(sequence(i, {dim - 1}), j -> "
-        "struct(i AS i, j AS j, a[i] * a[j] AS v))))"
-    )
-    sxy = (
-        base.select(F.explode(outer).alias("p"))
-        .select(
-            F.col("p.i").cast("int").alias("i"),
-            F.col("p.j").cast("int").alias("j"),
-            F.col("p.v").alias("v"),
-        )
-        .groupBy("i", "j")
-        .agg(
-            F.sum("v").alias("sxy"),
-            F.count(F.lit(1)).cast("long").alias("n"),
-        )
-    )
-    # 64-row aggregate with TWO join consumers (sx_i and sx_j) —
-    # localCheckpoint so the corpus scan behind it runs once, not once
-    # per consumer (the skyline/kcenter multi-consumer discipline)
-    sums = (
-        base.select(F.posexplode("a").alias("i", "x"))
-        .groupBy(F.col("i").cast("int").alias("i"))
-        .agg(F.sum("x").alias("sx"))
-        .localCheckpoint(eager=False)
-    )
-    return (
-        sxy.join(
-            F.broadcast(sums.select("i", F.col("sx").alias("sx_i"))),
-            on="i",
-        )
-        .join(
-            F.broadcast(
-                sums.select(
-                    F.col("i").alias("j"), F.col("sx").alias("sx_j")
-                )
-            ),
-            on="j",
-        )
-        .select(
-            "i",
-            "j",
-            (F.col("n") * F.col("sxy") - F.col("sx_i") * F.col("sx_j"))
-            .cast("long")
-            .alias("cov_scaled"),
-        )
-    )
+    sxy, sums = _gram_partials(emb)
+    return _gram_finalize(sxy, sums)
 
 
 def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4394,4 +4467,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_coverage": q_vocab_coverage,
     "q_gram_matrix": q_gram_matrix,
     "q_ivf_bucket_stats": q_ivf_bucket_stats,
+    "q_gram_incremental": q_gram_incremental,
 }

@@ -746,3 +746,28 @@ def test_gram_matrix_mapside_outer_product_no_self_join(spark, sf_dir):
     # one exchange: the pair groupBy (the 64-row per-dim sums are a
     # checkpointed side input broadcast to both join consumers)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gram_incremental_never_rescans_history(spark, sf_dir):
+    """The incremental Gram refresh must scan embeddings ONLY for the
+    batch legs (cutoff filter pushed to the scan) and read the frozen
+    partial state from the artifact — the history partition is never
+    re-aggregated (the q_rollup_incremental invariant applied to
+    statistics state)."""
+    plan = QUERIES["q_gram_incremental"](
+        spark, sf_dir
+    )._jdf.queryExecution().toString()
+    # artifact reads present
+    assert "tcas_materialized" in plan
+    # every embeddings scan carries the batch-side pushed filter
+    import re
+
+    scans = [
+        s for s in plan.split("FileScan parquet") if "embeddings" in s
+    ]
+    assert scans, "expected embeddings scans"
+    for s in scans:
+        assert "(vec_id" in s and "% 4)" in s, (
+            "an embeddings scan without the batch cutoff filter means "
+            "the history is being re-scanned"
+        )
