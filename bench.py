@@ -143,6 +143,7 @@ HEADLINE_EXT = [
     "q_gram_matrix",
     "q_ivf_bucket_stats",
     "q_gram_incremental",
+    "q_char_entropy",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

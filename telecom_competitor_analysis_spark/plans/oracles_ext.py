@@ -3961,3 +3961,29 @@ EXT_ORACLES["q_ivf_bucket_stats"] = """
 # embeddings, identical to q_gram_matrix's SQL; green proves
 # merged-incremental ≡ recompute (the MV-maintenance invariant).
 EXT_ORACLES["q_gram_incremental"] = EXT_ORACLES["q_gram_matrix"]
+
+# q_char_entropy (queries_ext.q_char_entropy) — per-doc character
+# Shannon entropy under the repo's log convention: every ln()
+# micro-rounded to an integer immediately, exact integer sums, ONE
+# final rounded division per doc.
+EXT_ORACLES["q_char_entropy"] = """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch
+        FROM documents
+    ),
+    pc AS (
+        SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chars WHERE ch != '' GROUP BY doc_id, ch
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * CAST(round(ln(c) * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sclnc_micro
+        FROM pc GROUP BY doc_id
+    )
+    SELECT doc_id, n,
+           round((CAST(round(ln(n) * 1000000, 0) AS BIGINT)
+                  - sclnc_micro / n) / 1000000.0, 6) AS entropy
+    FROM agg
+"""

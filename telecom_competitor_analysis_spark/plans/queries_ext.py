@@ -3956,6 +3956,58 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the classic
+    low-quality-text signal (gibberish and character floods sit at the
+    extremes; C4/Gopher-family heuristic). Cross-engine exact via the
+    repo's log convention (q_bigram_lm): each ln() is micro-rounded to
+    an integer immediately, the per-doc aggregation sums exact
+    integers, and ONE final division is rounded to 6 — so the float
+    boundary is a single deterministic op per doc, never an
+    association-sensitive sum. H = ln(n) − Σc·ln(c)/n over character
+    counts. Scale shape: the char explode is linear in bytes and
+    collapses map-side in the (doc_id, ch) pre-aggregate; both
+    aggregates share the doc_id exchange lineage."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    # the char explode is the compute-heavy map stage — guard the
+    # under-split local scan (×10 probe: 4.5× on a 2-split scan)
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    chars = docs.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(
+                F.col("c")
+                * F.round(F.log(F.col("c").cast("double")) * 1_000_000)
+                .cast("long")
+            ).cast("long").alias("sclnc_micro"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.round(
+                (
+                    F.round(F.log(F.col("n").cast("double")) * 1_000_000)
+                    .cast("long")
+                    - F.col("sclnc_micro") / F.col("n")
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
 def _gram_partials(emb: DataFrame, dim: int = EMBEDDING_DIM):
     """Map-side Gram partials over e4-scaled integer components:
     returns (sxy, sums) — the commutative-monoid state (Σxᵢxⱼ, n per
@@ -4468,4 +4520,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gram_matrix": q_gram_matrix,
     "q_ivf_bucket_stats": q_ivf_bucket_stats,
     "q_gram_incremental": q_gram_incremental,
+    "q_char_entropy": q_char_entropy,
 }
