@@ -144,6 +144,7 @@ HEADLINE_EXT = [
     "q_ivf_bucket_stats",
     "q_gram_incremental",
     "q_char_entropy",
+    "q_ann_recall_filtered",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

@@ -3987,3 +3987,80 @@ EXT_ORACLES["q_char_entropy"] = """
                   - sclnc_micro / n) / 1000000.0, 6) AS entropy
     FROM agg
 """
+
+# q_ann_recall_filtered — the filtered IVF probe's CTE chain (as in
+# q_ann_filtered) left-joined against exact brute force over the
+# label-filtered corpus; recall counted per query.
+EXT_ORACLES["q_ann_recall_filtered"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            e.label,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS (
+        SELECT vec_id, v, anchor_id AS bucket FROM assign
+        WHERE rn = 1 AND label = 3
+    ),
+    q AS (
+        SELECT vec_id, v, anchor_id AS bucket
+        FROM assign WHERE vec_id < 5 AND rn <= 2
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT
+                q.vec_id AS query_id,
+                c.vec_id AS neighbor_id,
+                row_number() OVER (
+                    PARTITION BY q.vec_id
+                    ORDER BY list_cosine_similarity(c.v, q.v) DESC,
+                             c.vec_id ASC
+                ) AS rank
+            FROM c
+            JOIN q ON c.bucket = q.bucket
+            WHERE c.vec_id != q.vec_id
+        ) WHERE rank <= 10
+    ),
+    qv AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 5
+    ),
+    cv AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE label = 3
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT
+                qv.query_id,
+                cv.neighbor_id,
+                row_number() OVER (
+                    PARTITION BY qv.query_id
+                    ORDER BY list_cosine_similarity(cv.v, qv.v) DESC,
+                             cv.neighbor_id ASC
+                ) AS rank
+            FROM qv CROSS JOIN cv
+            WHERE cv.neighbor_id != qv.query_id
+        ) WHERE rank <= 10
+    )
+    SELECT
+        e.query_id,
+        CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_matched,
+        round(COUNT(ap.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx ap
+      ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
+    GROUP BY e.query_id
+"""

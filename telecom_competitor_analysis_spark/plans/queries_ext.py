@@ -3956,6 +3956,45 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of FILTERED vector search (q_ann_filtered's IVF probe,
+    nprobe=2, label pre-filter) against exact brute force over the
+    filtered corpus — the observability twin every approximate path in
+    the repo carries (q_ann_recall / q_pq_recall). Pre-filtering makes
+    recall the metric to watch: the qualifying vectors of a probed
+    bucket can be few, so this is where a too-small nprobe shows up
+    first. Both legs end in partial top-k, so the recall join sees
+    ≤ 2·k·|queries| rows at any corpus size."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized_ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    pred = F.col("label") == 3
+    exact = cosine_topk(emb.filter(pred), queries, "vec_id", "embedding", k=10)
+    approx = ann_against_index(
+        queries, spark, idx, k=10, nprobe=2, pre_filter=pred
+    )
+    j = exact.select("query_id", "neighbor_id").join(
+        approx.select(
+            "query_id", "neighbor_id", F.lit(1).alias("__hit")
+        ),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 10.0, 6
+        ).alias("recall_at_10"),
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-level Shannon entropy — the classic
     low-quality-text signal (gibberish and character floods sit at the
@@ -4521,4 +4560,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivf_bucket_stats": q_ivf_bucket_stats,
     "q_gram_incremental": q_gram_incremental,
     "q_char_entropy": q_char_entropy,
+    "q_ann_recall_filtered": q_ann_recall_filtered,
 }
