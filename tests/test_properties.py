@@ -423,3 +423,111 @@ def test_paragraph_dedup_matches_python_mirror(spark, docs_words):
             " ".join(kept) if kept else None,
         )
     assert got == expect
+
+
+# --- round-7 continuation operators: python-model equivalence on ----------
+# arbitrary inputs (skew, ties, duplicates — the shapes hand fixtures miss)
+
+_tokenish = st.lists(
+    st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+    min_size=1,
+    max_size=120,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_tokenish, st.sampled_from([2, 3, 5]))
+def test_heavy_hitters_property(spark, tokens, inv_frac):
+    from collections import Counter
+
+    from telecom_competitor_analysis_spark.operators.freq import (
+        heavy_hitters,
+    )
+
+    df = spark.createDataFrame(
+        [(t,) for t in tokens], "token string"
+    ).repartition(3)
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters(df, "token", inv_frac=inv_frac).collect()
+    }
+    c = Counter(tokens)
+    n = len(tokens)
+    want = {t: k for t, k in c.items() if k * inv_frac > n}
+    assert got == want
+
+
+_points = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=60),
+        st.integers(min_value=0, max_value=60),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_points, st.sampled_from([1, 3, 8]))
+def test_skyline_property(spark, pts, n_buckets):
+    from telecom_competitor_analysis_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+    got = sorted(
+        map(tuple, skyline_2d(df, "x", "y", "id", n_buckets).collect())
+    )
+    # model: distinct (x, y) with min id, then naive dominance
+    reps = {}
+    for i, x, y in rows:
+        reps[(x, y)] = min(reps.get((x, y), i), i)
+    pset = set(reps)
+    want = sorted(
+        (reps[(x, y)], x, y)
+        for (x, y) in pset
+        if not any(
+            bx >= x and by >= y and (bx, by) != (x, y) for bx, by in pset
+        )
+    )
+    assert got == want
+
+
+_vecs = st.lists(
+    st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=3, max_size=3
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_vecs)
+def test_kcenter_property(spark, vecs):
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    k = min(4, len(vecs))
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, mv array<long>")
+    got = {
+        r.sel_round: r.vec_id for r in kcenter_select(df, k=k).collect()
+    }
+
+    def d2(a, b):
+        return sum((p - q) ** 2 for p, q in zip(a, b))
+
+    pts = dict(rows)
+    sel = [min(pts)]
+    for _ in range(k - 1):
+        cand = [
+            (vid, min(d2(v, pts[s]) for s in sel))
+            for vid, v in pts.items()
+            if vid not in sel
+        ]
+        best = max(cand, key=lambda t: (t[1], -t[0]))
+        sel.append(best[0])
+    assert [got[r] for r in range(k)] == sel
