@@ -600,8 +600,20 @@ def build_ivf_index(
                 "int"
             ),
         ).drop("__n_subs")
+        # meta records the CONFIGURED split count (what the sub hash was
+        # taken modulo), NOT the observed max(sub)+1: a bucket whose top
+        # sub happens to receive no rows must still append and audit
+        # under the same modulus the build used (r7 second review)
+        meta_df = n_subs.select(
+            "bucket", F.col("__n_subs").cast("int").alias("n_subs")
+        )
     else:
         assigned = assigned.withColumn("sub", F.lit(0))
+        meta_df = (
+            assigned.select("bucket")
+            .distinct()
+            .withColumn("n_subs", F.lit(1).cast("int"))
+        )
     # one shuffle keyed by the physical layout: each (bucket, sub) dir is
     # written by its own task set, bounding task output to ~max_bucket_size
     try:
@@ -611,9 +623,7 @@ def build_ivf_index(
         # per-bucket sub-split meta (frozen with the index): appends
         # must hash new vectors over the SAME sub count the build used,
         # or the physical layout's size bound drifts
-        assigned.groupBy("bucket").agg(
-            (F.max("sub") + F.lit(1)).alias("n_subs")
-        ).write.mode("overwrite").parquet(f"{path}/meta")
+        meta_df.write.mode("overwrite").parquet(f"{path}/meta")
     finally:
         if cached is not None:
             cached.unpersist()

@@ -1337,21 +1337,7 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = lsh_bucketed_topk(
         emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
     )
-    j = exact.select("query_id", "neighbor_id").join(
-        approx.select(
-            "query_id", "neighbor_id", F.lit(1).alias("__hit")
-        ),
-        on=["query_id", "neighbor_id"],
-        how="left",
-    )
-    return j.groupBy("query_id").agg(
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_matched"),
-        F.round(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 10.0, 6
-        ).alias("recall_at_10"),
-    )
+    return _recall_join(exact, approx, k=10)
 
 
 def q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3956,6 +3942,27 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
+def _recall_join(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+    """Per-query recall@k of ``approx`` against ``exact`` (both
+    (query_id, neighbor_id) top-k lists): left join on the pair, count
+    hits — the shared tail of q_ann_recall / q_ann_recall_filtered."""
+    j = exact.select("query_id", "neighbor_id").join(
+        approx.select(
+            "query_id", "neighbor_id", F.lit(1).alias("__hit")
+        ),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.round(
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / float(k), 6
+        ).alias(f"recall_at_{k}"),
+    )
+
+
 def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of FILTERED vector search (q_ann_filtered's IVF probe,
     nprobe=2, label pre-filter) against exact brute force over the
@@ -3978,21 +3985,7 @@ def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = ann_against_index(
         queries, spark, idx, k=10, nprobe=2, pre_filter=pred
     )
-    j = exact.select("query_id", "neighbor_id").join(
-        approx.select(
-            "query_id", "neighbor_id", F.lit(1).alias("__hit")
-        ),
-        on=["query_id", "neighbor_id"],
-        how="left",
-    )
-    return j.groupBy("query_id").agg(
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_matched"),
-        F.round(
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / 10.0, 6
-        ).alias("recall_at_10"),
-    )
+    return _recall_join(exact, approx, k=10)
 
 
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4146,10 +4139,17 @@ def q_gram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hsums.write.mode("overwrite").parquet(f"{path}/sums")
 
     # the builder closure lives in this file (outside the module-hash
-    # fingerprint) — fold its source into the tag so any edit
-    # re-fingerprints automatically (the q_rollup_incremental rule)
+    # fingerprint) — fold the SPLIT DESCRIPTOR and both relevant
+    # sources into the tag so any edit (including the cutoff itself)
+    # re-fingerprints automatically (the q_rollup_incremental rule;
+    # r7 second review: the first cut hashed only _gram_partials and
+    # would have served stale history partials after a cutoff change)
     build_sig = hashlib.md5(
-        inspect.getsource(_gram_partials).encode()
+        (
+            "vec_id%4!=0|"
+            + inspect.getsource(_gram_partials)
+            + inspect.getsource(build)
+        ).encode()
     ).hexdigest()[:8]
     stored = _materialized(
         spark, sf_dir, f"gram_hist_mod4_{build_sig}", "embeddings", build
@@ -4212,9 +4212,13 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigensolve on 2080 numbers is free). Exact scaled-integer
     arithmetic: components quantize at 1e4 (values are in [-0.6, 0.6];
     products land in e8 units), so Σxᵢxⱼ and the centered numerator
-    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ are exact BIGINTs with ×10 headroom (at ~5M rows
-    the convention drops a digit of precision for range — documented
-    trade; DECIMAL(38) is the fallback).
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ are exact BIGINTs. Operating envelope: the
+    centered numerator grows ~n²·(6e3)² ≈ n²·3.6e7 worst-case, so
+    int64 holds to n ≈ 5×10⁵ vectors — ample for every tested SF and
+    the ×10 probe, NOT for a 100 TB corpus. Beyond that, drop a digit
+    of quantization per ~100× rows (e3 → n ≈ 5×10⁷) or move the final
+    multiply to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the partial
+    state itself (Σxᵢxⱼ ≤ n·3.6e7) is safe to n ≈ 2.5×10¹¹.
 
     Scale shape: the upper-triangle outer product is generated PER ROW
     map-side (flatten/transform — 2080 narrow structs per vector, no

@@ -754,20 +754,17 @@ def test_gram_incremental_never_rescans_history(spark, sf_dir):
     partial state from the artifact — the history partition is never
     re-aggregated (the q_rollup_incremental invariant applied to
     statistics state)."""
-    plan = QUERIES["q_gram_incremental"](
-        spark, sf_dir
-    )._jdf.queryExecution().toString()
-    # artifact reads present
+    plan = _plan(QUERIES["q_gram_incremental"](spark, sf_dir))
+    # artifact reads present (the stored history partials)
     assert "tcas_materialized" in plan
-    # every embeddings scan carries the batch-side pushed filter
-    import re
-
-    scans = [
-        s for s in plan.split("FileScan parquet") if "embeddings" in s
-    ]
-    assert scans, "expected embeddings scans"
-    for s in scans:
-        assert "(vec_id" in s and "% 4)" in s, (
-            "an embeddings scan without the batch cutoff filter means "
-            "the history is being re-scanned"
-        )
+    # the batch predicate (vec_id % 4) = 0 appears; the HISTORY
+    # predicate NOT((vec_id % 4) = 0) must NOT — an inline
+    # _gram_partials(history) would print exactly that negated filter
+    # (the first cut of this test matched substrings common to both
+    # predicates and could never fail — r7 second review)
+    assert "% 4) = 0" in plan
+    assert "NOT ((vec_id" not in plan, (
+        "a negated cutoff filter on an embeddings scan means the "
+        "history is being re-aggregated inline instead of read from "
+        "the stored partials"
+    )
