@@ -145,6 +145,7 @@ HEADLINE_EXT = [
     "q_gram_incremental",
     "q_char_entropy",
     "q_ann_recall_filtered",
+    "q_impute_median",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

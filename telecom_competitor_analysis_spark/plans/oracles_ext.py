@@ -4064,3 +4064,32 @@ EXT_ORACLES["q_ann_recall_filtered"] = """
       ON e.query_id = ap.query_id AND e.neighbor_id = ap.neighbor_id
     GROUP BY e.query_id
 """
+
+# q_impute_median (queries_ext.q_impute_median) — group-median fill
+# with global fallback over the simulated event_id % 7 dropout;
+# quantile_cont ↔ F.percentile (the q_percentile_exact convention).
+EXT_ORACLES["q_impute_median"] = """
+    WITH ev AS (
+        SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+        FROM events
+    ),
+    present AS (SELECT * FROM ev WHERE event_id % 7 != 0),
+    by_type AS (
+        SELECT event_type, quantile_cont(v, 0.5) AS type_median
+        FROM present GROUP BY event_type
+    ),
+    gmed AS (SELECT quantile_cont(v, 0.5) AS global_median FROM present)
+    SELECT
+        ev.event_id,
+        ev.event_type,
+        round(
+            CASE WHEN ev.event_id % 7 = 0
+                 THEN COALESCE(bt.type_median, g.global_median)
+                 ELSE ev.v END,
+            6
+        ) AS value_filled,
+        ev.event_id % 7 = 0 AS imputed
+    FROM ev
+    LEFT JOIN by_type bt USING (event_type)
+    CROSS JOIN gmed g
+"""

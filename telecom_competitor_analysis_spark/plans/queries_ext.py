@@ -3988,6 +3988,54 @@ def q_ann_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_join(exact, approx, k=10)
 
 
+def q_impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data repair by group-median imputation — the missing-value fill
+    every feature pipeline runs before training (median, not mean:
+    robust to the heavy tails the winsorize/outlier queries measure).
+    Missingness is SIMULATED deterministically (event_id % 7 — the
+    testdata carries no nulls; the rule is transparent and mirrored in
+    the oracle): a missing value takes its event_type's median of
+    present values, falling back to the global median for a type with
+    no present values at all (the coalesce chain every imputer needs).
+
+    Scale shape: medians are per-GROUP aggregates broadcast back (the
+    winsorize discipline — never a window over the 5-value type key),
+    the global median is a broadcast 1-row aggregate, and the fill
+    itself is a map-side coalesce. The percentile↔quantile_cont
+    convention matches q_percentile_exact."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("double").alias("v"),
+    )
+    missing = F.col("event_id") % 7 == 0
+    present = ev.filter(~missing)
+    by_type = present.groupBy("event_type").agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("type_median")
+    )
+    glob = present.agg(
+        F.percentile(F.col("v"), F.lit(0.5)).alias("global_median")
+    )
+    return (
+        ev.join(F.broadcast(by_type), on="event_type", how="left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "event_id",
+            "event_type",
+            F.round(
+                F.when(
+                    missing,
+                    F.coalesce(
+                        F.col("type_median"), F.col("global_median")
+                    ),
+                ).otherwise(F.col("v")),
+                6,
+            ).alias("value_filled"),
+            missing.alias("imputed"),
+        )
+    )
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document character-level Shannon entropy — the classic
     low-quality-text signal (gibberish and character floods sit at the
@@ -4565,4 +4613,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gram_incremental": q_gram_incremental,
     "q_char_entropy": q_char_entropy,
     "q_ann_recall_filtered": q_ann_recall_filtered,
+    "q_impute_median": q_impute_median,
 }

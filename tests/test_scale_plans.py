@@ -768,3 +768,14 @@ def test_gram_incremental_never_rescans_history(spark, sf_dir):
         "history is being re-aggregated inline instead of read from "
         "the stored partials"
     )
+
+
+def test_impute_median_broadcast_no_window(spark, sf_dir):
+    """Median imputation must compute the group medians as broadcast
+    aggregates joined back (the winsorize discipline) — never a window
+    over the 5-value event_type key, and the fill is map-side."""
+    plan = _plan(QUERIES["q_impute_median"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "percentile" in plan
+    assert "rangepartitioning" not in plan
