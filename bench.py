@@ -146,6 +146,7 @@ HEADLINE_EXT = [
     "q_char_entropy",
     "q_ann_recall_filtered",
     "q_impute_median",
+    "q_maxsim_index",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

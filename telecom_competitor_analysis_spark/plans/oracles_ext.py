@@ -4093,3 +4093,66 @@ EXT_ORACLES["q_impute_median"] = """
     LEFT JOIN by_type bt USING (event_type)
     CROSS JOIN gmed g
 """
+
+# q_maxsim_index (queries_ext.q_maxsim_index) — frozen-universe mirror
+# of the IVF-probed MaxSim: per-query-chunk nprobe=2 buckets, chunk
+# pairs scored only inside probed buckets, per-chunk MIN / per-doc SUM
+# integer L2², HAVING count = 4 (every query chunk matched).
+EXT_ORACLES["q_maxsim_index"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS (
+        SELECT vec_id, vec_id // 4 AS cdoc, v, anchor_id AS bucket
+        FROM assign WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qc, vec_id // 4 AS qdoc, v, anchor_id AS bucket
+        FROM assign WHERE vec_id < 8 AND rn <= 2
+    ),
+    celem AS (
+        SELECT vec_id, cdoc, bucket, i,
+               CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM c, unnest(generate_series(1, 64)) t(i)
+    ),
+    qelem AS (
+        SELECT qc, qdoc, bucket, i,
+               CAST(round(v[i] * 1000000, 0) AS BIGINT) AS x
+        FROM q, unnest(generate_series(1, 64)) t(i)
+    ),
+    pair AS (
+        SELECT qe.qdoc, qe.qc, ce.cdoc, ce.vec_id AS cc,
+               CAST(SUM((qe.x - ce.x) * (qe.x - ce.x)) AS BIGINT) AS d
+        FROM qelem qe
+        JOIN celem ce ON qe.bucket = ce.bucket AND qe.i = ce.i
+        WHERE ce.cdoc != qe.qdoc
+        GROUP BY 1, 2, 3, 4
+    ),
+    best AS (
+        SELECT qdoc, qc, cdoc, MIN(d) AS md FROM pair GROUP BY 1, 2, 3
+    ),
+    score AS (
+        SELECT qdoc, cdoc, CAST(SUM(md) AS BIGINT) AS score
+        FROM best GROUP BY 1, 2 HAVING COUNT(*) = 4
+    )
+    SELECT qdoc AS query_doc, cdoc AS doc, score,
+           CAST(row_number() OVER (
+               PARTITION BY qdoc ORDER BY score ASC, cdoc ASC
+           ) AS INT) AS rank
+    FROM score
+    QUALIFY rank <= 3
+"""

@@ -4379,6 +4379,82 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(d, "n_words", "distinct_ppm", "doc_id")
 
 
+def q_maxsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxSim late interaction over the MATERIALIZED IVF index — the
+    100 TB form the brute-force q_maxsim_retrieval documents: each
+    QUERY CHUNK probes its nprobe=2 nearest anchor buckets (dynamic
+    partition pruning on the index scan), chunk pairs are scored only
+    inside probed buckets, and the same two exact-integer folds
+    (per-chunk MIN L2², per-doc SUM) rank candidates. Approximation
+    contract: a candidate doc scores only if EVERY query chunk found
+    at least one of its chunks in a probed bucket (HAVING count =
+    n_query_chunks — without it, docs with missing chunk pairs would
+    sum fewer terms and win unfairly under min-distance scoring);
+    docs wholly outside the probed buckets are absent, exactly the
+    IVF recall trade every probe query documents. Frozen-universe
+    oracle mirrors the probed computation."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        _dot,
+        l2sq_micro,
+        micro_vec,
+    )
+
+    idx = _materialized_ivf_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = spark.read.parquet(f"{idx}/anchors")
+    cand = spark.read.parquet(f"{idx}/assignments")
+    qc = emb.filter(F.col("vec_id") < 8).select(
+        F.expr("vec_id div 4").cast("long").alias("qdoc"),
+        F.col("vec_id").alias("qc"),
+        F.col("embedding").alias("q_raw"),
+        micro_vec(F.col("embedding")).alias("qv"),
+    )
+    w = Window.partitionBy("qc").orderBy(
+        F.col("__score").desc(), F.col("anchor_id").asc()
+    )
+    probes = (
+        qc.crossJoin(F.broadcast(anchors))
+        .withColumn("__score", _dot(F.col("q_raw"), F.col("anchor_vec")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select(
+            "qdoc", "qc", "qv", F.col("anchor_id").alias("bucket")
+        )
+    )
+    pair_d = cand.join(F.broadcast(probes), on="bucket").select(
+        "qdoc",
+        "qc",
+        F.expr("neighbor_id div 4").cast("long").alias("cdoc"),
+        l2sq_micro(F.col("qv"), micro_vec(F.col("c_vec"))).alias("d"),
+    )
+    best = (
+        pair_d.filter(F.col("cdoc") != F.col("qdoc"))
+        .groupBy("qdoc", "qc", "cdoc")
+        .agg(F.min("d").alias("md"))
+    )
+    score = (
+        best.groupBy("qdoc", "cdoc")
+        .agg(
+            F.sum("md").cast("long").alias("score"),
+            F.count(F.lit(1)).alias("__n_qc"),
+        )
+        .filter(F.col("__n_qc") == 4)
+    )
+    w2 = Window.partitionBy("qdoc").orderBy(
+        F.col("score").asc(), F.col("cdoc").asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("cdoc").alias("doc"),
+            "score",
+            "rank",
+        )
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact corpus heavy hitters (bigrams above 1/800 of all bigram
     occurrences) via the Misra-Gries candidate + exact verify pattern
@@ -4614,4 +4690,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_entropy": q_char_entropy,
     "q_ann_recall_filtered": q_ann_recall_filtered,
     "q_impute_median": q_impute_median,
+    "q_maxsim_index": q_maxsim_index,
 }

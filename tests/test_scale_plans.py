@@ -779,3 +779,16 @@ def test_impute_median_broadcast_no_window(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "percentile" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_maxsim_index_prunes_buckets_and_folds_mapside(spark, sf_dir):
+    """The index-backed MaxSim must probe buckets with dynamic
+    partition pruning (per-query-chunk broadcast onto the partition
+    column) and keep the same map-side fold shape as the brute-force
+    form (partial MIN/SUM, WindowGroupLimit top-k, no range sort)."""
+    plan = _plan(QUERIES["q_maxsim_index"](spark, sf_dir))
+    assert "dynamicpruning" in plan.lower()
+    assert "partial_min" in plan
+    assert "partial_sum" in plan
+    assert "WindowGroupLimit" in plan
+    assert "rangepartitioning" not in plan
