@@ -686,6 +686,77 @@ def append_to_ivf_index(
     ).parquet(f"{path}/assignments")
 
 
+def ivf_probe(
+    queries: DataFrame,
+    anchors: DataFrame,
+    nprobe: int,
+    probe_id_col: str,
+) -> DataFrame:
+    """The SINGLE IVF probe-selection stage (shared by
+    ``ann_against_index`` and the index-backed MaxSim): rank the
+    broadcast anchors per probing row by dot product (anchor_id
+    tie-break), keep the ``nprobe`` best as ``bucket`` rows. Input must
+    carry ``probe_id_col`` and every payload column to ride along
+    (``q_vec`` etc. — all non-anchor columns are preserved). One
+    definition so the probe tie-break can never drift between the
+    probe consumers."""
+    scored = queries.crossJoin(F.broadcast(anchors)).withColumn(
+        "__score", _dot(F.col("q_vec"), F.col("anchor_vec"))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(
+        F.col("__score").desc(), F.col("anchor_id").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select(
+            *queries.columns, F.col("anchor_id").alias("bucket")
+        )
+    )
+
+
+def maxsim_fold(
+    pair_d: DataFrame,
+    k: int = 3,
+    require_chunks: int | None = None,
+) -> DataFrame:
+    """The candidate-source-agnostic MaxSim fold (shared by the
+    brute-force ``maxsim_topk`` and the index-backed form): per
+    (query doc, query chunk, candidate doc) MIN distance, per
+    (query doc, candidate doc) SUM, top-``k`` window. ``pair_d`` rows:
+    (qdoc, qc, cdoc, d) with self-pairs already excluded or not —
+    the fold filters them. ``require_chunks``: admit a candidate only
+    if EVERY query chunk produced a best-match (the index-backed
+    approximation needs it — under min-distance scoring a candidate
+    with missing pairs sums fewer terms and wins unfairly); None for
+    exhaustive candidate sources where all pairs exist by
+    construction."""
+    best = (
+        pair_d.filter(F.col("cdoc") != F.col("qdoc"))
+        .groupBy("qdoc", "qc", "cdoc")
+        .agg(F.min("d").alias("md"))
+    )
+    score = best.groupBy("qdoc", "cdoc").agg(
+        F.sum("md").cast("long").alias("score"),
+        F.count(F.lit(1)).alias("__n_qc"),
+    )
+    if require_chunks is not None:
+        score = score.filter(F.col("__n_qc") == require_chunks)
+    w = Window.partitionBy("qdoc").orderBy(
+        F.col("score").asc(), F.col("cdoc").asc()
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qdoc").alias("query_doc"),
+            F.col("cdoc").alias("doc"),
+            "score",
+            "rank",
+        )
+    )
+
+
 def ann_against_index(
     queries: DataFrame,
     spark,
@@ -721,18 +792,13 @@ def ann_against_index(
     cand = spark.read.parquet(f"{index_path}/assignments")
     if pre_filter is not None:
         cand = cand.filter(pre_filter)
-    scored_anchors = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).crossJoin(F.broadcast(anchors)).withColumn(
-        "__score", _dot(F.col("q_vec"), F.col("anchor_vec"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("__score").desc(), F.col("anchor_id").asc()
-    )
-    probes = (
-        scored_anchors.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= nprobe)
-        .select("query_id", "q_vec", F.col("anchor_id").alias("bucket"))
+    probes = ivf_probe(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        anchors,
+        nprobe,
+        "query_id",
     )
     scored = (
         cand.join(F.broadcast(probes), on="bucket")
@@ -917,27 +983,9 @@ def maxsim_topk(
         "cdoc",
         l2sq_micro(F.col("qv"), F.col("cv")).alias("d"),
     )
-    best = (
-        pair_d.filter(F.col("cdoc") != F.col("qdoc"))
-        .groupBy("qdoc", "qc", "cdoc")
-        .agg(F.min("d").alias("md"))
-    )
-    score = best.groupBy("qdoc", "cdoc").agg(
-        F.sum("md").cast("long").alias("score")
-    )
-    w = Window.partitionBy("qdoc").orderBy(
-        F.col("score").asc(), F.col("cdoc").asc()
-    )
-    return (
-        score.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("qdoc").alias("query_doc"),
-            F.col("cdoc").alias("doc"),
-            "score",
-            "rank",
-        )
-    )
+    # exhaustive candidate source: every (qc, cdoc) pair exists, so no
+    # all-chunks-matched admission is needed (require_chunks=None)
+    return maxsim_fold(pair_d, k=k, require_chunks=None)
 
 
 def pq_subvectors(

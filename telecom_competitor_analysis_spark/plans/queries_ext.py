@@ -4186,17 +4186,17 @@ def q_gram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         hsxy.write.mode("overwrite").parquet(f"{path}/sxy")
         hsums.write.mode("overwrite").parquet(f"{path}/sums")
 
-    # the builder closure lives in this file (outside the module-hash
-    # fingerprint) — fold the SPLIT DESCRIPTOR and both relevant
-    # sources into the tag so any edit (including the cutoff itself)
-    # re-fingerprints automatically (the q_rollup_incremental rule;
-    # r7 second review: the first cut hashed only _gram_partials and
-    # would have served stale history partials after a cutoff change)
+    # the builder closure AND the cutoff live in this file (outside the
+    # module-hash fingerprint) — hash THIS WHOLE FUNCTION's source plus
+    # the shared partials helper, so any edit (the history filter, the
+    # build closure, anything) re-fingerprints automatically; a
+    # hand-maintained descriptor literal can silently go stale
+    # (r7 reviews: the first cut hashed only _gram_partials, the second
+    # a dead "vec_id%4" string the live filter never read)
     build_sig = hashlib.md5(
         (
-            "vec_id%4!=0|"
+            inspect.getsource(q_gram_incremental)
             + inspect.getsource(_gram_partials)
-            + inspect.getsource(build)
         ).encode()
     ).hexdigest()[:8]
     stored = _materialized(
@@ -4263,10 +4263,11 @@ def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     n·Σxᵢxⱼ − Σxᵢ·Σxⱼ are exact BIGINTs. Operating envelope: the
     centered numerator grows ~n²·(6e3)² ≈ n²·3.6e7 worst-case, so
     int64 holds to n ≈ 5×10⁵ vectors — ample for every tested SF and
-    the ×10 probe, NOT for a 100 TB corpus. Beyond that, drop a digit
-    of quantization per ~100× rows (e3 → n ≈ 5×10⁷) or move the final
-    multiply to DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the partial
-    state itself (Σxᵢxⱼ ≤ n·3.6e7) is safe to n ≈ 2.5×10¹¹.
+    the ×10 probe, NOT for a 100 TB corpus. Beyond that, each dropped
+    quantization digit buys ~10× rows (the bound is n²·x_max²: e3 →
+    n ≈ 5×10⁶, e2 → n ≈ 5×10⁷), or move the final multiply to
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the partial state itself
+    (Σxᵢxⱼ ≤ n·3.6e7) is safe to n ≈ 2.5×10¹¹.
 
     Scale shape: the upper-triangle outer product is generated PER ROW
     map-side (flatten/transform — 2080 narrow structs per vector, no
@@ -4394,65 +4395,46 @@ def q_maxsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF recall trade every probe query documents. Frozen-universe
     oracle mirrors the probed computation."""
     from telecom_competitor_analysis_spark.operators.similarity import (
-        _dot,
+        ivf_probe,
         l2sq_micro,
+        maxsim_fold,
         micro_vec,
     )
 
+    chunks_per_doc = 4  # the vec_id div 4 chunk layout AND the
+    # all-chunks-matched admission threshold — one constant so they
+    # cannot drift apart (the oracle's HAVING COUNT(*) = 4 mirrors it)
     idx = _materialized_ivf_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     anchors = spark.read.parquet(f"{idx}/anchors")
-    cand = spark.read.parquet(f"{idx}/assignments")
-    qc = emb.filter(F.col("vec_id") < 8).select(
-        F.expr("vec_id div 4").cast("long").alias("qdoc"),
+    # quantize candidate chunks ONCE before the probe join (a chunk
+    # matched by m probing query chunks would otherwise pay the
+    # 64-element transform m times)
+    cand = spark.read.parquet(f"{idx}/assignments").select(
+        "bucket",
+        F.expr(f"neighbor_id div {chunks_per_doc}")
+        .cast("long")
+        .alias("cdoc"),
+        micro_vec(F.col("c_vec")).alias("cv"),
+    )
+    qc = emb.filter(
+        F.col("vec_id") < 2 * chunks_per_doc
+    ).select(
+        F.expr(f"vec_id div {chunks_per_doc}").cast("long").alias("qdoc"),
         F.col("vec_id").alias("qc"),
-        F.col("embedding").alias("q_raw"),
+        F.col("embedding").alias("q_vec"),  # raw — anchors score on it
         micro_vec(F.col("embedding")).alias("qv"),
     )
-    w = Window.partitionBy("qc").orderBy(
-        F.col("__score").desc(), F.col("anchor_id").asc()
-    )
-    probes = (
-        qc.crossJoin(F.broadcast(anchors))
-        .withColumn("__score", _dot(F.col("q_raw"), F.col("anchor_vec")))
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= 2)
-        .select(
-            "qdoc", "qc", "qv", F.col("anchor_id").alias("bucket")
-        )
+    probes = ivf_probe(qc, anchors, nprobe=2, probe_id_col="qc").select(
+        "qdoc", "qc", "qv", "bucket"
     )
     pair_d = cand.join(F.broadcast(probes), on="bucket").select(
         "qdoc",
         "qc",
-        F.expr("neighbor_id div 4").cast("long").alias("cdoc"),
-        l2sq_micro(F.col("qv"), micro_vec(F.col("c_vec"))).alias("d"),
+        "cdoc",
+        l2sq_micro(F.col("qv"), F.col("cv")).alias("d"),
     )
-    best = (
-        pair_d.filter(F.col("cdoc") != F.col("qdoc"))
-        .groupBy("qdoc", "qc", "cdoc")
-        .agg(F.min("d").alias("md"))
-    )
-    score = (
-        best.groupBy("qdoc", "cdoc")
-        .agg(
-            F.sum("md").cast("long").alias("score"),
-            F.count(F.lit(1)).alias("__n_qc"),
-        )
-        .filter(F.col("__n_qc") == 4)
-    )
-    w2 = Window.partitionBy("qdoc").orderBy(
-        F.col("score").asc(), F.col("cdoc").asc()
-    )
-    return (
-        score.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= 3)
-        .select(
-            F.col("qdoc").alias("query_doc"),
-            F.col("cdoc").alias("doc"),
-            "score",
-            "rank",
-        )
-    )
+    return maxsim_fold(pair_d, k=3, require_chunks=chunks_per_doc)
 
 
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

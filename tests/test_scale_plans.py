@@ -757,17 +757,29 @@ def test_gram_incremental_never_rescans_history(spark, sf_dir):
     plan = _plan(QUERIES["q_gram_incremental"](spark, sf_dir))
     # artifact reads present (the stored history partials)
     assert "tcas_materialized" in plan
-    # the batch predicate (vec_id % 4) = 0 appears; the HISTORY
-    # predicate NOT((vec_id % 4) = 0) must NOT — an inline
-    # _gram_partials(history) would print exactly that negated filter
-    # (the first cut of this test matched substrings common to both
-    # predicates and could never fail — r7 second review)
-    assert "% 4) = 0" in plan
+    # the HISTORY predicate NOT((vec_id % 4) = 0) must be absent — an
+    # inline _gram_partials(history) prints exactly that negated filter
     assert "NOT ((vec_id" not in plan, (
-        "a negated cutoff filter on an embeddings scan means the "
-        "history is being re-aggregated inline instead of read from "
-        "the stored partials"
+        "a negated cutoff filter means the history is being "
+        "re-aggregated inline instead of read from the stored partials"
     )
+    # AND every embeddings scan must carry the batch predicate in its
+    # pushed DataFilters — an UNfiltered full-corpus rescan (the
+    # double-count shape) has neither the NOT form nor the batch
+    # filter, so the absence check alone cannot catch it (r7 third
+    # review). After "FileScan parquet" the rest of the scan line
+    # holds its DataFilters.
+    scans = [
+        seg.splitlines()[0]
+        for seg in plan.split("FileScan parquet")[1:]
+    ]
+    emb_scans = [s for s in scans if "embeddings" in s]
+    assert emb_scans, "expected embeddings scans in the batch legs"
+    for s in emb_scans:
+        assert "% 4) = 0" in s, (
+            "an embeddings scan without the batch cutoff filter means "
+            "history rows are being re-read"
+        )
 
 
 def test_impute_median_broadcast_no_window(spark, sf_dir):
