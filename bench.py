@@ -147,6 +147,7 @@ HEADLINE_EXT = [
     "q_ann_recall_filtered",
     "q_impute_median",
     "q_maxsim_index",
+    "q_multiprobe_lsh",
     # --- r6 additions (measured from birth) ---
     "q_dedup_incremental",
     "q_ann_index_probe",

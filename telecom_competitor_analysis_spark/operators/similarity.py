@@ -854,6 +854,67 @@ def l2sq_micro(a: Column, b: Column) -> Column:
     )
 
 
+def multiprobe_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. VLDB'07): each query scores its
+    own hyperplane bucket PLUS every bucket at Hamming distance 1
+    (flip each plane bit) — the recall knob for LSH that does not
+    touch the corpus layout, exactly as nprobe is for the IVF index.
+    A near neighbor straddling one hyperplane lands in a distance-1
+    bucket; probing them recovers the dominant LSH miss mode at
+    (n_planes+1)× the candidate volume instead of halving n_planes
+    (which would 2× EVERY bucket's size). The corpus side stays
+    single-bucket; only the tiny broadcast query side fans out.
+    Returns (query_id, neighbor_id, rank)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn(
+        "bucket", hyperplane_sign_bucket(F.col("c_vec"), dim, n_planes)
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn(
+        "bucket", hyperplane_sign_bucket(F.col("q_vec"), dim, n_planes)
+    )
+    flips = [F.col("bucket")]
+    for i in range(1, n_planes + 1):
+        bit = F.substring("bucket", i, 1)
+        flips.append(
+            F.concat(
+                F.substring("bucket", 1, i - 1),
+                F.when(bit == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("bucket", i + 1, n_planes - i),
+            )
+        )
+    probes = qb.select(
+        "query_id", "q_vec", F.explode(F.array(*flips)).alias("probe")
+    )
+    scored = (
+        c.join(F.broadcast(probes), c["bucket"] == probes["probe"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def kcenter_select(
     corpus: DataFrame,
     k: int = 4,

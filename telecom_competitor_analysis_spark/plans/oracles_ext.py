@@ -4156,3 +4156,47 @@ EXT_ORACLES["q_maxsim_index"] = """
     FROM score
     QUALIFY rank <= 3
 """
+
+
+def _multiprobe_lsh_sql(n_planes: int = 4) -> str:
+    """q_multiprobe_lsh's oracle: the q_embedding_lsh_topk bucket CTE,
+    with the query side fanned out to its own bucket plus every
+    Hamming-1 flip (substr surgery per plane position)."""
+    flips = ["bucket"]
+    for i in range(1, n_planes + 1):
+        flips.append(
+            f"substr(bucket, 1, {i - 1}) || "
+            f"(CASE WHEN substr(bucket, {i}, 1) = '1' "
+            f"THEN '0' ELSE '1' END) || substr(bucket, {i + 1})"
+        )
+    probe_union = "\n        UNION ALL ".join(
+        f"SELECT vec_id, v, {f} AS probe FROM q0" for f in flips
+    )
+    return f"""
+    WITH e AS (
+        SELECT
+            vec_id,
+            CAST(embedding AS DOUBLE[]) AS v,
+            {_hyperplane_bucket_sql("embedding", n_planes=n_planes, seed=0)}
+                AS bucket
+        FROM embeddings
+    ),
+    q0 AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 5),
+    probes AS (
+        {probe_union}
+    )
+    SELECT
+        q.vec_id AS query_id,
+        c.vec_id AS neighbor_id,
+        CAST(row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) AS INT) AS rank
+    FROM e c
+    JOIN probes q ON c.bucket = q.probe
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+"""
+
+
+EXT_ORACLES["q_multiprobe_lsh"] = _multiprobe_lsh_sql(4)

@@ -1185,7 +1185,7 @@ VERIFY_PRIORITY = [
     "q_session_window",
     "q_key_skew",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # r8 tier 2 FIRST: the 35 oracles declared after the r7 window
+    # r8 tier 2 FIRST: the 36 oracles declared after the r7 window
     # filled (the 36-green rotation debt + 11 new already = 50) —
     # never driver-hash-checked; suite-oracle-checked at sf0.001 and
     # locally swept at sf0.01/sf0.1 (NOTES.md). Promote these into
@@ -1225,6 +1225,7 @@ VERIFY_PRIORITY = [
     "q_ann_recall_filtered",
     "q_impute_median",
     "q_maxsim_index",
+    "q_multiprobe_lsh",
     # The 45 r5 greens (byte-identical code) — oldest after the r7
     # run; next in line for r8 (former tier-4 fillers first).
     "q_agg_latest_price",

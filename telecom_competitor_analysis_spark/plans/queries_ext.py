@@ -4380,6 +4380,26 @@ def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_2d(d, "n_words", "distinct_ppm", "doc_id")
 
 
+def q_multiprobe_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-10 (operators/similarity.py::
+    multiprobe_lsh_topk, Lv et al. VLDB'07): queries probe their own
+    4-plane bucket plus all four Hamming-1 flips — the LSH recall knob
+    that leaves the corpus bucketing untouched (the hyperplane twin of
+    the IVF index's nprobe). Candidates are a strict superset of
+    q_embedding_lsh_topk's single-bucket run (recall monotonicity
+    pinned by test); the corpus side still shuffles nothing beyond the
+    single bucketed pass."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        multiprobe_lsh_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return multiprobe_lsh_topk(
+        emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
+    )
+
+
 def q_maxsim_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxSim late interaction over the MATERIALIZED IVF index — the
     100 TB form the brute-force q_maxsim_retrieval documents: each
@@ -4673,4 +4693,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_recall_filtered": q_ann_recall_filtered,
     "q_impute_median": q_impute_median,
     "q_maxsim_index": q_maxsim_index,
+    "q_multiprobe_lsh": q_multiprobe_lsh,
 }
