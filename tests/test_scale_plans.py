@@ -804,3 +804,17 @@ def test_maxsim_index_prunes_buckets_and_folds_mapside(spark, sf_dir):
     assert "partial_sum" in plan
     assert "WindowGroupLimit" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_multiprobe_lsh_fans_out_query_side_only(spark, sf_dir):
+    """Multi-probe: the (n_planes+1)-way fan-out must ride the tiny
+    BROADCAST query side (Generate/explode above the broadcast
+    exchange), never the corpus — the bucket join stays a broadcast
+    hash join with the corpus in one bucketed pass."""
+    plan = _plan(QUERIES["q_multiprobe_lsh"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan
+    # the explode sits on the broadcast build side: it appears after
+    # (below, in print order) the BroadcastExchange
+    assert plan.index("Generate explode") > plan.index("BroadcastExchange")
