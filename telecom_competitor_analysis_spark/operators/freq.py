@@ -44,6 +44,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def misra_gries_candidates(tokens: DataFrame, col: str, k: int) -> DataFrame:
@@ -54,9 +55,14 @@ def misra_gries_candidates(tokens: DataFrame, col: str, k: int) -> DataFrame:
     ``distinct()`` the result, which is bounded by partitions·(k-1)
     rows, never data-sized). Guaranteed superset of all tokens with
     global count > N/k; NOT exact — always follow with a verify pass.
+
+    The output schema is derived from the input column's type, so a
+    non-string token column round-trips Arrow with its own type instead
+    of being silently coerced to string.
     """
     if k < 2:
         raise ValueError(f"k must be >= 2, got {k}")
+    out_schema = StructType([StructField(col, tokens.schema[col].dataType)])
 
     def mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict[str, int] = {}
@@ -81,7 +87,7 @@ def misra_gries_candidates(tokens: DataFrame, col: str, k: int) -> DataFrame:
                 }
         yield pd.DataFrame({col: list(counters.keys())})
 
-    return tokens.mapInPandas(mg, schema=f"{col} string")
+    return tokens.mapInPandas(mg, schema=out_schema)
 
 
 def heavy_hitters(

@@ -54,6 +54,11 @@ def interval_overlap_join(
     max(s_a, s_b); overlap implies that bin is touched by BOTH
     intervals, so every overlapping pair appears in exactly one
     joined bin — no dedup shuffle."""
+    if bin_width < 1:
+        # bin_width=0 would divide by zero in the bin computation; under
+        # non-ANSI Spark that yields NULL bins, the explode drops every
+        # row, and the join silently returns empty instead of erroring.
+        raise ValueError(f"bin_width must be >= 1, got {bin_width}")
     ka, kb = keys
     s, e = span
     a = _with_bins(

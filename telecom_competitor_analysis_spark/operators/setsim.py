@@ -65,8 +65,18 @@ def pruned_token_sets(
     the relative cap). With the absolute cap every token contributes
     ≤ max_df_abs²/2 candidates regardless of N, so total candidate
     volume is linear in vocabulary size — the same df-cap discipline
-    as operators/dedup.py's shingle families."""
+    as operators/dedup.py's shingle families.
+
+    ``max_df_frac`` must be the reciprocal of a positive integer (1/n)
+    so the relative predicate stays integer-exact; a non-reciprocal
+    value (e.g. 0.15 → inv 7) would silently enforce a different
+    effective threshold than requested, so it is rejected."""
     inv = round(1.0 / max_df_frac)
+    if inv < 1 or abs(inv * max_df_frac - 1.0) > 1e-9:
+        raise ValueError(
+            "max_df_frac must be the reciprocal of a positive integer "
+            f"(1/n for integer n >= 1), got {max_df_frac}"
+        )
     tok = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens_col)).alias("word"),

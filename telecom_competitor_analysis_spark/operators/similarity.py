@@ -941,7 +941,15 @@ def kcenter_select(
     Expects micro-int vectors (``micro_vec``). Returns
     (sel_round, ``id_col``) — the selection order IS the diversity
     ranking, so a prefix of the result is itself a valid smaller
-    selection."""
+    selection.
+
+    Contract on short corpora: k DISTINCT ids are selected, so a
+    corpus with fewer than k rows yields fewer than k output rows —
+    once every id is selected the anti-join leaves each remaining
+    round empty and the round contributes nothing (it does NOT raise:
+    checking would cost a driver-side count() in an otherwise
+    zero-collect operator). Callers that require exactly k rows must
+    guarantee |corpus| >= k up front."""
     first = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(1)

@@ -1122,74 +1122,28 @@ QUERIES.update(EXT_QUERIES)
 # q_paragraph_dedup, q_dsir_weights, q_temperature_mix, q_bpe_merges),
 # and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
 # rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
-# except the 45 r5 greens parked first below the boundary (rotate
-# THOSE in r8; the 5 former tier-4 fillers sit at the very top of
-# that parked list).
+# except the 45 r5 greens parked first below the boundary. Round 8's
+# window (5 + 31 + 14 = 50): the 5 queries whose operator code changed
+# this round (the r7 ADVICE fixes), the 31 remaining never-driver-checked
+# r7 oracles, and the 14 oldest r5 greens as fill — after r8 every
+# oracle-checked query in the repo has at least one driver green and no
+# green is older than r5 (31 r5 greens remain parked first for r9).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-7 WINDOW (first 50) ============
-    # tier 1 — plan/operator code changed since last green row
-    "q_ann_index_probe",
-    "q_semantic_neighbors",
-    "q_token_budget_fill",
-    # tier 2 — new queries / new oracles, never driver-hash-checked
-    "q_kmeans_assign",
-    "q_semdedup",
-    "q_domain_cap",
-    "q_training_shards",
-    "q_fertility",
-    "q_pmi_pairs",
-    "q_bucketed_join",
-    "q_paragraph_dedup",
-    "q_dsir_weights",
-    "q_temperature_mix",
-    "q_bpe_merges",
-    # tier 3 — all 36 queries whose latest green is r4 (r6 VERDICT
-    # item 2: the reference-core operators among them especially)
-    "q_validate",
-    "q_star_split",
-    "q_pack_cross",
-    "q_antijoin_new",
-    "q_lookup_join",
-    "q_scd_detect",
-    "q_first_per_key",
-    "q_topk",
-    "q_union_all",
-    "q_tumbling_window",
-    "q_json_unwrap",
-    "q_window_rank",
-    "q_rollup",
-    "q_pivot",
-    "q_histogram",
-    "q_map_funcs",
-    "q_max_by",
-    "q_median",
-    "q_string_agg",
-    "q_udaf_weighted",
-    "q_embedding_lsh_topk",
-    "q_embedding_ivf_topk",
-    "q_simhash64",
-    "q_word_freq",
-    "q_common_ngrams",
-    "q_pii_scrub",
-    "q_sample_exact_n",
-    "q_random_projection",
-    "q_chunk_overlap",
-    "q_session_stats",
-    "q_group_topk_words",
-    "q_embedding_quantize",
-    "q_event_funnel",
-    "q_corpus_diff",
-    "q_session_window",
-    "q_key_skew",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # r8 tier 2 FIRST: the 36 oracles declared after the r7 window
-    # filled (the 36-green rotation debt + 11 new already = 50) —
-    # never driver-hash-checked; suite-oracle-checked at sf0.001 and
-    # locally swept at sf0.01/sf0.1 (NOTES.md). Promote these into
-    # the r8 window ahead of everything else.
+    # ============ ROUND-8 WINDOW (first 50) ============
+    # tier 1 — operator code changed this round (r7 ADVICE fixes:
+    # interval.py bin_width validation, setsim.py max_df_frac validation,
+    # freq.py typed mapInPandas schema, q_pq_recall folded onto the shared
+    # _recall_join helper, kcenter_select <k-corpus contract)
+    "q_interval_overlap",
+    "q_setsim_join",
+    "q_heavy_hitters",
+    "q_pq_recall",
+    "q_kcenter_select",
+    # tier 2 — the remaining 31 of the 36 oracles declared after the r7
+    # window filled; never driver-hash-checked (r7 VERDICT item 1)
     "q_containment_pairs",
     "q_oov_rate",
     "q_curriculum_order",
@@ -1200,23 +1154,18 @@ VERIFY_PRIORITY = [
     "q_rrf_fusion",
     "q_rollup_incremental",
     "q_leakage_safe_split",
-    "q_setsim_join",
     "q_corpus_overlap",
     "q_zorder_layout",
     "q_pq_ann",
     "q_knn_label_audit",
     "q_hard_negatives",
-    "q_interval_overlap",
     "q_embedding_drift",
     "q_bloom_prefilter_join",
-    "q_pq_recall",
-    "q_heavy_hitters",
     "q_profile_table",
     "q_dup_rate_by_domain",
     "q_ann_filtered",
     "q_maxsim_retrieval",
     "q_skyline",
-    "q_kcenter_select",
     "q_vocab_coverage",
     "q_gram_matrix",
     "q_ivf_bucket_stats",
@@ -1226,8 +1175,8 @@ VERIFY_PRIORITY = [
     "q_impute_median",
     "q_maxsim_index",
     "q_multiprobe_lsh",
-    # The 45 r5 greens (byte-identical code) — oldest after the r7
-    # run; next in line for r8 (former tier-4 fillers first).
+    # tier 3 — the 14 oldest r5 greens as fill (former tier-4 fillers
+    # first); 5 + 31 + 14 = 50
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
@@ -1242,6 +1191,9 @@ VERIFY_PRIORITY = [
     "q_array_funcs",
     "q_udtf_tokenize",
     "q_revenue_topk",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The 31 remaining r5 greens (byte-identical code) — oldest parked;
+    # first in line for the r9 window.
     "q_corpus_curate",
     "q_train_test_split",
     "q_ntile",
@@ -1273,7 +1225,7 @@ VERIFY_PRIORITY = [
     "q_variant_extract",
     "q_kmv_distinct",
     "q_lateral_topk",
-    # r6 greens on unchanged code (verified last round)
+    # r6 greens on unchanged code (verified round 6)
     "q_convert_speed",
     "q_sentinel_map",
     "q_regex_extract",
@@ -1321,6 +1273,57 @@ VERIFY_PRIORITY = [
     "q_gopher_rules",
     "q_perplexity_mix",
     "q_star_join",
+    # r7 greens (the former r7 window — most recent, park last)
+    "q_ann_index_probe",
+    "q_semantic_neighbors",
+    "q_token_budget_fill",
+    "q_kmeans_assign",
+    "q_semdedup",
+    "q_domain_cap",
+    "q_training_shards",
+    "q_fertility",
+    "q_pmi_pairs",
+    "q_bucketed_join",
+    "q_paragraph_dedup",
+    "q_dsir_weights",
+    "q_temperature_mix",
+    "q_bpe_merges",
+    "q_validate",
+    "q_star_split",
+    "q_pack_cross",
+    "q_antijoin_new",
+    "q_lookup_join",
+    "q_scd_detect",
+    "q_first_per_key",
+    "q_topk",
+    "q_union_all",
+    "q_tumbling_window",
+    "q_json_unwrap",
+    "q_window_rank",
+    "q_rollup",
+    "q_pivot",
+    "q_histogram",
+    "q_map_funcs",
+    "q_max_by",
+    "q_median",
+    "q_string_agg",
+    "q_udaf_weighted",
+    "q_embedding_lsh_topk",
+    "q_embedding_ivf_topk",
+    "q_simhash64",
+    "q_word_freq",
+    "q_common_ngrams",
+    "q_pii_scrub",
+    "q_sample_exact_n",
+    "q_random_projection",
+    "q_chunk_overlap",
+    "q_session_stats",
+    "q_group_topk_words",
+    "q_embedding_quantize",
+    "q_event_funnel",
+    "q_corpus_diff",
+    "q_session_window",
+    "q_key_skew",
 ]
 
 _ROWS_ONLY_LAST = [

@@ -3810,7 +3810,9 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin for product quantization): the number every PQ deployment
     monitors when choosing m×k. Both legs end in per-query partial
     top-k; the recall join then touches ≤ 2·k·|queries| rows at any
-    corpus size. recall_micro = hits · 100000 (k=10) — all integers."""
+    corpus size. recall_micro = hits · 100000 (k=10) — all integers;
+    the join/count itself is the shared ``_recall_join`` (micro mode),
+    so one recall convention exists for every ANN path."""
     from telecom_competitor_analysis_spark.operators.dedup import (
         ensure_parallelism,
     )
@@ -3845,15 +3847,11 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ern") <= 10)
         .select("query_id", "vec_id")
     )
-    return (
-        pq10.join(ex10.withColumn("hit", F.lit(1)), ["query_id", "vec_id"], "left")
-        .groupBy("query_id")
-        .agg(F.count("hit").alias("hits"))
-        .select(
-            "query_id",
-            F.col("hits").cast("long"),
-            (F.col("hits") * 100000).cast("long").alias("recall_micro"),
-        )
+    return _recall_join(
+        ex10.withColumnRenamed("vec_id", "neighbor_id"),
+        pq10.withColumnRenamed("vec_id", "neighbor_id"),
+        k=10,
+        micro=True,
     )
 
 
@@ -3942,10 +3940,18 @@ def q_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return maxsim_topk(chunks, chunks.filter(F.col("chunk_id") < 8), k=3)
 
 
-def _recall_join(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
+def _recall_join(
+    exact: DataFrame, approx: DataFrame, k: int = 10, micro: bool = False
+) -> DataFrame:
     """Per-query recall@k of ``approx`` against ``exact`` (both
     (query_id, neighbor_id) top-k lists): left join on the pair, count
-    hits — the shared tail of q_ann_recall / q_ann_recall_filtered."""
+    hits — the ONE recall computation shared by q_ann_recall /
+    q_ann_recall_filtered / q_pq_recall. Both legs are size-k per
+    query, so the hit count is |exact ∩ approx| regardless of join
+    direction. ``micro=True`` emits the all-integer convention
+    (hits, recall_micro = hits · 1_000_000/k) instead of the rounded
+    double ``recall_at_{k}``."""
+    hits = F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("bigint")
     j = exact.select("query_id", "neighbor_id").join(
         approx.select(
             "query_id", "neighbor_id", F.lit(1).alias("__hit")
@@ -3953,10 +3959,14 @@ def _recall_join(exact: DataFrame, approx: DataFrame, k: int = 10) -> DataFrame:
         on=["query_id", "neighbor_id"],
         how="left",
     )
+    if micro:
+        assert 1_000_000 % k == 0, "micro recall needs k | 1_000_000"
+        return j.groupBy("query_id").agg(
+            hits.alias("hits"),
+            (hits * (1_000_000 // k)).cast("long").alias("recall_micro"),
+        )
     return j.groupBy("query_id").agg(
-        F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-        .cast("bigint")
-        .alias("n_matched"),
+        hits.alias("n_matched"),
         F.round(
             F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / float(k), 6
         ).alias(f"recall_at_{k}"),

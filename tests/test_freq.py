@@ -100,3 +100,16 @@ def test_heavy_hitters_excludes_nulls_consistently(spark):
     }
     # non-null universe is 50 tokens: a (40) > 50/4, b (10) < 50/4
     assert got == {"a": 40}
+
+
+def test_mg_candidates_preserve_non_string_token_type(spark):
+    # the mapInPandas output schema is derived from the input column's
+    # type — a bigint token column comes back bigint, not coerced to
+    # string (r7 ADVICE: reject/derive instead of silent coercion)
+    toks = spark.range(100).select(
+        (F.col("id") % 5).cast("long").alias("token")
+    )
+    out = misra_gries_candidates(toks, "token", k=10)
+    assert dict(out.dtypes)["token"] == "bigint"
+    got = {r["token"] for r in out.distinct().collect()}
+    assert got == {0, 1, 2, 3, 4}

@@ -95,3 +95,33 @@ def test_setsim_df_caps_and_threshold(spark):
     assert "common" not in kept_abs          # df=10 > 2
     assert "rare1" not in kept_abs           # df=3 > 2
     assert "rare2" in kept_abs               # df=2 <= 2
+
+
+def test_interval_overlap_rejects_nonpositive_bin_width(spark):
+    # bin_width=0 would NULL every bin under non-ANSI division and the
+    # join would silently return empty — the API rejects it instead
+    import pytest
+
+    a = _intervals(spark, [(1, 0, 5)], "a_key")
+    b = _intervals(spark, [(2, 3, 9)], "b_key")
+    with pytest.raises(ValueError, match="bin_width must be >= 1"):
+        interval_overlap_join(a, b, bin_width=0)
+    with pytest.raises(ValueError, match="bin_width must be >= 1"):
+        interval_overlap_join(a, b, bin_width=-7)
+
+
+def test_pruned_token_sets_rejects_non_reciprocal_frac(spark):
+    # 0.15 -> round(1/0.15)=7 would silently enforce df/n <= 1/7, not
+    # the requested 0.15 — rejected at the API boundary
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["b", "c"])], "id long, toks array<string>"
+    )
+    with pytest.raises(ValueError, match="reciprocal of a positive integer"):
+        pruned_token_sets(docs, "id", F.col("toks"), max_df_frac=0.15)
+    # exact reciprocals still pass (1/4)
+    assert (
+        pruned_token_sets(docs, "id", F.col("toks"), max_df_frac=0.25).columns
+        == ["id", "word", "df"]
+    )
