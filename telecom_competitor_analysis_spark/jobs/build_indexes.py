@@ -33,11 +33,11 @@ def build_all(
     out: str,
     shingle_w: int = 3,
     max_df: int = 1000,
-    n_anchors: int = 16,
-    max_bucket_size: int | None = 100_000,
+    n_anchors: int | None = None,
+    max_bucket_size: int | None = None,
     n_hashes: int = 4,
     bands: int = 2,
-    kmeans_k: int = 8,
+    kmeans_k: int | None = None,
     kmeans_iters: int = 2,
     embedding_dim: int = 64,
 ) -> dict[str, str]:
@@ -46,7 +46,16 @@ def build_all(
     leaves the others usable, and re-running overwrites idempotently.
     ``embedding_dim`` must match the embeddings table (the centroid
     sums index v[0..dim-1]); keep it in sync with the query side's
-    EMBEDDING_DIM."""
+    EMBEDDING_DIM.
+
+    ``n_anchors`` / ``max_bucket_size`` / ``kmeans_k`` default to None
+    = sized from the embedding corpus row count (jobs/sizing.py —
+    nlist = ⌈√n⌉, cap = 8×mean occupancy, k = ⌈n/64⌉), so the nightly
+    build stays correctly proportioned as the corpus grows; pass
+    explicit values to pin them (the declared queries' fixture builds
+    do, keeping the DuckDB oracle constants valid). ``max_df`` stays a
+    constant on purpose — it bounds per-token candidate volume
+    independent of corpus size."""
     from telecom_competitor_analysis_spark.operators.dedup import (
         build_shingle_index,
         lsh_candidate_pairs,
@@ -60,6 +69,18 @@ def build_all(
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     emb = load_table(spark, sf_dir, "embeddings")
+
+    if n_anchors is None or max_bucket_size is None or kmeans_k is None:
+        from telecom_competitor_analysis_spark.jobs.sizing import sized_knobs
+
+        knobs = sized_knobs(emb.count())
+        n_anchors = knobs["n_anchors"] if n_anchors is None else n_anchors
+        max_bucket_size = (
+            knobs["max_bucket_size"]
+            if max_bucket_size is None
+            else max_bucket_size
+        )
+        kmeans_k = knobs["kmeans_k"] if kmeans_k is None else kmeans_k
 
     paths = {
         "shingle_index": f"{out}/shingle_index",
@@ -90,7 +111,10 @@ def main(argv: list[str] | None = None) -> dict[str, str]:
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--max-df", type=int, default=1000)
-    p.add_argument("--n-anchors", type=int, default=16)
+    p.add_argument(
+        "--n-anchors", type=int, default=None,
+        help="IVF anchor count (default: sized from the corpus, ⌈√n⌉)",
+    )
     args = p.parse_args(argv)
 
     from telecom_competitor_analysis_spark.session import get_spark
