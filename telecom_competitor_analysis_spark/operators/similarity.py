@@ -44,6 +44,50 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def hashed_bow_embedding(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 16,
+) -> DataFrame:
+    """Deterministic hashed bag-of-words text embedding (the classic
+    feature-hashing / signed-random-projection trick): each word lands
+    in bucket xxhash64(w) mod dim with sign xxhash64(w, salt) mod 2,
+    summed per document. Word ORDER is irrelevant by construction, so
+    a word-shuffled near-duplicate embeds identically — which is
+    exactly what the streaming admission composite's embedding screen
+    needs to catch when the shingle screen can't (SemDedup's case).
+    Pure built-ins end to end (explode → map-side partial groupBy on
+    the doc key); returns (``id_col``, embedding array<double>).
+    Stands in for a model encoder wherever determinism matters more
+    than semantics (tests, fixtures, the synthetic crawl feed)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), " ")).alias("__w"),
+    ).where(F.col("__w") != "")
+    feat = tok.select(
+        id_col,
+        F.pmod(F.xxhash64("__w"), F.lit(dim)).alias("__b"),
+        F.when(
+            F.pmod(F.xxhash64("__w", F.lit("sign")), F.lit(2)) == 0,
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(-1.0))
+        .alias("__s"),
+    )
+    agg = feat.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("__b") == i, F.col("__s")).otherwise(0.0))
+            .alias(f"__v{i}")
+            for i in range(dim)
+        ]
+    )
+    return agg.select(
+        id_col,
+        F.array(*[F.col(f"__v{i}") for i in range(dim)]).alias("embedding"),
+    )
+
+
 # public aliases: pair-wise plans precompute the per-row norm ONCE and
 # divide the dot product by the two cached norms — same expressions in the
 # same order (bit-identical to cosine()), but the O(pairs) stage does one

@@ -105,13 +105,25 @@ class SyntheticDocumentsDataSource(DataSource):
         return "synthetic_documents"
 
     @classmethod
-    def text_for(cls, i: int) -> str:
+    def text_for(cls, i: int, scramble: bool = False) -> str:
         """The feed's row content as a pure function of the offset —
         exposed so tests can recompute any batch's documents exactly
         (the exactly-once assertions and batch-side expectation
-        recomputes all go through this single definition)."""
+        recomputes all go through this single definition).
+
+        ``scramble=True`` (reader option ``scrambleDups``) emits the
+        planted duplicates with their words SORTED: the bag of words —
+        hence any bag-of-words embedding — is unchanged, but the 3-gram
+        shingles are destroyed, so a shingle screen misses them while
+        an embedding screen still catches them (the SemDedup case the
+        5th admission screen exists for)."""
         if i % 3 == 0:
-            return f"{cls.KEEP_TEXT} tail{i}"
+            core = (
+                " ".join(sorted(cls.KEEP_TEXT.split()))
+                if scramble
+                else cls.KEEP_TEXT
+            )
+            return f"{core} tail{i}"
         return " ".join(f"w{i}x{j}" for j in range(12))
 
     def schema(self) -> str:
@@ -124,13 +136,16 @@ class SyntheticDocumentsDataSource(DataSource):
 class SyntheticDocumentsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options) -> None:
         self.per_batch = int(options.get("docsPerBatch", 6))
+        self.scramble = (
+            str(options.get("scrambleDups", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:
         return {"offset": 0}
 
     def _rows(self, start: int, end: int) -> list[tuple]:
         return [
-            (i, SyntheticDocumentsDataSource.text_for(i))
+            (i, SyntheticDocumentsDataSource.text_for(i, self.scramble))
             for i in range(start, end)
         ]
 

@@ -377,3 +377,185 @@ def test_streaming_admission_with_boilerplate_screen(spark, dirs):
             assert not r.admitted and r.reason == "dup"  # dup outranks
         else:
             assert r.admitted and r.reason is None
+
+
+def test_streaming_admission_with_ann_screen(spark, dirs):
+    """Fifth admission signal (r7 VERDICT item 6): EMBEDDING near-dup
+    probe of each micro-batch against a FROZEN IVF index — the screen
+    that catches what shingle dedup structurally cannot. The feed's
+    planted duplicates arrive word-SCRAMBLED (``scrambleDups``): their
+    bag of words — hence their hashed-BoW embedding — is unchanged, but
+    their 3-gram shingles are destroyed, so the shingle probe misses
+    every one of them (asserted) while the IVF probe (top-1 neighbor +
+    cosine >= 0.8, measured planted cos >= 0.977 vs novel <= 0.49)
+    flags exactly the planted set. Per-batch cost ∝ batch (the index
+    read is bucket-pruned via ann_against_index's read path, the same
+    one append_to_ivf_index serves); full five-screen precedence
+    dup > ann_dup > boilerplate > screen > model; exactly-once across
+    the checkpointed restart."""
+    from telecom_competitor_analysis_spark.operators.freq import (
+        heavy_hitters,
+    )
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+        hashed_linear_score,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+        cosine,
+        hashed_bow_embedding,
+    )
+
+    keep = spark.createDataFrame(
+        [
+            (1000, SyntheticDocumentsDataSource.KEEP_TEXT),
+            (1001, " ".join(f"other{j}" for j in range(12))),
+        ],
+        "doc_id long, text string",
+    )
+    build_shingle_index(keep, "doc_id", "text", dirs["index"], w=3)
+    ivf_path = f"{dirs['index']}_ivf"
+    build_ivf_index(
+        hashed_bow_embedding(keep),
+        ivf_path,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_anchors=2,
+    )
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+
+    def curate_batch(batch_df, batch_id: int) -> None:
+        emb = hashed_bow_embedding(batch_df)
+        nbrs = ann_against_index(
+            emb, spark, ivf_path,
+            id_col="doc_id", vec_col="embedding", k=1, nprobe=2,
+        )
+        idx_vecs = spark.read.parquet(f"{ivf_path}/assignments").select(
+            "neighbor_id", "c_vec"
+        )
+        ann = (
+            nbrs.join(idx_vecs, on="neighbor_id")
+            .join(
+                emb.withColumnRenamed("doc_id", "query_id"), on="query_id"
+            )
+            .where(cosine(F.col("embedding"), F.col("c_vec")) >= 0.8)
+            .select(F.col("query_id").alias("doc_id"))
+            .distinct()
+            .withColumn("__ann", F.lit(True))
+        )
+        bigrams = batch_df.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(trim(text), ' ')) - 2),"
+                    " i -> concat(split(trim(text), ' ')[i], ' ',"
+                    " split(trim(text), ' ')[i + 1]))"
+                )
+            ).alias("token"),
+        )
+        heavy = heavy_hitters(
+            bigrams.select("token"), "token", inv_frac=40
+        ).select("token")
+        n_bg = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__n"))
+        n_heavy = (
+            bigrams.join(F.broadcast(heavy), on="token")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("__nh"))
+        )
+        boiler = n_bg.join(n_heavy, on="doc_id", how="left").select(
+            "doc_id",
+            (F.coalesce(F.col("__nh"), F.lit(0)) * 2 > F.col("__n")).alias(
+                "boilerplate"
+            ),
+        )
+        screened = gopher_rules(
+            batch_df, "doc_id", "text",
+            min_words=5, min_mean_word_len=1.0, max_mean_word_len=20.0,
+            min_stopwords=0, max_top_word_fraction=0.9,
+            min_distinct_fraction=0.2, max_dup_bigram_fraction=0.9,
+        ).select("doc_id", "passes")
+        model = hashed_linear_score(batch_df, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("model_keep")
+        )
+        dups = (
+            near_dups_against_index(
+                batch_df, spark, dirs["index"], "doc_id", "text",
+                w=3, threshold=0.2,
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        out = (
+            batch_df.join(screened, on="doc_id")
+            .join(boiler, on="doc_id")
+            .join(model, on="doc_id")
+            .join(ann, on="doc_id", how="left")
+            .join(dups, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).alias("batch_id"),
+                F.col("__ann").isNotNull().alias("ann_dup"),
+                "boilerplate",
+                (
+                    F.col("passes")
+                    & F.col("model_keep")
+                    & ~F.col("boilerplate")
+                    & F.col("__ann").isNull()
+                    & F.col("__dup").isNull()
+                ).alias("admitted"),
+                F.when(F.col("__dup").isNotNull(), "dup")
+                .when(F.col("__ann").isNotNull(), "ann_dup")
+                .when(F.col("boilerplate"), "boilerplate")
+                .when(~F.col("passes"), "screen")
+                .when(~F.col("model_keep"), "model")
+                .alias("reason"),
+            )
+        )
+        out.write.mode("append").parquet(dirs["out"])
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_documents")
+            .option("docsPerBatch", "6")
+            .option("scrambleDups", "true")
+            .load()
+            .writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    run_once()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert set(rows) == set(range(12))  # exactly-once across restart
+
+    # batch-side expectation for the model screen on the novel docs
+    stream_docs = spark.createDataFrame(
+        [
+            (i, SyntheticDocumentsDataSource.text_for(i, scramble=True))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    expected_keep = {
+        r.doc_id: r.keep
+        for r in hashed_linear_score(stream_docs, "doc_id", "text").collect()
+    }
+    for i in range(12):
+        r = rows[i]
+        assert r.batch_id == (0 if i < 6 else 1)
+        # the shingle screen MISSED every scrambled dup (reason is never
+        # "dup"); only the embedding screen catches them
+        assert r.reason != "dup"
+        assert r.ann_dup == (i % 3 == 0), i
+        if i % 3 == 0:
+            assert not r.admitted and r.reason == "ann_dup"
+        elif not expected_keep[i]:
+            assert not r.admitted and r.reason == "model"
+        else:
+            assert r.admitted and r.reason is None
