@@ -158,6 +158,11 @@ HEADLINE_EXT = [
     "q_gopher_rules",
     "q_perplexity_mix",
     "q_star_join",
+    # --- r8 additions (measured from birth) ---
+    "q_sizing_report",
+    "q_shard_balance",
+    "q_quality_calibration",
+    "q_lsh_band_stats",
 ]
 
 

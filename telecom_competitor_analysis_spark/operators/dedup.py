@@ -184,23 +184,19 @@ def minhash_signature(
     return tokens.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def banded_signatures(
     signatures: DataFrame,
     id_col: str,
     n_hashes: int = 4,
     bands: int = 2,
-    max_bucket_size: int = 1000,
 ) -> DataFrame:
-    """Band the signature (rows = n_hashes/bands per band), hash each band,
-    self-join on (band_idx, band_key) → candidate pairs (a < b).
-    Pair volume is Σ bucket² — bounded by bucket sizes, not corpus size.
-
-    ``max_bucket_size`` drops degenerate mega-buckets before pairing (the
-    CCNet/SlimPajama hygiene step): a bucket shared by m docs emits m²/2
-    pairs, so one boilerplate-driven bucket of 10⁶ docs would emit ~5·10¹¹
-    pairs and sink the job. Docs in a dropped bucket can still pair through
-    their other bands; a corpus-scale bucket means near-identical
-    boilerplate, which exact dedup already collapses upstream."""
+    """(id, band_idx, band_key) rows — the banding stage of LSH, the
+    ONE definition shared by ``lsh_candidate_pairs`` (which pairs
+    within buckets) and the band-health observability query
+    (``q_lsh_band_stats``, which audits bucket-size distribution and
+    predicted candidate volume without materializing any pair). Band b
+    covers signature components h[b·r .. b·r + r), r = n_hashes/bands;
+    the band key is md5 over the '|'-joined components."""
     if bands <= 0 or n_hashes % bands:
         raise ValueError(
             f"n_hashes ({n_hashes}) must divide evenly into bands ({bands}):"
@@ -208,7 +204,7 @@ def lsh_candidate_pairs(
             " from every band key, weakening the LSH collision guarantee"
         )
     rows_per_band = n_hashes // bands
-    banded = signatures.select(
+    return signatures.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -230,6 +226,26 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_idx", "band.band_key")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    n_hashes: int = 4,
+    bands: int = 2,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Band the signature (rows = n_hashes/bands per band), hash each band,
+    self-join on (band_idx, band_key) → candidate pairs (a < b).
+    Pair volume is Σ bucket² — bounded by bucket sizes, not corpus size.
+
+    ``max_bucket_size`` drops degenerate mega-buckets before pairing (the
+    CCNet/SlimPajama hygiene step): a bucket shared by m docs emits m²/2
+    pairs, so one boilerplate-driven bucket of 10⁶ docs would emit ~5·10¹¹
+    pairs and sink the job. Docs in a dropped bucket can still pair through
+    their other bands; a corpus-scale bucket means near-identical
+    boilerplate, which exact dedup already collapses upstream."""
+    banded = banded_signatures(signatures, id_col, n_hashes, bands)
     # Pairs via per-bucket combination explode (NOT a self-join: a self-join
     # would recompute the whole signature pipeline for both sides — measured
     # 2× cost — and shuffle twice). One groupBy shuffle; bucket member lists

@@ -4200,3 +4200,147 @@ def _multiprobe_lsh_sql(n_planes: int = 4) -> str:
 
 
 EXT_ORACLES["q_multiprobe_lsh"] = _multiprobe_lsh_sql(4)
+
+
+# --- round-8 observability wave ------------------------------------------
+
+# Sizing report (queries_ext.q_sizing_report): exact integer ceil-sqrt
+# via a +-1 adjustment of the double sqrt — identical arithmetic on the
+# Spark side, so both engines agree even when the double sqrt lands a
+# hair under/over an exact square.
+EXT_ORACLES["q_sizing_report"] = """
+    WITH counts AS (
+        SELECT 'documents' AS corpus, COUNT(*) AS n FROM documents
+        UNION ALL
+        SELECT 'embeddings' AS corpus, COUNT(*) AS n FROM embeddings
+    ),
+    a AS (
+        SELECT corpus, n,
+               CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS a0
+        FROM counts
+    ),
+    k AS (
+        SELECT corpus, n,
+               GREATEST(CAST(1 AS BIGINT), CASE
+                   WHEN (a0 - 1) * (a0 - 1) >= n THEN a0 - 1
+                   WHEN a0 * a0 < n THEN a0 + 1
+                   ELSE a0 END) AS n_anchors
+        FROM a
+    )
+    SELECT corpus,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(n_anchors AS BIGINT) AS n_anchors,
+           CAST(8 * ((n + n_anchors - 1) // n_anchors) AS BIGINT)
+               AS max_bucket_size,
+           CAST(GREATEST(1, (n + 63) // 64) AS BIGINT) AS kmeans_k
+    FROM k
+"""
+
+# Shard balance (queries_ext.q_shard_balance): shard hash identical to
+# q_training_shards; integer ppm share.
+EXT_ORACLES["q_shard_balance"] = f"""
+    WITH h AS (
+        SELECT doc_id, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || '|shard') AS hh
+        FROM documents
+    ),
+    s AS (
+        SELECT n_chars,
+               CAST((({_NIB.format(i=1)}) * 16 + ({_NIB.format(i=2)})) % 8
+                    AS INT) AS shard
+        FROM h
+    ),
+    per AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM s GROUP BY shard
+    ),
+    t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM per)
+    SELECT shard, n_docs, n_chars,
+           CAST(n_docs * 1000000 // total AS BIGINT) AS share_ppm
+    FROM per, t
+"""
+
+# Model-vs-rules calibration (queries_ext.q_quality_calibration):
+# composes the classifier and Gopher oracles verbatim as CTEs; decile
+# cutoffs are exact quantile_cont == F.percentile (the q_perplexity_mix
+# precedent), bucketing is a strict-greater count over the 9 cutoffs in
+# both engines.
+EXT_ORACLES["q_quality_calibration"] = f"""
+    WITH model AS (
+        SELECT doc_id, score_micro
+        FROM ({EXT_ORACLES["q_quality_classifier"]})
+        WHERE score_micro IS NOT NULL
+    ),
+    gopher AS (
+        SELECT doc_id, passes FROM ({EXT_ORACLES["q_gopher_rules"]})
+    ),
+    j AS (
+        SELECT m.doc_id, m.score_micro, g.passes
+        FROM model m JOIN gopher g USING (doc_id)
+    ),
+    cuts AS (
+        SELECT quantile_cont(score_micro,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM j
+    ),
+    b AS (
+        SELECT j.score_micro, j.passes,
+               CAST(1 + len(list_filter(qs, c -> j.score_micro > c))
+                    AS INT) AS decile
+        FROM j, cuts
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score_micro >= 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_model_keep,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gopher_pass,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS gopher_pass_rate_micro
+    FROM b GROUP BY decile
+"""
+
+# LSH band health (queries_ext.q_lsh_band_stats): the banded CTE chain
+# is the q_minhash_lsh_pairs oracle's, stopped at bucket sizes — no
+# pair is ever materialized, matching the Spark side's two bounded
+# aggregates over banded_signatures.
+EXT_ORACLES["q_lsh_band_stats"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig AS (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh
+        GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band_idx, md5(h0 || '|' || h1) AS band_key
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band_idx, md5(h2 || '|' || h3) AS band_key
+        FROM sig
+    ),
+    bsz AS (
+        SELECT band_idx, band_key, COUNT(*) AS bucket_size
+        FROM banded GROUP BY 1, 2
+    )
+    SELECT CAST(band_idx AS INT) AS band_idx,
+           CAST(bucket_size AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) * bucket_size * (bucket_size - 1) // 2 AS BIGINT)
+               AS cand_pairs
+    FROM bsz GROUP BY band_idx, bucket_size
+"""

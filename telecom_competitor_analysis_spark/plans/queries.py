@@ -1136,12 +1136,19 @@ VERIFY_PRIORITY = [
     # tier 1 — operator code changed this round (r7 ADVICE fixes:
     # interval.py bin_width validation, setsim.py max_df_frac validation,
     # freq.py typed mapInPandas schema, q_pq_recall folded onto the shared
-    # _recall_join helper, kcenter_select <k-corpus contract)
+    # _recall_join helper, kcenter_select <k-corpus contract, and the
+    # banded_signatures extraction inside lsh_candidate_pairs)
     "q_interval_overlap",
     "q_setsim_join",
     "q_heavy_hitters",
     "q_pq_recall",
     "q_kcenter_select",
+    "q_minhash_lsh_pairs",
+    # tier 2a — the four round-8 observability oracles, never checked
+    "q_sizing_report",
+    "q_shard_balance",
+    "q_quality_calibration",
+    "q_lsh_band_stats",
     # tier 2 — the remaining 31 of the 36 oracles declared after the r7
     # window filled; never driver-hash-checked (r7 VERDICT item 1)
     "q_containment_pairs",
@@ -1175,8 +1182,8 @@ VERIFY_PRIORITY = [
     "q_impute_median",
     "q_maxsim_index",
     "q_multiprobe_lsh",
-    # tier 3 — the 14 oldest r5 greens as fill (former tier-4 fillers
-    # first); 5 + 31 + 14 = 50
+    # tier 3 — the 9 oldest r5 greens as fill (former tier-4 fillers
+    # first); 6 changed + 4 new + 31 never-checked + 9 = 50
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
@@ -1186,14 +1193,15 @@ VERIFY_PRIORITY = [
     "q_explode",
     "q_grouping_sets",
     "q_scalar_subquery",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The remaining r5 greens — oldest parked; first in line for the
+    # r9 window (the 5 fillers displaced by the round-8 additions go
+    # back to the front).
     "q_outer_join",
     "q_date_arith",
     "q_array_funcs",
     "q_udtf_tokenize",
     "q_revenue_topk",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The 31 remaining r5 greens (byte-identical code) — oldest parked;
-    # first in line for the r9 window.
     "q_corpus_curate",
     "q_train_test_split",
     "q_ntile",
@@ -1201,7 +1209,6 @@ VERIFY_PRIORITY = [
     "q_curate_incremental",
     "q_dedup_exact",
     "q_minhash",
-    "q_minhash_lsh_pairs",
     "q_ngram_jaccard",
     "q_simhash_pairs",
     "q_embedding_topk",

@@ -4574,7 +4574,187 @@ def q_dup_rate_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistic knob sizing as a QUERY (jobs/sizing.py's laws,
+    observable): per corpus, the row count and the index geometry the
+    nightly build would use — n_anchors = ⌈√n⌉ (exact integer ceil-sqrt
+    via a ±1 adjustment of the double sqrt), bucket cap = 8 × mean
+    occupancy, kmeans k = ⌈n/64⌉. The "who picks the knob at 100 TB"
+    answer, auditable next to the ivf_bucket_stats/lsh_band_stats
+    health queries. Scale shape: two columnless count aggregates (the
+    cheapest distributed statistic there is) + map-side arithmetic."""
+    def counted(table: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, table)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(table).alias("corpus"), F.col("n"))
+        )
+
+    u = counted("documents").unionByName(counted("embeddings"))
+    return (
+        u.withColumn(
+            "__a0", F.expr("CAST(ceil(sqrt(CAST(n AS DOUBLE))) AS BIGINT)")
+        )
+        .withColumn(
+            "n_anchors",
+            F.expr(
+                "GREATEST(CAST(1 AS BIGINT), CASE"
+                " WHEN (__a0 - 1) * (__a0 - 1) >= n THEN __a0 - 1"
+                " WHEN __a0 * __a0 < n THEN __a0 + 1"
+                " ELSE __a0 END)"
+            ),
+        )
+        .select(
+            "corpus",
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("n_anchors").cast("long").alias("n_anchors"),
+            F.expr(
+                "CAST(8 * ((n + n_anchors - 1) DIV n_anchors) AS BIGINT)"
+            ).alias("max_bucket_size"),
+            F.expr(
+                "CAST(GREATEST(1, (n + 63) DIV 64) AS BIGINT)"
+            ).alias("kmeans_k"),
+        )
+    )
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard balance audit — the observability twin of
+    q_training_shards: per shard, document count, total characters (the
+    token-volume proxy a shard writer actually packs), and the shard's
+    ppm share of the corpus. At 100 TB hash-sharding is only as good as
+    its balance, and this is the report that proves it (a skewed shard
+    = one straggler writer). Scale shape: one map-side hash + one
+    8-group aggregate; the corpus total comes from an unpartitioned
+    window over the ALREADY-AGGREGATED rows — bounded by n_shards (a
+    constant), so the "global window" is 8 rows, never data-sized, and
+    the documents scan happens exactly once (a separate total
+    aggregate would re-execute the scan subtree). Integer ppm, no
+    doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_shards = 8
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|shard")))
+    per = (
+        docs.select(
+            F.pmod(
+                F.conv(F.substring(h, 1, 2), 16, 10).cast("int"),
+                F.lit(n_shards),
+            ).alias("shard"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+        )
+    )
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_chars",
+        F.expr(
+            "CAST(n_docs * 1000000 DIV SUM(n_docs) OVER () AS BIGINT)"
+        ).alias("share_ppm"),
+    )
+
+
+def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-vs-rules calibration table — the quality-gate diagnostic
+    every model-filtered pipeline keeps: bucket the corpus into deciles
+    of the classifier score (exact percentile cutoffs, the
+    q_perplexity_mix convention) and report how often the INDEPENDENT
+    Gopher rule gate passes in each decile. A well-calibrated score
+    shows pass-rate rising monotonically with the decile; a flat table
+    means the model learned something the rules don't measure (or
+    nothing at all). Scale shape: two map-side scoring passes share one
+    scan each, one exact-percentile aggregate broadcast back as 9
+    cutoff literals, then a 10-group aggregate — no global sort, no
+    per-row window (decile = count of cutoffs below the score)."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+        hashed_linear_score,
+    )
+
+    # NULL-text docs are unscorable; the filter is a plain pushed scan
+    # predicate here, and score_micro IS NULL ⇔ text IS NULL, which is
+    # the equivalent (pushdown-free) form the composed oracle uses
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    model = hashed_linear_score(docs, "doc_id", "text").select(
+        "doc_id", "score_micro"
+    )
+    gopher = gopher_rules(docs, "doc_id", "text").select("doc_id", "passes")
+    j = model.join(gopher, on="doc_id")
+    cuts = j.agg(
+        F.percentile(
+            F.col("score_micro"),
+            F.lit([i / 10.0 for i in range(1, 10)]),
+        ).alias("__cuts")
+    )
+    b = j.join(F.broadcast(cuts)).select(
+        "score_micro",
+        "passes",
+        F.expr(
+            "CAST(1 + size(filter(__cuts, c -> score_micro > c)) AS INT)"
+        ).alias("decile"),
+    )
+    return b.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("score_micro") >= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_model_keep"),
+        F.sum(F.when(F.col("passes"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_gopher_pass"),
+        F.expr(
+            "CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("gopher_pass_rate_micro"),
+    )
+
+
+def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-health report — the bucket-size distribution per band
+    plus the candidate-pair volume each size class would emit
+    (n_buckets · s(s−1)/2): the number that says whether the banding
+    scheme is healthy BEFORE paying for the pair explode (the
+    q_ivf_bucket_stats twin for MinHash-LSH, and the observable form
+    of lsh_candidate_pairs' Σ bucket² cost model — one mega-bucket
+    here = the max_bucket_size cap earning its keep). Uses the SAME
+    banding stage as the pair generator (operators/dedup.py::
+    banded_signatures), so the report audits exactly what runs. Scale
+    shape: signature groupBy, band explode (×bands), two bounded
+    aggregates — never a pair materialized."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        banded_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    banded = banded_signatures(sig, "doc_id", n_hashes=4, bands=2)
+    bsz = banded.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return bsz.groupBy("band_idx", "bucket_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.expr(
+            "CAST(COUNT(1) * bucket_size * (bucket_size - 1) DIV 2"
+            " AS BIGINT)"
+        ).alias("cand_pairs"),
+    ).select(
+        F.col("band_idx").cast("int").alias("band_idx"),
+        F.col("bucket_size").cast("long").alias("bucket_size"),
+        "n_buckets",
+        "cand_pairs",
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_sizing_report": q_sizing_report,
+    "q_shard_balance": q_shard_balance,
+    "q_quality_calibration": q_quality_calibration,
+    "q_lsh_band_stats": q_lsh_band_stats,
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
     "q_domain_cap": q_domain_cap,

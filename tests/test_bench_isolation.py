@@ -5,6 +5,10 @@ error aborted the whole run)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end job/pipeline tier; fast tier is -m 'not slow'
+
 import json
 
 import bench

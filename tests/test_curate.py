@@ -4,6 +4,7 @@ deterministic winners."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.operators.curate import (
@@ -33,6 +34,7 @@ def test_curate_stages(spark):
     assert kept == {1, 6}
 
 
+@pytest.mark.slow  # full-pipeline incremental round-trip (~15 s)
 def test_incremental_curation_only_admits_fresh(spark):
     from telecom_competitor_analysis_spark.operators.curate import (
         curate_incremental,

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-run default; excluded by the -m 'not slow' fast tier
+
 from telecom_competitor_analysis_spark.plans.oracles import ORACLES
 from telecom_competitor_analysis_spark.plans.queries import QUERIES
 

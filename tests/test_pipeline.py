@@ -4,6 +4,10 @@ the reference's first-vs-latest change-detection quirk (SURVEY.md §2.5)."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # end-to-end job/pipeline tier; fast tier is -m 'not slow'
+
 
 
 from telecom_competitor_analysis_spark.jobs.clean import clean_products

@@ -4,6 +4,10 @@ inputs — not just the hand-picked A6 fixtures."""
 
 from __future__ import annotations
 
+import pytest
+
+pytestmark = pytest.mark.slow  # full-run default; excluded by the -m 'not slow' fast tier
+
 import re
 
 from hypothesis import given, settings

@@ -12,6 +12,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end job/pipeline tier; fast tier is -m 'not slow'
+
 from telecom_competitor_analysis_spark.jobs.run_pipeline import run
 from tests.test_pipeline import DAY1, DAY2
 

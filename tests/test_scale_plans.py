@@ -818,3 +818,82 @@ def test_multiprobe_lsh_fans_out_query_side_only(spark, sf_dir):
     # the explode sits on the broadcast build side: it appears after
     # (below, in print order) the BroadcastExchange
     assert plan.index("Generate explode") > plan.index("BroadcastExchange")
+
+
+def test_sizing_report_is_two_count_aggs(spark, sf_dir):
+    # the cheapest distributed statistic: column-pruned count aggregates
+    # (no payload columns survive to the agg) + map-side knob arithmetic
+    plan = _plan(QUERIES["q_sizing_report"](spark, sf_dir))
+    assert "Exchange" in plan  # the two count aggs are two-phase
+    assert "text" not in plan.split("ReadSchema")[-1]
+    assert "embedding" not in plan.split("ReadSchema")[-1]
+
+
+def test_shard_balance_single_scan_window_over_aggregate(spark, sf_dir):
+    # ONE documents scan; the corpus total is a window over the 8
+    # already-aggregated shard rows (bounded by the constant shard
+    # count), never a join back or a second scan subtree
+    plan = _plan(QUERIES["q_shard_balance"](spark, sf_dir))
+    assert plan.count("FileScan") == 1
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_quality_calibration_no_global_sort_or_ntile(spark, sf_dir):
+    # decile = strict-greater count over 9 broadcast cutoff literals —
+    # NOT an ntile over a single-partition data-sized window (the scale
+    # trap). The only windows allowed are gopher's per-doc bigram leads
+    # (partitioned by doc_id, bounded by doc length).
+    import re
+
+    plan = _plan(QUERIES["q_quality_calibration"](spark, sf_dir))
+    # \b so "percentile(" (the cutoff aggregate, wanted) doesn't match
+    assert not re.search(r"\bntile\(", plan)
+    assert "rangepartitioning" not in plan  # no global sort
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "doc_id" in line  # every window is per-doc
+    # the NULL-text filter reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(text)" in plan
+
+
+def test_lsh_band_stats_never_materializes_pairs(spark, sf_dir):
+    # bucket sizes then a size-class rollup: two bounded aggregates, no
+    # self-join and no pair explode (the whole point of the health query)
+    plan = _plan(QUERIES["q_lsh_band_stats"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("FileScan") == 1
+
+
+def test_banded_signatures_single_definition_feeds_pairs(spark, sf_dir):
+    # the banding extraction is behavior-preserving: pairs recomputed
+    # from banded_signatures via bucket self-join == lsh_candidate_pairs
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        banded_signatures,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sig = minhash_signature(docs, "doc_id", "text").localCheckpoint()
+    got = {
+        (r.id_a, r.id_b)
+        for r in lsh_candidate_pairs(sig, "doc_id").collect()
+    }
+    b = banded_signatures(sig, "doc_id")
+    a, c = b.alias("a"), b.alias("b")
+    ref = {
+        (r.id_a, r.id_b)
+        for r in a.join(
+            c,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == ref and len(ref) > 0

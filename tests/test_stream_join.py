@@ -13,6 +13,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-run default; excluded by the -m 'not slow' fast tier
+
 from pyspark.sql import types as T
 
 from telecom_competitor_analysis_spark.streaming.joins import (

@@ -11,6 +11,8 @@ from pathlib import Path
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-run default; excluded by the -m 'not slow' fast tier
+
 from telecom_competitor_analysis_spark.jobs.clean import clean_products
 from telecom_competitor_analysis_spark.schemas import CLEAN_PRODUCT, STAR_SCHEMA
 from telecom_competitor_analysis_spark.sources.writers import write_gold

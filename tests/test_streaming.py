@@ -10,6 +10,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # full-run default; excluded by the -m 'not slow' fast tier
+
 from pyspark.sql import functions as F
 
 from telecom_competitor_analysis_spark.sources.readers import load_table

@@ -7,6 +7,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow  # end-to-end job/pipeline tier; fast tier is -m 'not slow'
+
 from telecom_competitor_analysis_spark.schemas import RAW_LOG, RAW_PRODUCT
 from telecom_competitor_analysis_spark.sources.ingest import (
     ValidationError,
