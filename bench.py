@@ -159,6 +159,7 @@ HEADLINE_EXT = [
     "q_perplexity_mix",
     "q_star_join",
     # --- r8 additions (measured from birth) ---
+    "q_semantic_decontaminate",
     "q_sizing_report",
     "q_shard_balance",
     "q_quality_calibration",

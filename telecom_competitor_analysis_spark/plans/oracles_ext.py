@@ -4344,3 +4344,45 @@ EXT_ORACLES["q_lsh_band_stats"] = """
                AS cand_pairs
     FROM bsz GROUP BY band_idx, bucket_size
 """
+
+
+# Semantic decontamination (queries_ext.q_semantic_decontaminate): the
+# frozen-universe mirror of the materialized IVF probe (8 lowest-id
+# anchors, nprobe=2 — the q_semantic_neighbors quantization), threshold
+# cos >= 0.3, eval set = vec_id % 40 == 0.
+EXT_ORACLES["q_semantic_decontaminate"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS (
+        SELECT
+            e.vec_id,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(CAST(e.embedding AS DOUBLE[]), a.avec)
+                             DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS (
+        SELECT vec_id, v, anchor_id AS bucket
+        FROM assign WHERE rn = 1 AND vec_id % 40 != 0
+    ),
+    q AS (
+        SELECT vec_id, v, anchor_id AS bucket
+        FROM assign WHERE vec_id % 40 = 0 AND rn <= 2
+    ),
+    hits AS (
+        SELECT c.vec_id AS cand_id, q.vec_id AS eval_id
+        FROM c JOIN q ON c.bucket = q.bucket
+        WHERE list_cosine_similarity(c.v, q.v) >= 0.3
+    )
+    SELECT cand_id AS vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
+    FROM hits GROUP BY cand_id
+"""

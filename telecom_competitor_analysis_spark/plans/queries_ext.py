@@ -4574,6 +4574,49 @@ def q_dup_rate_by_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC test-set decontamination — the embedding-space
+    complement of the n-gram screen (q_decontaminate): flag every
+    training vector whose cosine to ANY eval-set vector reaches 0.3,
+    so paraphrased/reworded leakage that shares no 13-gram still gets
+    caught before training (the screen GPT-4/Llama eval cards describe
+    alongside exact-match). Eval set = vec_id % 40 == 0 (the held-out
+    2.5%); returns the contaminated training vectors with their hit
+    count and lowest-id eval witness — all integers.
+
+    Scale shape: the retrieval leg is the MATERIALIZED IVF index (the
+    same fingerprint-cached artifact every probe query reads): eval
+    queries broadcast through ivf_probe (nprobe=2), dynamic partition
+    pruning keeps the assignment scan to the probed buckets, and the
+    threshold filter + count aggregate touch only in-bucket pairs —
+    candidate volume ∝ |eval| · bucket size, never corpus². Same
+    IVF-approximate semantics as every probe: only probed buckets are
+    screened (recall is q_ann_recall's metric to watch)."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine,
+        ivf_probe,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized_ivf_index(spark, sf_dir)
+    anchors = spark.read.parquet(f"{idx}/anchors")
+    cand = spark.read.parquet(f"{idx}/assignments").where(
+        F.pmod(F.col("neighbor_id"), F.lit(40)) != 0
+    )
+    eval_q = emb.where(F.pmod(F.col("vec_id"), F.lit(40)) == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    probes = ivf_probe(eval_q, anchors, nprobe=2, probe_id_col="query_id")
+    hits = cand.join(F.broadcast(probes), on="bucket").where(
+        cosine(F.col("q_vec"), F.col("c_vec")) >= 0.3
+    )
+    return hits.groupBy(F.col("neighbor_id").alias("vec_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval_hits"),
+        F.min("query_id").cast("long").alias("first_eval_id"),
+    )
+
+
 def q_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistic knob sizing as a QUERY (jobs/sizing.py's laws,
     observable): per corpus, the row count and the index geometry the
@@ -4751,6 +4794,7 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_semantic_decontaminate": q_semantic_decontaminate,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,
     "q_quality_calibration": q_quality_calibration,

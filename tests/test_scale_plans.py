@@ -897,3 +897,11 @@ def test_banded_signatures_single_definition_feeds_pairs(spark, sf_dir):
         .collect()
     }
     assert got == ref and len(ref) > 0
+
+
+def test_semantic_decontaminate_prunes_probed_buckets(spark, sf_dir):
+    # the screen reads the materialized index with dynamic partition
+    # pruning on the probed buckets (never a corpus-wide pair stage)
+    plan = _plan(QUERIES["q_semantic_decontaminate"](spark, sf_dir))
+    assert "dynamicpruning" in plan or "DynamicPruning" in plan
+    assert "CartesianProduct" not in plan
