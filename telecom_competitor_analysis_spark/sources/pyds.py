@@ -29,11 +29,16 @@ from __future__ import annotations
 import glob as _glob
 import json
 import os
+import shutil
+import uuid
+from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -55,6 +60,9 @@ class WrappedJsonDataSource(DataSource):
 
     def reader(self, schema) -> "WrappedJsonReader":
         return WrappedJsonReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WrappedJsonWriter":
+        return WrappedJsonWriter(schema, self.options, overwrite)
 
 
 class _FilePartition(InputPartition):
@@ -90,3 +98,72 @@ class WrappedJsonReader(DataSourceReader):
         fields = [fld.name for fld in self.schema.fields]
         for rec in doc.get(self.header, []):
             yield tuple(rec.get(name) for name in fields)
+
+
+@dataclass
+class _PartCommit(WriterCommitMessage):
+    """Per-task commit message: where the task staged its shard and how
+    many records it holds (must stay a picklable dataclass — it rides
+    the executor → driver commit channel)."""
+
+    staged: str
+    rows: int
+
+
+class WrappedJsonWriter(DataSourceWriter):
+    """Writer twin of the reader — emits ``{"<header>": [...]}``
+    documents, one shard per non-empty task (the reference's raw JSON
+    sink shape, reference dags/extract.py's payload files), with the
+    standard two-phase sink protocol the built-in FileFormatWriter
+    uses: each task writes to a job-scoped STAGING directory and
+    returns a commit message; only the driver's ``commit`` renames
+    shards into place (atomic on a POSIX filesystem), and ``abort``
+    removes the staging dir — a failed/speculated task can never leave
+    a half-written shard visible. Extension-point demo like the
+    reader: the production JSON sink remains writers.write_json
+    (JVM-side); at cluster scale the rename step would become an
+    object-store multipart commit."""
+
+    def __init__(self, schema, options, overwrite: bool) -> None:
+        self.header = options.get("header", "products")
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("wrapped_json needs a save(path)")
+        self.overwrite = overwrite
+        # job-scoped staging dir: one uuid per WRITE JOB (the writer
+        # object is constructed on the driver and shipped to tasks, so
+        # every task of this job shares it; a concurrent job gets its own)
+        self.staging = os.path.join(
+            self.path, f"_staging-{uuid.uuid4().hex}"
+        )
+        self.fields = [fld.name for fld in schema.fields]
+
+    def write(self, iterator) -> _PartCommit:
+        recs = [
+            {name: row[name] for name in self.fields} for row in iterator
+        ]
+        if not recs:
+            # empty partition → no shard (the runtime rejects a bare
+            # None return, so an empty sentinel message carries it)
+            return _PartCommit(staged="", rows=0)
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.json")
+        with open(staged, "w") as f:
+            json.dump({self.header: recs}, f, default=str)
+        return _PartCommit(staged=staged, rows=len(recs))
+
+    def commit(self, messages) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "part-*.json")):
+                os.remove(old)
+        for i, m in enumerate(messages):
+            if m is None or not m.staged:
+                continue  # failed-slot placeholder / empty partition
+            os.replace(
+                m.staged, os.path.join(self.path, f"part-{i:05d}.json")
+            )
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        shutil.rmtree(self.staging, ignore_errors=True)

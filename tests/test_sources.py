@@ -163,3 +163,72 @@ def test_python_datasource_matches_native_reader(spark, tmpdir):
     a = sorted(map(tuple, via_pyds.collect()))
     b = sorted(map(tuple, via_native.collect()))
     assert a == b and len(a) == 4
+
+
+def test_python_datasource_writer_roundtrip_and_overwrite(spark, tmpdir):
+    """The writer twin (sources/pyds.py::WrappedJsonWriter): df.write
+    through the Python DataSource emits {"header": [...]} shards that
+    BOTH read paths (PyDS and native explode) round-trip exactly;
+    overwrite replaces prior shards; the two-phase staging dir never
+    survives a committed job."""
+    import glob
+    import os
+
+    from telecom_competitor_analysis_spark.sources.pyds import (
+        WrappedJsonDataSource,
+    )
+
+    spark.dataSource.register(WrappedJsonDataSource)
+    out = f"{tmpdir}/sink"
+    df = spark.createDataFrame(ROWS, RAW_PRODUCT).repartition(3)
+    (
+        df.write.format("wrapped_json")
+        .option("header", "products")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    shards = sorted(glob.glob(f"{out}/part-*.json"))
+    assert 1 <= len(shards) <= 3  # one per NON-EMPTY task
+    assert not glob.glob(f"{out}/_staging-*")  # staging cleaned up
+
+    back = read_wrapped_json(spark, f"{out}/part-*.json", "products",
+                             RAW_PRODUCT)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    via_pyds = (
+        spark.read.format("wrapped_json")
+        .schema(RAW_PRODUCT)
+        .option("header", "products")
+        .load(f"{out}/part-*.json")
+    )
+    assert sorted(map(tuple, via_pyds.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+    # overwrite: a second job with ONE row must replace the old shards
+    one = spark.createDataFrame(ROWS[:1], RAW_PRODUCT).coalesce(1)
+    (
+        one.write.format("wrapped_json")
+        .option("header", "products")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    again = read_wrapped_json(spark, f"{out}/part-*.json", "products",
+                              RAW_PRODUCT)
+    assert again.count() == 1
+
+    # abort path (unit-level): staging vanishes, nothing becomes visible
+    from telecom_competitor_analysis_spark.sources.pyds import (
+        WrappedJsonWriter,
+    )
+
+    w = WrappedJsonWriter(RAW_PRODUCT, {"path": out}, overwrite=False)
+    os.makedirs(w.staging, exist_ok=True)
+    w.abort([])
+    assert not os.path.exists(w.staging)
+    assert read_wrapped_json(
+        spark, f"{out}/part-*.json", "products", RAW_PRODUCT
+    ).count() == 1
