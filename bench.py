@@ -160,6 +160,7 @@ HEADLINE_EXT = [
     "q_star_join",
     # --- r8 additions (measured from birth) ---
     "q_semantic_decontaminate",
+    "q_lsh_recall",
     "q_sizing_report",
     "q_shard_balance",
     "q_quality_calibration",
@@ -237,6 +238,8 @@ def main() -> None:
     # across rounds without relying on NOTES prose. The round number is
     # taken from $SPARK_GRAFT_ROUND or inferred as 1 + the newest
     # driver-recorded BENCH_r*.json.
+    if os.environ.get("SPARK_GRAFT_BENCH_ARTIFACT", "1") == "0":
+        return  # tests exercising main() skip the repo-root artifact
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:

@@ -4386,3 +4386,27 @@ EXT_ORACLES["q_semantic_decontaminate"] = """
            CAST(MIN(eval_id) AS BIGINT) AS first_eval_id
     FROM hits GROUP BY cand_id
 """
+
+
+# LSH dedup recall S-curve (queries_ext.q_lsh_recall): the exact-pair
+# and banded-candidate oracles composed verbatim as CTEs; deciles and
+# recall are pure integer arithmetic.
+EXT_ORACLES["q_lsh_recall"] = f"""
+    WITH exact AS (
+        SELECT id_a, id_b,
+               CAST(n_shared * 10 // (n_a + n_b - n_shared) AS INT)
+                   AS jac_decile
+        FROM ({EXT_ORACLES["q_ngram_jaccard"]})
+    ),
+    cand AS (
+        SELECT id_a, id_b, 1 AS c
+        FROM ({EXT_ORACLES["q_minhash_lsh_pairs"]})
+    )
+    SELECT jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_caught,
+           CAST(SUM(COALESCE(c, 0)) * 1000000 // COUNT(*) AS BIGINT)
+               AS recall_micro
+    FROM exact LEFT JOIN cand USING (id_a, id_b)
+    GROUP BY jac_decile
+"""

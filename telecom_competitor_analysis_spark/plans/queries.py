@@ -1146,6 +1146,7 @@ VERIFY_PRIORITY = [
     "q_minhash_lsh_pairs",
     # tier 2a — the round-8 wave oracles, never checked
     "q_semantic_decontaminate",
+    "q_lsh_recall",
     "q_sizing_report",
     "q_shard_balance",
     "q_quality_calibration",
@@ -1183,8 +1184,8 @@ VERIFY_PRIORITY = [
     "q_impute_median",
     "q_maxsim_index",
     "q_multiprobe_lsh",
-    # tier 3 — the 8 oldest r5 greens as fill (former tier-4 fillers
-    # first); 6 changed + 5 new + 31 never-checked + 8 = 50
+    # tier 3 — the 7 oldest r5 greens as fill (former tier-4 fillers
+    # first); 6 changed + 6 new + 31 never-checked + 7 = 50
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
@@ -1192,11 +1193,11 @@ VERIFY_PRIORITY = [
     "q_intersect",
     "q_distinct_agg",
     "q_explode",
-    "q_grouping_sets",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # The remaining r5 greens — oldest parked; first in line for the
     # r9 window (the 5 fillers displaced by the round-8 additions go
     # back to the front).
+    "q_grouping_sets",
     "q_scalar_subquery",
     "q_outer_join",
     "q_date_arith",

@@ -4617,6 +4617,48 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the banded MinHash-LSH candidate generator against the
+    exact shingle-Jaccard pairs, BY JACCARD DECILE — the measured LSH
+    S-curve (Leskovec/Rajaraman/Ullman ch.3), and the missing recall
+    twin of the dedup path (q_ann_recall / q_pq_recall /
+    q_ann_recall_filtered cover every ANN path; this covers LSH dedup):
+    high-jaccard deciles must approach recall 1, the low tail shows
+    what the banding scheme intentionally forgoes — the number that
+    says whether (n_hashes, bands) fits the dedup threshold BEFORE a
+    100 TB run quietly under-dedups. Deciles are exact integer
+    arithmetic (n_shared·10 div union), recall in integer micro — no
+    FP boundary anywhere.
+
+    Scale shape: both legs are the bounded-candidate operators
+    themselves (df-capped inverted-index exact pairs; bucket-capped
+    banded candidates); the recall join keys on the exact-pair set,
+    already threshold-bounded, and the rollup has ≤ 9 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = shingle_jaccard_pairs(docs, "doc_id", "text", w=3,
+                                  threshold=0.2)
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    cand = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2).select(
+        "id_a", "id_b", F.lit(1).alias("__c")
+    )
+    j = exact.select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "CAST(n_shared * 10 DIV (n_a + n_b - n_shared) AS INT)"
+        ).alias("jac_decile"),
+    ).join(cand, on=["id_a", "id_b"], how="left")
+    return j.groupBy("jac_decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.coalesce(F.col("__c"), F.lit(0)))
+        .cast("long")
+        .alias("n_caught"),
+        F.expr(
+            "CAST(SUM(COALESCE(__c, 0)) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("recall_micro"),
+    )
+
+
 def q_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistic knob sizing as a QUERY (jobs/sizing.py's laws,
     observable): per corpus, the row count and the index geometry the
@@ -4795,6 +4837,7 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_decontaminate": q_semantic_decontaminate,
+    "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,
     "q_quality_calibration": q_quality_calibration,

@@ -23,6 +23,8 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
     monkeypatch.setattr(bench, "HEADLINE", ["q_topk", "q_broken_test_only"])
     monkeypatch.setattr(bench, "HEADLINE_EXT", ["q_key_skew", "q_pivot_dynamic"])
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # keep the repo root clean: no BENCH_LOCAL artifact from a test run
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ARTIFACT", "0")
 
     bench.main()
 

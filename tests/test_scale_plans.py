@@ -905,3 +905,11 @@ def test_semantic_decontaminate_prunes_probed_buckets(spark, sf_dir):
     plan = _plan(QUERIES["q_semantic_decontaminate"](spark, sf_dir))
     assert "dynamicpruning" in plan or "DynamicPruning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_join_keys_on_bounded_exact_pairs(spark, sf_dir):
+    # both legs are the capped candidate operators; the rollup has <= 9
+    # groups and no global sort appears anywhere
+    plan = _plan(QUERIES["q_lsh_recall"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
