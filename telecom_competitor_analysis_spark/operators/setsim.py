@@ -71,6 +71,11 @@ def pruned_token_sets(
     so the relative predicate stays integer-exact; a non-reciprocal
     value (e.g. 0.15 → inv 7) would silently enforce a different
     effective threshold than requested, so it is rejected."""
+    if max_df_frac <= 0:
+        raise ValueError(
+            "max_df_frac must be the reciprocal of a positive integer "
+            f"(1/n for integer n >= 1), got {max_df_frac}"
+        )
     inv = round(1.0 / max_df_frac)
     if inv < 1 or abs(inv * max_df_frac - 1.0) > 1e-9:
         raise ValueError(

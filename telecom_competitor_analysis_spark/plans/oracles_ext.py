@@ -4230,8 +4230,8 @@ EXT_ORACLES["q_sizing_report"] = """
     SELECT corpus,
            CAST(n AS BIGINT) AS n_rows,
            CAST(n_anchors AS BIGINT) AS n_anchors,
-           CAST(8 * ((n + n_anchors - 1) // n_anchors) AS BIGINT)
-               AS max_bucket_size,
+           CAST(8 * GREATEST(1, (n + n_anchors - 1) // n_anchors)
+                AS BIGINT) AS max_bucket_size,
            CAST(GREATEST(1, (n + 63) // 64) AS BIGINT) AS kmeans_k
     FROM k
 """

@@ -1123,11 +1123,15 @@ QUERIES.update(EXT_QUERIES)
 # and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
 # rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
 # except the 45 r5 greens parked first below the boundary. Round 8's
-# window (5 + 31 + 14 = 50): the 5 queries whose operator code changed
-# this round (the r7 ADVICE fixes), the 31 remaining never-driver-checked
-# r7 oracles, and the 14 oldest r5 greens as fill — after r8 every
-# oracle-checked query in the repo has at least one driver green and no
-# green is older than r5 (31 r5 greens remain parked first for r9).
+# window (6 + 6 + 31 + 7 = 50): the 6 queries whose operator code
+# changed this round (the 5 r7 ADVICE fixes + the banded_signatures
+# extraction consumer q_minhash_lsh_pairs), the 6 new r8 oracles
+# (q_semantic_decontaminate, q_lsh_recall, q_sizing_report,
+# q_shard_balance, q_quality_calibration, q_lsh_band_stats), the 31
+# remaining never-driver-checked r7 oracles, and the 7 oldest r5 greens
+# as fill — after r8 every oracle-checked query in the repo has at
+# least one driver green and no non-r8 green is older than r5 (38 r5
+# greens remain parked first for r9).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 

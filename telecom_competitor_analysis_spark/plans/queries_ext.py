@@ -4664,7 +4664,8 @@ def q_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     observable): per corpus, the row count and the index geometry the
     nightly build would use — n_anchors = ⌈√n⌉ (exact integer ceil-sqrt
     via a ±1 adjustment of the double sqrt), bucket cap = 8 × mean
-    occupancy, kmeans k = ⌈n/64⌉. The "who picks the knob at 100 TB"
+    occupancy (floor 8 so an empty corpus reports the same value
+    sized_max_bucket_size(0) returns), kmeans k = ⌈n/64⌉. The "who picks the knob at 100 TB"
     answer, auditable next to the ivf_bucket_stats/lsh_band_stats
     health queries. Scale shape: two columnless count aggregates (the
     cheapest distributed statistic there is) + map-side arithmetic."""
@@ -4694,7 +4695,8 @@ def q_sizing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_rows"),
             F.col("n_anchors").cast("long").alias("n_anchors"),
             F.expr(
-                "CAST(8 * ((n + n_anchors - 1) DIV n_anchors) AS BIGINT)"
+                "CAST(8 * GREATEST(1, (n + n_anchors - 1) DIV n_anchors)"
+                " AS BIGINT)"
             ).alias("max_bucket_size"),
             F.expr(
                 "CAST(GREATEST(1, (n + 63) DIV 64) AS BIGINT)"

@@ -130,12 +130,14 @@ class WrappedJsonWriter(DataSourceWriter):
         if not self.path:
             raise ValueError("wrapped_json needs a save(path)")
         self.overwrite = overwrite
-        # job-scoped staging dir: one uuid per WRITE JOB (the writer
-        # object is constructed on the driver and shipped to tasks, so
-        # every task of this job shares it; a concurrent job gets its own)
-        self.staging = os.path.join(
-            self.path, f"_staging-{uuid.uuid4().hex}"
-        )
+        # job-scoped id: one uuid per WRITE JOB (the writer object is
+        # constructed on the driver and shipped to tasks, so every task
+        # of this job shares it; a concurrent job gets its own). The id
+        # also prefixes the FINAL shard names, so append-mode jobs can
+        # never clobber a previous job's part files (r8 review: a fixed
+        # part-{i} name silently destroyed earlier appends).
+        self.job_id = uuid.uuid4().hex
+        self.staging = os.path.join(self.path, f"_staging-{self.job_id}")
         self.fields = [fld.name for fld in schema.fields]
 
     def write(self, iterator) -> _PartCommit:
@@ -161,7 +163,10 @@ class WrappedJsonWriter(DataSourceWriter):
             if m is None or not m.staged:
                 continue  # failed-slot placeholder / empty partition
             os.replace(
-                m.staged, os.path.join(self.path, f"part-{i:05d}.json")
+                m.staged,
+                os.path.join(
+                    self.path, f"part-{self.job_id}-{i:05d}.json"
+                ),
             )
         shutil.rmtree(self.staging, ignore_errors=True)
 

@@ -120,6 +120,11 @@ def test_pruned_token_sets_rejects_non_reciprocal_frac(spark):
     )
     with pytest.raises(ValueError, match="reciprocal of a positive integer"):
         pruned_token_sets(docs, "id", F.col("toks"), max_df_frac=0.15)
+    # zero/negative never reach the 1/x division (r8 review)
+    with pytest.raises(ValueError, match="reciprocal of a positive integer"):
+        pruned_token_sets(docs, "id", F.col("toks"), max_df_frac=0.0)
+    with pytest.raises(ValueError, match="reciprocal of a positive integer"):
+        pruned_token_sets(docs, "id", F.col("toks"), max_df_frac=-0.5)
     # exact reciprocals still pass (1/4)
     assert (
         pruned_token_sets(docs, "id", F.col("toks"), max_df_frac=0.25).columns

@@ -232,3 +232,28 @@ def test_python_datasource_writer_roundtrip_and_overwrite(spark, tmpdir):
     assert read_wrapped_json(
         spark, f"{out}/part-*.json", "products", RAW_PRODUCT
     ).count() == 1
+
+
+def test_python_datasource_writer_append_preserves_prior_jobs(spark, tmpdir):
+    """Append mode must ADD shards, never clobber a previous job's
+    (r8 review: fixed part-{i} names silently destroyed earlier
+    appends — final names now carry the job id)."""
+    from telecom_competitor_analysis_spark.sources.pyds import (
+        WrappedJsonDataSource,
+    )
+
+    spark.dataSource.register(WrappedJsonDataSource)
+    out = f"{tmpdir}/append_sink"
+    for rows in (ROWS[:1], ROWS[1:2]):
+        (
+            spark.createDataFrame(rows, RAW_PRODUCT).coalesce(1)
+            .write.format("wrapped_json")
+            .option("header", "products")
+            .option("path", out)
+            .mode("append")
+            .save()
+        )
+    back = read_wrapped_json(spark, f"{out}/part-*.json", "products",
+                             RAW_PRODUCT)
+    got = {r.product_name for r in back.collect()}
+    assert got == {ROWS[0]["product_name"], ROWS[1]["product_name"]}
