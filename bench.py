@@ -160,6 +160,7 @@ HEADLINE_EXT = [
     "q_star_join",
     # --- r8 additions (measured from birth) ---
     "q_semantic_decontaminate",
+    "q_bradley_terry",
     "q_lsh_recall",
     "q_sizing_report",
     "q_shard_balance",

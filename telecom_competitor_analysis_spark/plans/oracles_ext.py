@@ -4410,3 +4410,71 @@ EXT_ORACLES["q_lsh_recall"] = f"""
     FROM exact LEFT JOIN cand USING (id_a, id_b)
     GROUP BY jac_decile
 """
+
+
+# Bradley-Terry MM ratings (queries_ext.q_bradley_terry): two unrolled
+# iterations, all-integer arithmetic (micro ratings, n*1e12 // (pi+pj)
+# terms, W*1e12 // denom updates with floor 1000) — truncating integer
+# division agrees across engines on positive operands.
+EXT_ORACLES["q_bradley_terry"] = """
+    WITH li AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS pc
+        FROM lineitem
+    ),
+    raw AS (
+        SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, a.pc AS pa, b.pc AS pb
+        FROM li a
+        JOIN li b ON a.l_partkey = b.l_partkey
+                 AND a.l_suppkey < b.l_suppkey
+        WHERE a.pc != b.pc
+    ),
+    pairs AS (
+        SELECT sa, sb,
+               SUM(CASE WHEN pa < pb THEN 1 ELSE 0 END) AS w,
+               COUNT(*) AS n
+        FROM raw GROUP BY sa, sb
+    ),
+    sym AS (
+        SELECT sa AS i, sb AS j, w, n FROM pairs
+        UNION ALL
+        SELECT sb AS i, sa AS j, n - w AS w, n FROM pairs
+    ),
+    wins AS (
+        SELECT i, CAST(SUM(w) AS BIGINT) AS W,
+               CAST(SUM(n) AS BIGINT) AS n_comp
+        FROM sym GROUP BY i
+    ),
+    d1 AS (
+        SELECT i,
+               GREATEST(CAST(SUM(n * 1000000000000 // 2000000) AS BIGINT),
+                        1) AS den
+        FROM sym GROUP BY i
+    ),
+    p1 AS (
+        SELECT wins.i,
+               GREATEST(CAST(W * 1000000000000 // den AS BIGINT), 1000)
+                   AS p
+        FROM wins JOIN d1 USING (i)
+    ),
+    d2 AS (
+        SELECT sym.i,
+               GREATEST(CAST(SUM(sym.n * 1000000000000 // (pi.p + pj.p))
+                             AS BIGINT), 1) AS den
+        FROM sym
+        JOIN p1 pi ON pi.i = sym.i
+        JOIN p1 pj ON pj.i = sym.j
+        GROUP BY sym.i
+    ),
+    p2 AS (
+        SELECT wins.i,
+               GREATEST(CAST(W * 1000000000000 // den AS BIGINT), 1000)
+                   AS p
+        FROM wins JOIN d2 USING (i)
+    )
+    SELECT p2.i AS s_suppkey,
+           wins.W AS wins,
+           wins.n_comp AS n_comparisons,
+           CAST(p2.p AS BIGINT) AS rating_micro
+    FROM p2 JOIN wins ON wins.i = p2.i
+"""

@@ -1123,12 +1123,13 @@ QUERIES.update(EXT_QUERIES)
 # and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
 # rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
 # except the 45 r5 greens parked first below the boundary. Round 8's
-# window (6 + 6 + 31 + 7 = 50): the 6 queries whose operator code
+# window (6 + 7 + 31 + 6 = 50): the 6 queries whose operator code
 # changed this round (the 5 r7 ADVICE fixes + the banded_signatures
 # extraction consumer q_minhash_lsh_pairs), the 6 new r8 oracles
-# (q_semantic_decontaminate, q_lsh_recall, q_sizing_report,
-# q_shard_balance, q_quality_calibration, q_lsh_band_stats), the 31
-# remaining never-driver-checked r7 oracles, and the 7 oldest r5 greens
+# (q_semantic_decontaminate, q_bradley_terry, q_lsh_recall,
+# q_sizing_report, q_shard_balance, q_quality_calibration,
+# q_lsh_band_stats), the 31
+# remaining never-driver-checked r7 oracles, and the 6 oldest r5 greens
 # as fill — after r8 every oracle-checked query in the repo has at
 # least one driver green and no non-r8 green is older than r5 (38 r5
 # greens remain parked first for r9).
@@ -1150,6 +1151,7 @@ VERIFY_PRIORITY = [
     "q_minhash_lsh_pairs",
     # tier 2a — the round-8 wave oracles, never checked
     "q_semantic_decontaminate",
+    "q_bradley_terry",
     "q_lsh_recall",
     "q_sizing_report",
     "q_shard_balance",
@@ -1188,19 +1190,19 @@ VERIFY_PRIORITY = [
     "q_impute_median",
     "q_maxsim_index",
     "q_multiprobe_lsh",
-    # tier 3 — the 7 oldest r5 greens as fill (former tier-4 fillers
-    # first); 6 changed + 6 new + 31 never-checked + 7 = 50
+    # tier 3 — the 6 oldest r5 greens as fill (former tier-4 fillers
+    # first); 6 changed + 7 new + 31 never-checked + 6 = 50
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
     "q_except",
     "q_intersect",
     "q_distinct_agg",
-    "q_explode",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # The remaining r5 greens — oldest parked; first in line for the
     # r9 window (the 5 fillers displaced by the round-8 additions go
     # back to the front).
+    "q_explode",
     "q_grouping_sets",
     "q_scalar_subquery",
     "q_outer_join",

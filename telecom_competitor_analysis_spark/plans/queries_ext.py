@@ -4617,6 +4617,102 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference-strength ratings via two unrolled MM
+    iterations (Hunter 2004, "MM algorithms for generalized
+    Bradley-Terry models") — the aggregation that turns PAIRWISE
+    comparisons into per-item scores: the RLHF reward-data shape
+    (which completion wins) and the classic ranking-from-duels
+    statistic. Comparisons here: two suppliers quoting the SAME part
+    are compared, cheaper price wins (ties dropped); ratings answer
+    "which supplier prices strongest overall" with strength-of-
+    opposition weighting that plain win-rate lacks.
+
+    Cross-engine exactness (the kmeans/pagerank unrolled-iteration
+    discipline): ratings live in integer micro units, every MM term is
+    one integer division (n_ij·10¹² div (p_i+p_j)), so per-item
+    denominators are integer SUMS — shuffle-order-free — and the
+    update (W_i·10¹² div denom, floor 1000 micro) is exact in both
+    engines; no float ever enters.
+
+    Scale shape: comparisons come from a self-join BLOCKED ON THE PART
+    KEY (pair volume ∝ rows · rows-per-part, never corpus²), collapse
+    immediately to per-supplier-pair counts, and each MM iteration is
+    two broadcast-size joins (the ratings table has one row per item)
+    + one integer-sum aggregate. Fixed 2 iterations keeps the plan
+    static; production would loop to a tolerance with the same body."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+    )
+    a, b = li.alias("a"), li.alias("b")
+    raw = a.join(
+        b,
+        (F.col("a.l_partkey") == F.col("b.l_partkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).where(F.col("a.pc") != F.col("b.pc"))
+    pairs = raw.groupBy(
+        F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
+    ).agg(
+        F.sum(
+            F.when(F.col("a.pc") < F.col("b.pc"), 1).otherwise(0)
+        ).alias("w"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    sym = pairs.select(
+        F.col("sa").alias("i"), F.col("sb").alias("j"), "w", "n"
+    ).unionByName(
+        pairs.select(
+            F.col("sb").alias("i"),
+            F.col("sa").alias("j"),
+            (F.col("n") - F.col("w")).alias("w"),
+            "n",
+        )
+    )
+    wins = sym.groupBy("i").agg(
+        F.sum("w").cast("long").alias("W"),
+        F.sum("n").cast("long").alias("n_comp"),
+    )
+    # iteration 1: p0 = 1.0 for everyone, so the term is constant-fold
+    d1 = sym.groupBy("i").agg(
+        F.greatest(
+            F.sum(F.expr("n * 1000000000000 DIV 2000000")), F.lit(1)
+        ).alias("den")
+    )
+    p1 = wins.join(d1, on="i").select(
+        "i",
+        F.greatest(
+            F.expr("W * 1000000000000 DIV den"), F.lit(1000)
+        ).alias("p"),
+    )
+    # iteration 2: strength-of-opposition enters through p1
+    d2 = (
+        sym.join(p1.select(F.col("i").alias("__ii"), F.col("p").alias("pi")),
+                 sym["i"] == F.col("__ii"))
+        .join(p1.select(F.col("i").alias("__jj"), F.col("p").alias("pj")),
+              sym["j"] == F.col("__jj"))
+        .groupBy("i")
+        .agg(
+            F.greatest(
+                F.sum(F.expr("n * 1000000000000 DIV (pi + pj)")), F.lit(1)
+            ).alias("den")
+        )
+    )
+    p2 = wins.join(d2, on="i").select(
+        "i",
+        F.greatest(
+            F.expr("W * 1000000000000 DIV den"), F.lit(1000)
+        ).alias("p"),
+    )
+    return wins.join(p2, on="i").select(
+        F.col("i").alias("s_suppkey"),
+        F.col("W").alias("wins"),
+        F.col("n_comp").alias("n_comparisons"),
+        F.col("p").cast("long").alias("rating_micro"),
+    )
+
+
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall of the banded MinHash-LSH candidate generator against the
     exact shingle-Jaccard pairs, BY JACCARD DECILE — the measured LSH
@@ -4839,6 +4935,7 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_decontaminate": q_semantic_decontaminate,
+    "q_bradley_terry": q_bradley_terry,
     "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,

@@ -913,3 +913,12 @@ def test_lsh_recall_join_keys_on_bounded_exact_pairs(spark, sf_dir):
     plan = _plan(QUERIES["q_lsh_recall"](spark, sf_dir))
     assert "rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bradley_terry_blocked_pairs_and_integer_iterations(spark, sf_dir):
+    # comparisons self-join is an EQUI-join on the part key (pair volume
+    # bounded by rows-per-part, never corpus^2); both MM iterations are
+    # integer arithmetic — no float division node anywhere
+    plan = _plan(QUERIES["q_bradley_terry"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

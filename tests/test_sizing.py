@@ -54,3 +54,39 @@ def test_sizing_guards():
         sized_max_bucket_size(10, 0)
     with pytest.raises(ValueError, match="target_cluster_size"):
         sized_kmeans_k(10, 0)
+
+
+def test_ceil_sqrt_matches_isqrt_exhaustively_near_squares():
+    # the SQL form (double sqrt ± 1 adjustment, q_sizing_report) must
+    # equal the exact integer rule for every n near a perfect square,
+    # where double rounding is most dangerous
+    import math
+
+    def sql_form(n: int) -> int:
+        a0 = math.ceil(math.sqrt(float(n))) if n else 0
+        if (a0 - 1) * (a0 - 1) >= n:
+            a0 -= 1
+        elif a0 * a0 < n:
+            a0 += 1
+        return max(1, a0)
+
+    for base in (0, 1, 2, 10, 999, 10**6, 10**9, 10**10):
+        for n in range(max(0, base - 3), base + 4):
+            assert sql_form(n) == sized_n_anchors(n), n
+
+
+def test_sized_knobs_property(n=None):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**12))
+    def check(n):
+        k = sized_knobs(n)
+        a = k["n_anchors"]
+        assert a >= 1 and (a - 1) * (a - 1) < max(n, 1) <= a * a
+        # cap >= mean occupancy, and floor 8 on empty corpora
+        assert k["max_bucket_size"] >= max(8, -(-n // a) if n else 8)
+        assert k["kmeans_k"] == max(1, -(-n // 64))
+
+    check()
