@@ -4445,17 +4445,13 @@ EXT_ORACLES["q_bradley_terry"] = """
                CAST(SUM(n) AS BIGINT) AS n_comp
         FROM sym GROUP BY i
     ),
-    d1 AS (
-        SELECT i,
-               GREATEST(CAST(SUM(n * 1000000000000 // 2000000) AS BIGINT),
-                        1) AS den
-        FROM sym GROUP BY i
-    ),
+    -- iteration 1: p0 = 1 everywhere, so each term is exactly
+    -- n*500000 and the denominator collapses to n_comp*500000
     p1 AS (
-        SELECT wins.i,
-               GREATEST(CAST(W * 1000000000000 // den AS BIGINT), 1000)
-                   AS p
-        FROM wins JOIN d1 USING (i)
+        SELECT i,
+               GREATEST(CAST(W * 1000000000000 // (n_comp * 500000)
+                             AS BIGINT), 1000) AS p
+        FROM wins
     ),
     d2 AS (
         SELECT sym.i,

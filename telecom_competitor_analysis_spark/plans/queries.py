@@ -1125,14 +1125,15 @@ QUERIES.update(EXT_QUERIES)
 # except the 45 r5 greens parked first below the boundary. Round 8's
 # window (6 + 7 + 31 + 6 = 50): the 6 queries whose operator code
 # changed this round (the 5 r7 ADVICE fixes + the banded_signatures
-# extraction consumer q_minhash_lsh_pairs), the 6 new r8 oracles
+# extraction consumer q_minhash_lsh_pairs), the 7 new r8 oracles
 # (q_semantic_decontaminate, q_bradley_terry, q_lsh_recall,
 # q_sizing_report, q_shard_balance, q_quality_calibration,
-# q_lsh_band_stats), the 31
-# remaining never-driver-checked r7 oracles, and the 6 oldest r5 greens
-# as fill — after r8 every oracle-checked query in the repo has at
-# least one driver green and no non-r8 green is older than r5 (38 r5
-# greens remain parked first for r9).
+# q_lsh_band_stats), the 31 remaining never-driver-checked r7 oracles,
+# and the 6 oldest r5 greens as fill — after r8's driver run every
+# oracle-checked query in the repo has at least one driver green and no
+# non-r8 green is older than r5 (39 r5 greens parked first for r9,
+# q_explode and q_grouping_sets displaced by the late r8 additions at
+# their head).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 

@@ -4674,16 +4674,15 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("long").alias("W"),
         F.sum("n").cast("long").alias("n_comp"),
     )
-    # iteration 1: p0 = 1.0 for everyone, so the term is constant-fold
-    d1 = sym.groupBy("i").agg(
-        F.greatest(
-            F.sum(F.expr("n * 1000000000000 DIV 2000000")), F.lit(1)
-        ).alias("den")
-    )
-    p1 = wins.join(d1, on="i").select(
+    # iteration 1: p0 = 1.0 for everyone, so each term is exactly
+    # n·10¹² div 2·10⁶ = n·500000 (no truncation) and the denominator
+    # collapses algebraically to n_comp·500000 — no second aggregate
+    # over sym, no join (r8 review finding)
+    p1 = wins.select(
         "i",
         F.greatest(
-            F.expr("W * 1000000000000 DIV den"), F.lit(1000)
+            F.expr("W * 1000000000000 DIV (n_comp * 500000)"),
+            F.lit(1000),
         ).alias("p"),
     )
     # iteration 2: strength-of-opposition enters through p1

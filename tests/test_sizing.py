@@ -60,8 +60,6 @@ def test_ceil_sqrt_matches_isqrt_exhaustively_near_squares():
     # the SQL form (double sqrt ± 1 adjustment, q_sizing_report) must
     # equal the exact integer rule for every n near a perfect square,
     # where double rounding is most dangerous
-    import math
-
     def sql_form(n: int) -> int:
         a0 = math.ceil(math.sqrt(float(n))) if n else 0
         if (a0 - 1) * (a0 - 1) >= n:
@@ -75,7 +73,7 @@ def test_ceil_sqrt_matches_isqrt_exhaustively_near_squares():
             assert sql_form(n) == sized_n_anchors(n), n
 
 
-def test_sized_knobs_property(n=None):
+def test_sized_knobs_property():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
