@@ -166,6 +166,10 @@ HEADLINE_EXT = [
     "q_shard_balance",
     "q_quality_calibration",
     "q_lsh_band_stats",
+    "q_url_dedup",
+    "q_line_filter",
+    "q_ngram_novelty",
+    "q_preference_pairs",
 ]
 
 

@@ -300,3 +300,71 @@ def hashed_linear_score(
         score.alias("score_micro"),
         (score >= 0).alias("keep"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 10,
+    min_line_words: int = 5,
+    badwords: tuple[str, ...] = ("dup",),
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style LINE-level cleaning (Raffel et al. 2020, arXiv:1910.10683
+    §2.2) — the sub-document complement of the doc-level gopher_rules:
+    each document is segmented into lines, lines failing a rule are cut,
+    the document is reassembled from its surviving lines, and documents
+    left with too few lines are dropped entirely. C4's published rules,
+    adapted to this corpus: a line must carry at least ``min_line_words``
+    words (C4: "only retained lines that ... contained at least 5
+    words") and must not contain a blocklisted word (C4's bad-word /
+    "javascript" rule; ``badwords`` defaults to the corpus boilerplate
+    marker). Docs keep >= ``min_kept_lines`` lines or are dropped (C4:
+    "discarded any page with fewer than 3 sentences").
+
+    Segmentation is deterministic fixed-width word windows (``w`` words
+    — same convention as dedup.paragraph_dedup: the synthetic corpus has
+    no newline boundaries; in the wild swap in split(text, '\\n')).
+
+    Returns (id, n_lines, n_kept, n_drop_short, n_drop_badword,
+    n_kept_words, clean_md5) for surviving docs; clean_md5 pins the
+    reassembled text content without shipping it.
+
+    Rule attribution precedence: a line failing BOTH rules counts as
+    short (first rule wins), so the drop counts partition the dropped
+    lines exactly: n_lines = n_kept + n_drop_short + n_drop_badword.
+
+    Scale shape: the whole operator is ONE narrow projection — the line
+    array, the per-line rule checks (higher-order array functions), the
+    drop counts, and the reassembled-text digest all happen inside the
+    row, so the plan is scan -> project -> filter with ZERO exchanges;
+    at 100 TB it runs at scan speed and composes map-side with any
+    downstream shuffle.
+    """
+    if w < 1:
+        raise ValueError(f"w must be >= 1, got {w}")
+    ws = F.split(F.trim(F.col(text_col)), " ")
+    n_lines = F.ceil(F.size(ws) / F.lit(float(w))).cast("bigint")
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.slice(ws, i * w + 1, w),
+    )
+    bad = F.array(*[F.lit(b) for b in badwords])
+    is_short = lambda ln: F.size(ln) < min_line_words  # noqa: E731
+    has_bad = lambda ln: F.arrays_overlap(ln, bad)  # noqa: E731
+    kept = F.filter(lines, lambda ln: ~is_short(ln) & ~has_bad(ln))
+    out = df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.size(F.filter(lines, is_short)).cast("bigint").alias("n_drop_short"),
+        F.size(F.filter(lines, lambda ln: ~is_short(ln) & has_bad(ln)))
+        .cast("bigint")
+        .alias("n_drop_badword"),
+        F.size(F.flatten(kept)).cast("bigint").alias("n_kept_words"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda ln: F.array_join(ln, " ")), " ")
+        ).alias("clean_md5"),
+    )
+    return out.filter(F.col("n_kept") >= F.lit(min_kept_lines))

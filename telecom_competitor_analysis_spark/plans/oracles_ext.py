@@ -4474,3 +4474,183 @@ EXT_ORACLES["q_bradley_terry"] = """
            CAST(p2.p AS BIGINT) AS rating_micro
     FROM p2 JOIN wins ON wins.i = p2.i
 """
+
+
+# URL canonicalization + URL-keyed dedup (queries_ext.q_url_dedup):
+# the synthetic raw URL and every canonicalization step mirror
+# functions/urls.py verbatim (RE2-safe patterns so Java regex and
+# DuckDB agree; list_sort == array_sort on plain strings).
+EXT_ORACLES["q_url_dedup"] = r"""
+    WITH u AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'HTTPS://' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+               || source || '.Example.COM'
+               || (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END)
+               || '/catalog/item-' || CAST(doc_id % 40 AS VARCHAR)
+               || (CASE WHEN doc_id % 2 = 1 THEN '/' ELSE '' END)
+               || '?utm_source=feed' || CAST(doc_id % 5 AS VARCHAR)
+               || '&id=' || CAST(doc_id % 100 AS VARCHAR)
+               || '#sec-' || CAST(doc_id % 7 AS VARCHAR) AS raw_url
+        FROM documents
+    ),
+    s1 AS (
+        SELECT doc_id, raw_url,
+               regexp_replace(raw_url, '#.*', '') AS nf
+        FROM u
+    ),
+    s2 AS (
+        SELECT *,
+               lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+                   AS scheme,
+               regexp_replace(
+                   lower(regexp_extract(
+                       nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+                   '^www\.', '') AS host0,
+               regexp_replace(
+                   regexp_extract(
+                       nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+                   '/+$', '') AS path0,
+               regexp_extract(nf, '\?([^#]*)', 1) AS qs
+        FROM s1
+    ),
+    s3 AS (
+        SELECT doc_id, raw_url, scheme,
+               CASE WHEN scheme = 'https'
+                        THEN regexp_replace(host0, ':443$', '')
+                    WHEN scheme = 'http'
+                        THEN regexp_replace(host0, ':80$', '')
+                    ELSE host0 END AS host,
+               CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+               array_to_string(
+                   list_sort(list_filter(
+                       string_split(qs, '&'),
+                       p -> p <> '' AND NOT regexp_matches(
+                           p, '^(utm_[^=]*|ref|fbclid|gclid)='))),
+                   '&') AS kq
+        FROM s2
+    ),
+    canon AS (
+        SELECT doc_id, raw_url, host,
+               scheme || '://' || host || path
+               || (CASE WHEN kq = '' THEN '' ELSE '?' || kq END)
+                   AS canonical_url
+        FROM s3
+    )
+    SELECT host, canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw_url) AS BIGINT) AS n_raw_variants
+    FROM canon
+    GROUP BY 1, 2
+"""
+
+
+# C4 line-level cleaning (queries_ext.q_line_filter): fixed 10-word
+# lines, min-5-words + badword rules with short-first attribution,
+# >= 3 kept lines to survive; list_slice's inclusive end mirrors
+# Spark slice(start, length) on in-range windows and both truncate
+# the tail chunk.
+EXT_ORACLES["q_line_filter"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    l AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(
+                       0, CAST(ceil(len(arr) / 10.0) AS INT) - 1),
+                   i -> list_slice(arr, i * 10 + 1, i * 10 + 10)) AS lines
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id,
+               len(lines) AS n_lines,
+               list_filter(lines,
+                   ln -> len(ln) >= 5 AND NOT list_has_any(ln, ['dup']))
+                   AS kept,
+               len(list_filter(lines, ln -> len(ln) < 5)) AS n_drop_short,
+               len(list_filter(lines,
+                   ln -> len(ln) >= 5 AND list_has_any(ln, ['dup'])))
+                   AS n_drop_badword
+        FROM l
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(n_drop_short AS BIGINT) AS n_drop_short,
+           CAST(n_drop_badword AS BIGINT) AS n_drop_badword,
+           CAST(len(flatten(kept)) AS BIGINT) AS n_kept_words,
+           md5(array_to_string(
+               list_transform(kept, ln -> array_to_string(ln, ' ')), ' '))
+               AS clean_md5
+    FROM c
+    WHERE len(kept) >= 3
+"""
+
+
+# Per-doc 3-gram novelty (queries_ext.q_ngram_novelty): distinct
+# (doc, gram) universe, df = docs per gram, novelty = df==1 fraction
+# in integer micro.
+EXT_ORACLES["q_ngram_novelty"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT
+            t.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS sh
+        FROM t, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    d AS (
+        SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_micro
+    FROM sh JOIN d USING (sh)
+    GROUP BY doc_id
+"""
+
+
+# DPO preference pairs (queries_ext.q_preference_pairs): chosen =
+# min (pc, suppkey) per part; rejected clears the integer 1.5x margin
+# (2*pc >= 3*chosen); rank filter runs AFTER the margin WHERE (SQL
+# window functions evaluate post-WHERE, matching the Spark order).
+EXT_ORACLES["q_preference_pairs"] = """
+    WITH q AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS pc
+        FROM lineitem GROUP BY 1, 2
+    ),
+    ch AS (
+        SELECT l_partkey, l_suppkey AS chosen_suppkey, pc AS chosen_pc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_partkey ORDER BY pc, l_suppkey) AS rn
+        FROM q
+    ),
+    c1 AS (
+        SELECT l_partkey, chosen_suppkey, chosen_pc FROM ch WHERE rn = 1
+    ),
+    r AS (
+        SELECT q.l_partkey, c1.chosen_suppkey,
+               q.l_suppkey AS rejected_suppkey,
+               c1.chosen_pc, q.pc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.l_partkey
+                   ORDER BY q.pc DESC, q.l_suppkey) AS pair_rank
+        FROM q JOIN c1 USING (l_partkey)
+        WHERE q.l_suppkey != c1.chosen_suppkey
+          AND q.pc * 2 >= c1.chosen_pc * 3
+    )
+    SELECT l_partkey, chosen_suppkey, rejected_suppkey,
+           chosen_pc AS chosen_price_cents,
+           pc AS rejected_price_cents,
+           pc - chosen_pc AS margin_cents,
+           CAST(pair_rank AS INT) AS pair_rank
+    FROM r
+    WHERE pair_rank <= 3
+"""

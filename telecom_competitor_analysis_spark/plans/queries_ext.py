@@ -26,6 +26,7 @@ from telecom_competitor_analysis_spark.operators.dedup import (
     lsh_candidate_pairs,
     minhash_signature,
     shingle_jaccard_pairs,
+    shingle_rows,
     simhash16,
     simhash64,
 )
@@ -4932,9 +4933,197 @@ def q_lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed dedup after canonicalization (functions/urls.py) — the
+    FIRST dedup stage of every crawl pipeline: the same page arrives
+    under case/fragment/tracking-param/port variants, and collapsing
+    them costs one narrow projection plus one groupBy on the canonical
+    key (no content is ever read, unlike every content-hash dedup
+    downstream). The reference fetches fixed per-site URLs
+    (dags/viking_class_scraper.py:80-96) so it never meets this; a
+    100 TB crawl corpus starts here.
+
+    Each doc carries a deterministic synthetic crawl URL (mixed-case
+    scheme/host, optional www./default-port, trailing slash, utm
+    tracking noise, fragment — all derived from doc_id so the oracle
+    rebuilds them bit-identically); canonicalization must collapse the
+    variants onto (source, item, id) keys. Returns per canonical URL:
+    host, the keeper (lowest doc_id — the crawl's first fetch), the
+    collapsed doc count, and how many distinct raw variants it absorbed.
+
+    Scale shape: canonicalize is a zero-exchange per-row projection;
+    the single shuffle is the groupBy on the canonical key — exactly
+    the dedup key, partial-aggregable map-side (min/count/distinct-raw
+    collapse before the exchange)."""
+    from telecom_competitor_analysis_spark.functions.urls import (
+        canonicalize_url,
+        url_host,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.when(did % 2 == 0, F.lit("https://")).otherwise(F.lit("HTTPS://")),
+        F.when(did % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM"),
+        F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/catalog/item-"),
+        (did % 40).cast("string"),
+        F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed"),
+        (did % 5).cast("string"),
+        F.lit("&id="),
+        (did % 100).cast("string"),
+        F.lit("#sec-"),
+        (did % 7).cast("string"),
+    )
+    u = docs.select(
+        did.alias("doc_id"),
+        raw.alias("raw_url"),
+    )
+    c = u.select(
+        "doc_id",
+        "raw_url",
+        url_host(F.col("raw_url")).alias("host"),
+        canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+    )
+    return c.groupBy("host", "canonical_url").agg(
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("raw_url").cast("long").alias("n_raw_variants"),
+    )
+
+
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/quality.py::
+    c4_line_filter): cut lines under 5 words or carrying the
+    boilerplate marker word, reassemble each doc from its survivors,
+    drop docs left with fewer than 3 lines — the sub-document
+    complement of the doc-level q_gopher_rules screen. The whole
+    operator is one narrow projection (scan -> project -> filter, zero
+    exchanges), so at 100 TB it runs at scan speed."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        c4_line_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return c4_line_filter(
+        docs,
+        "doc_id",
+        "text",
+        w=10,
+        min_line_words=5,
+        badwords=("dup",),
+        min_kept_lines=3,
+    )
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the cross-corpus complement of the
+    intra-doc q_quality_repetition: for each doc, the fraction of its
+    distinct 3-gram shingles that occur in NO other document
+    (document frequency exactly 1 over the distinct (doc, gram)
+    universe). Low novelty = the doc is assembled from corpus
+    boilerplate (near-dup / template suspect even when no single pair
+    crosses the Jaccard threshold); high novelty = unique content worth
+    its training tokens. The same readout, run against a TRUSTED corpus
+    instead, is the memorization-risk screen.
+
+    Integer-exact: novelty in micro units via integer division — no FP
+    boundary between engines.
+
+    Scale shape: shingle_rows' single window pass (doc-id partitioned),
+    distinct on (doc, gram) with map-side combine, then the df count as
+    a window over partitionBy(gram) — ONE shuffle on the gram key (the
+    same distribution a groupBy would produce, reused directly) — and
+    the per-doc rollup shuffles on the doc id. No pairing stage at all:
+    unlike the Jaccard/containment family this never joins doc against
+    doc, so there is no candidate blowup to cap."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(docs, "doc_id", "text", w=3)
+        .select(F.col("doc_id"), F.col("word").alias("sh"))
+        .distinct()
+    )
+    w_sh = Window.partitionBy("sh")
+    g = grams.withColumn("df", F.count(F.lit(1)).over(w_sh))
+    return g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_novel"),
+        F.expr(
+            "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("novelty_micro"),
+    )
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO/RLHF preference-PAIR construction (Rafailov et al. 2023,
+    arXiv:2305.18290 trains on exactly this shape) — the dataset-build
+    step upstream of q_bradley_terry's rating aggregation: per prompt
+    group (a part), pair the CHOSEN response (cheapest quote,
+    deterministic (price, supplier) tie-break) against each REJECTED
+    response whose price clears a 1.5x margin (integer form:
+    2*rejected >= 3*chosen — no FP threshold), keeping at most 3
+    rejected per prompt ranked worst-first. Margin floor + per-prompt
+    cap are the two knobs every preference-data build exposes: the
+    floor keeps ambiguous pairs out of the loss, the cap stops hot
+    prompts from dominating the epoch.
+
+    Scale shape: quotes collapse to one row per (part, supplier) via a
+    partial-aggregable groupBy; the chosen side is min(struct) per part
+    (partial-aggregable, one row per part — no window over the raw
+    quotes); the join back is part-keyed; the only window runs AFTER
+    the margin filter over per-part groups bounded by suppliers-per-
+    part (~4 in TPC-H shape), so WindowGroupLimit never sees a hot
+    partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    quotes = (
+        li.select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("long")
+            .alias("pc"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("pc").alias("pc"))
+    )
+    chosen = quotes.groupBy("l_partkey").agg(
+        F.min(F.struct("pc", "l_suppkey")).alias("c")
+    )
+    j = quotes.join(chosen, on="l_partkey").where(
+        (F.col("l_suppkey") != F.col("c.l_suppkey"))
+        & (F.col("pc") * 2 >= F.col("c.pc") * 3)
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("pc").desc(), F.col("l_suppkey")
+    )
+    return (
+        j.withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= 3)
+        .select(
+            "l_partkey",
+            F.col("c.l_suppkey").alias("chosen_suppkey"),
+            F.col("l_suppkey").alias("rejected_suppkey"),
+            F.col("c.pc").alias("chosen_price_cents"),
+            F.col("pc").alias("rejected_price_cents"),
+            (F.col("pc") - F.col("c.pc")).alias("margin_cents"),
+            F.col("pair_rank").cast("int").alias("pair_rank"),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_decontaminate": q_semantic_decontaminate,
     "q_bradley_terry": q_bradley_terry,
+    "q_url_dedup": q_url_dedup,
+    "q_line_filter": q_line_filter,
+    "q_ngram_novelty": q_ngram_novelty,
+    "q_preference_pairs": q_preference_pairs,
     "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,

@@ -922,3 +922,41 @@ def test_bradley_terry_blocked_pairs_and_integer_iterations(spark, sf_dir):
     plan = _plan(QUERIES["q_bradley_terry"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_url_dedup_zero_exchange_canonicalize_partial_agg(spark, sf_dir):
+    # canonicalization is a per-row projection (no exchange of its own);
+    # the shuffles are exactly the groupBy's distinct-agg expansion: one
+    # keyed on (key, raw_url) for countDistinct, one on the canonical
+    # key — both preceded by map-side partial aggregation
+    plan = _plan(QUERIES["q_url_dedup"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_line_filter_is_scan_project_filter_no_exchange(spark, sf_dir):
+    # the whole C4 line screen happens inside the row: at 100 TB it runs
+    # at scan speed — any exchange here is a bug
+    plan = _plan(QUERIES["q_line_filter"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchScan" in plan or "FileScan" in plan
+
+
+def test_ngram_novelty_no_pair_stage(spark, sf_dir):
+    # novelty is df==1 accounting over (doc, gram) — there must be NO
+    # doc-vs-doc join anywhere (that's the whole point vs the Jaccard
+    # family) and no global sort
+    plan = _plan(QUERIES["q_ngram_novelty"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_preference_pairs_partial_chosen_and_bounded_window(spark, sf_dir):
+    # the chosen side is min(struct) per part — partial-aggregable, no
+    # window over the raw quotes; the rank window runs group-limited
+    plan = _plan(QUERIES["q_preference_pairs"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
