@@ -344,6 +344,12 @@ def c4_line_filter(
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
+    # under-split guard: the per-row array/digest work is compute-heavy,
+    # and a single-file local scan serializes it onto one core (measured
+    # 6.2x at the x10 probe before this line; 1.5x after). On a real
+    # cluster the scan is well-split and the gate conf makes this a
+    # no-op — the plan stays scan -> project -> filter, zero exchanges.
+    df = ensure_parallelism(df)
     ws = F.split(F.trim(F.col(text_col)), " ")
     n_lines = F.ceil(F.size(ws) / F.lit(float(w))).cast("bigint")
     lines = F.transform(

@@ -936,11 +936,19 @@ def test_url_dedup_zero_exchange_canonicalize_partial_agg(spark, sf_dir):
 
 
 def test_line_filter_is_scan_project_filter_no_exchange(spark, sf_dir):
-    # the whole C4 line screen happens inside the row: at 100 TB it runs
-    # at scan speed — any exchange here is a bug
-    plan = _plan(QUERIES["q_line_filter"](spark, sf_dir))
-    assert "Exchange" not in plan
-    assert "BatchScan" in plan or "FileScan" in plan
+    # the whole C4 line screen happens inside the row: at 100 TB (gate
+    # conf off — a big scan is always well-split) it runs at scan speed;
+    # any exchange in THAT plan is a bug. Locally the only exchange
+    # allowed is the gated under-split round-robin.
+    spark.conf.set("spark.graft.ensureParallelism", "false")
+    try:
+        plan = _plan(QUERIES["q_line_filter"](spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "BatchScan" in plan or "FileScan" in plan
+    finally:
+        spark.conf.unset("spark.graft.ensureParallelism")
+    local = _plan(QUERIES["q_line_filter"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in local
 
 
 def test_ngram_novelty_no_pair_stage(spark, sf_dir):
