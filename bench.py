@@ -170,6 +170,9 @@ HEADLINE_EXT = [
     "q_line_filter",
     "q_ngram_novelty",
     "q_preference_pairs",
+    "q_mutation_recall",
+    "q_triangle_count",
+    "q_annotator_agreement",
 ]
 
 

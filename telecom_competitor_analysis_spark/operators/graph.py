@@ -89,3 +89,76 @@ def pagerank_micro(
             )
         )
     return p.select("id", F.col("p").alias("pr_micro"))
+
+
+def triangle_stats(edges: DataFrame, id_a: str = "id_a",
+                   id_b: str = "id_b") -> DataFrame:
+    """Triangle census of an undirected graph given as canonical edges
+    (``id_a < id_b``, no duplicates): one row with n_nodes, n_edges,
+    n_wedges (unoriented, Σ deg·(deg−1)/2), n_triangles, and global
+    transitivity = 3·triangles/wedges in integer micros.
+
+    Compact-forward orientation (Latapy 2008; Suri & Vassilvitskii
+    WWW'11): each edge points from its lower-(degree, id) endpoint, so
+    every triangle is enumerated exactly once at its orientation-minimal
+    vertex and wedge work is Σ out-deg² = O(E^1.5) instead of Σ deg² —
+    a degree-d hub contributes ~d² unoriented wedges but only bounded
+    oriented ones, which is exactly what keeps the wedge join alive on
+    the dense template clusters a 100 TB near-dup graph grows.
+
+    All joins are equi-joins on node keys; the three 1-row aggregate
+    legs are combined with 1-row cross joins (constant cost).
+    """
+    ea, eb = F.col(id_a), F.col(id_b)
+    e = edges.select(ea.alias("id_a"), eb.alias("id_b"))
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .unionAll(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = (
+        e.join(deg.withColumnRenamed("v", "id_a"), "id_a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("v", "id_b").withColumnRenamed("deg", "db"),
+            "id_b",
+        )
+    )
+    # id_a < id_b always, so the (deg, id) tie-break is "<= keeps id_a"
+    oriented = j.select(
+        F.when(F.col("da") <= F.col("db"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("u"),
+        F.when(F.col("da") <= F.col("db"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("v"),
+    )
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        e,
+        (F.least("v", "w") == F.col("id_a"))
+        & (F.greatest("v", "w") == F.col("id_b")),
+    ).agg(F.count(F.lit(1)).alias("n_triangles"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("deg * (deg - 1) DIV 2")), F.lit(0)
+        ).alias("n_wedges"),
+    )
+    edge_count = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        node_stats.crossJoin(edge_count)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long"),
+            F.col("n_edges").cast("long"),
+            F.col("n_wedges").cast("long"),
+            F.col("n_triangles").cast("long"),
+            F.expr(
+                "CAST(3 * n_triangles * 1000000 DIV GREATEST(n_wedges, 1)"
+                " AS BIGINT)"
+            ).alias("transitivity_micro"),
+        )
+    )

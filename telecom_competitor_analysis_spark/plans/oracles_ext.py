@@ -4654,3 +4654,174 @@ EXT_ORACLES["q_preference_pairs"] = """
     FROM r
     WHERE pair_rank <= 3
 """
+
+
+# LSH banding S-curve on controlled mutations
+# (queries_ext.q_mutation_recall): mutation period, shingle sets, the
+# md5 minhash family and band keys all mirror the Spark in-row forms
+# verbatim; list_min on md5 hex strings == array_min (both
+# lexicographic on lowercase hex).
+EXT_ORACLES["q_mutation_recall"] = """
+    WITH t AS (
+        SELECT doc_id,
+               string_split(trim(text), ' ') AS arr,
+               CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 4
+                    WHEN 2 THEN 8 WHEN 3 THEN 16 WHEN 4 THEN 32
+                    ELSE 64 END AS per
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, arr,
+               list_transform(
+                   generate_series(1, len(arr)),
+                   i -> CASE WHEN i % per = 0 THEN arr[i] || '~'
+                             ELSE arr[i] END) AS mut
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id,
+               CASE WHEN len(arr) >= 3 THEN list_distinct(list_transform(
+                   generate_series(1, len(arr) - 2),
+                   i -> arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2]))
+                   ELSE CAST([] AS VARCHAR[]) END AS sa,
+               CASE WHEN len(mut) >= 3 THEN list_distinct(list_transform(
+                   generate_series(1, len(mut) - 2),
+                   i -> mut[i] || ' ' || mut[i + 1] || ' ' || mut[i + 2]))
+                   ELSE CAST([] AS VARCHAR[]) END AS sb
+        FROM m
+    ),
+    k AS (
+        SELECT doc_id,
+               len(list_intersect(sa, sb)) AS inter,
+               len(sa) + len(sb) - len(list_intersect(sa, sb)) AS uni,
+               md5(list_min(list_transform(sa, x -> md5(x || '#0'))) || '|'
+                   || list_min(list_transform(sa, x -> md5(x || '#1'))))
+                   AS a0,
+               md5(list_min(list_transform(sa, x -> md5(x || '#2'))) || '|'
+                   || list_min(list_transform(sa, x -> md5(x || '#3'))))
+                   AS a1,
+               md5(list_min(list_transform(sb, x -> md5(x || '#0'))) || '|'
+                   || list_min(list_transform(sb, x -> md5(x || '#1'))))
+                   AS b0,
+               md5(list_min(list_transform(sb, x -> md5(x || '#2'))) || '|'
+                   || list_min(list_transform(sb, x -> md5(x || '#3'))))
+                   AS b1
+        FROM s
+    ),
+    c AS (
+        SELECT CAST(inter * 10 // uni AS INT) AS jac_decile,
+               CASE WHEN a0 = b0 OR a1 = b1 THEN 1 ELSE 0 END AS caught
+        FROM k WHERE uni > 0
+    )
+    SELECT jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(caught) AS BIGINT) AS n_caught,
+           CAST(SUM(caught) * 1000000 // COUNT(*) AS BIGINT)
+               AS recall_micro
+    FROM c GROUP BY jac_decile
+"""
+
+
+# Triangle census of the LSH candidate graph
+# (queries_ext.q_triangle_count): edges = the q_minhash_lsh_pairs
+# oracle verbatim; degree-ordered orientation with the "<= keeps id_a"
+# tie-break (id_a < id_b in the edge set), compact-forward wedge
+# closure against the canonical edge form.
+EXT_ORACLES["q_triangle_count"] = f"""
+    WITH edges AS (
+        SELECT id_a, id_b FROM ({{LSH_PAIRS}})
+    ),
+    deg AS (
+        SELECT v, COUNT(*) AS deg FROM (
+            SELECT id_a AS v FROM edges
+            UNION ALL SELECT id_b AS v FROM edges
+        ) GROUP BY v
+    ),
+    orient AS (
+        SELECT CASE WHEN da.deg <= db.deg THEN e.id_a ELSE e.id_b END AS u,
+               CASE WHEN da.deg <= db.deg THEN e.id_b ELSE e.id_a END AS v
+        FROM edges e
+        JOIN deg da ON da.v = e.id_a
+        JOIN deg db ON db.v = e.id_b
+    ),
+    w AS (
+        SELECT o1.v AS x, o2.v AS y
+        FROM orient o1 JOIN orient o2 ON o1.u = o2.u AND o1.v < o2.v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM w JOIN edges e
+          ON e.id_a = LEAST(x, y) AND e.id_b = GREATEST(x, y)
+    ),
+    ns AS (
+        SELECT COUNT(*) AS n_nodes,
+               COALESCE(SUM(deg * (deg - 1) // 2), 0) AS n_wedges
+        FROM deg
+    ),
+    ec AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+           CAST(n_edges AS BIGINT) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges,
+           CAST(n_triangles AS BIGINT) AS n_triangles,
+           CAST(3 * n_triangles * 1000000 // GREATEST(n_wedges, 1)
+                AS BIGINT) AS transitivity_micro
+    FROM ns, ec, tri
+"""
+
+EXT_ORACLES["q_triangle_count"] = EXT_ORACLES["q_triangle_count"].replace(
+    "{LSH_PAIRS}", EXT_ORACLES["q_minhash_lsh_pairs"]
+)
+
+
+# Inter-annotator agreement (queries_ext.q_annotator_agreement): the
+# three synthetic annotators mirror the Spark derivation verbatim;
+# p_o >> p_e by construction so the truncating integer divisions agree.
+EXT_ORACLES["q_annotator_agreement"] = """
+    WITH ann AS (
+        SELECT vec_id,
+               CASE WHEN (vec_id * 7 + 0) % 10 < 8 THEN label
+                    ELSE (label + 1 + (vec_id + 0) % 9) % 10 END AS l0,
+               CASE WHEN (vec_id * 7 + 13) % 10 < 8 THEN label
+                    ELSE (label + 1 + (vec_id + 1) % 9) % 10 END AS l1,
+               CASE WHEN (vec_id * 7 + 26) % 10 < 8 THEN label
+                    ELSE (label + 1 + (vec_id + 2) % 9) % 10 END AS l2
+        FROM embeddings
+    ),
+    p AS (
+        SELECT 0 AS k_a, 1 AS k_b, l0 AS lab_a, l1 AS lab_b FROM ann
+        UNION ALL
+        SELECT 0, 2, l0, l2 FROM ann
+        UNION ALL
+        SELECT 1, 2, l1, l2 FROM ann
+    ),
+    main AS (
+        SELECT k_a, k_b, COUNT(*) AS n,
+               SUM(CASE WHEN lab_a = lab_b THEN 1 ELSE 0 END) AS n_agree
+        FROM p GROUP BY 1, 2
+    ),
+    ma AS (
+        SELECT k_a, k_b, lab_a AS c, COUNT(*) AS na
+        FROM p GROUP BY 1, 2, 3
+    ),
+    mb AS (
+        SELECT k_a, k_b, lab_b AS c, COUNT(*) AS nb
+        FROM p GROUP BY 1, 2, 3
+    ),
+    pe AS (
+        SELECT k_a, k_b, SUM(na * nb) AS pe_num
+        FROM ma JOIN mb USING (k_a, k_b, c)
+        GROUP BY 1, 2
+    ),
+    f AS (
+        SELECT main.k_a, main.k_b,
+               CAST(n AS BIGINT) AS n,
+               CAST(n_agree AS BIGINT) AS n_agree,
+               CAST(n_agree * 1000000 // n AS BIGINT) AS p_o_micro,
+               CAST(pe_num * 1000000 // (n * n) AS BIGINT) AS p_e_micro
+        FROM main JOIN pe USING (k_a, k_b)
+    )
+    SELECT k_a, k_b, n, n_agree, p_o_micro, p_e_micro,
+           CAST((p_o_micro - p_e_micro) * 1000000
+                // (1000000 - p_e_micro) AS BIGINT) AS kappa_micro
+    FROM f
+"""

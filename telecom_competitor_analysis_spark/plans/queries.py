@@ -1123,18 +1123,18 @@ QUERIES.update(EXT_QUERIES)
 # and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
 # rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
 # except the 45 r5 greens parked first below the boundary. Round 8's
-# window (6 + 11 + 31 + 2 = 50): the 6 queries whose operator code
+# window (6 + 14 + 30 = 50): the 6 queries whose operator code
 # changed this round (the 5 r7 ADVICE fixes + the banded_signatures
-# extraction consumer q_minhash_lsh_pairs), the 11 new r8 oracles
+# extraction consumer q_minhash_lsh_pairs), the 14 new r8 oracles
 # (q_semantic_decontaminate, q_bradley_terry, q_lsh_recall,
 # q_sizing_report, q_shard_balance, q_quality_calibration,
 # q_lsh_band_stats, q_url_dedup, q_line_filter, q_ngram_novelty,
-# q_preference_pairs), the 31 remaining never-driver-checked r7
-# oracles, and the 2 oldest r5 greens as fill — after r8's driver run
-# every oracle-checked query in the repo has at least one driver green
-# and no non-r8 green is older than r5 (43 r5 greens parked first for
-# r9; q_semi_join/q_except/q_intersect/q_distinct_agg and the earlier
-# q_explode/q_grouping_sets displaced by late r8 additions lead it).
+# q_preference_pairs, q_mutation_recall, q_triangle_count,
+# q_annotator_agreement), and 30 of the 31 never-driver-checked r7
+# oracles — new-code slots take precedence over fill, so ONE tier-2
+# item (q_multiprobe_lsh, judge-green at both SFs in r7) waits just
+# below the boundary and leads the r9 window, followed by the
+# displaced r5 fillers and the 43 parked r5 greens.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
@@ -1163,6 +1163,9 @@ VERIFY_PRIORITY = [
     "q_line_filter",
     "q_ngram_novelty",
     "q_preference_pairs",
+    "q_mutation_recall",
+    "q_triangle_count",
+    "q_annotator_agreement",
     # tier 2 — the remaining 31 of the 36 oracles declared after the r7
     # window filled; never driver-hash-checked (r7 VERDICT item 1)
     "q_containment_pairs",
@@ -1195,15 +1198,15 @@ VERIFY_PRIORITY = [
     "q_ann_recall_filtered",
     "q_impute_median",
     "q_maxsim_index",
+    # 6 changed + 14 new + 30 never-checked = 50 (no fill slots left)
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # q_multiprobe_lsh: the one tier-2 never-driver-green displaced by
+    # the late r8 wave (judge-green at both SFs in r7) — FIRST for r9,
+    # then the fillers displaced by the r8 additions, then the parked
+    # r5 greens (oldest rotation set).
     "q_multiprobe_lsh",
-    # tier 3 — the 2 oldest r5 greens as fill;
-    # 6 changed + 11 new + 31 never-checked + 2 = 50
     "q_agg_latest_price",
     "q_cube",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The remaining r5 greens — oldest parked; first in line for the
-    # r9 window (the fillers displaced by the round-8 additions go
-    # back to the front).
     "q_semi_join",
     "q_except",
     "q_intersect",

@@ -5117,6 +5117,263 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mutation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve measured on CONTROLLED mutations — the
+    mid-Jaccard fixture the corpus-pair q_lsh_recall can't provide (its
+    planted dups are near-identical, so only the 0.9+ decile gets
+    data): every doc is paired with a deterministically mutated twin
+    (every p-th word tagged, p = 2^(1 + doc_id%6) ∈ {2..64}, so exact
+    pair Jaccard sweeps ~0 → ~0.95 across the corpus), and each pair
+    is checked against the PRODUCTION banding function — same
+    ``md5(sh||'#k')`` MinHash family, 4 hashes × 2 bands, as
+    minhash_signature/lsh_candidate_pairs — giving the measured
+    P(candidate | Jaccard) everywhere on the curve, not just its top
+    decile. This is the knob-fitting readout: whether (n_hashes,
+    bands) matches the dedup threshold BEFORE a 100 TB run quietly
+    under- or over-dedups.
+
+    Integer-exact throughout (Jaccard deciles via shingle-set
+    intersection counts, recall in micro units).
+
+    Scale shape: the measurement is PAIR-FREE — each (doc, twin) pair
+    exists per-row by construction, so there is no candidate join
+    anywhere; everything is the codegen'd shingle_rows single window
+    pass (per side) followed by partial-aggregable groupBys on
+    (doc, gram) / (doc, side) / doc keys and the ≤ 10-group rollup.
+    An in-row HOF formulation (mutation, shingle sets, all 8 minhash
+    values inside one projection) was tried first and abandoned: it
+    measured 2-20× slower — interpreted lambda evaluation, and
+    multiplicative re-evaluation wherever the optimizer re-inlined the
+    array expressions (the same lesson operators/dedup.py::shingle_rows
+    records). Contrast with q_lsh_recall, which measures the deployed
+    generator end-to-end (bucket caps included) but only where the
+    corpus provides pairs."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    per = F.expr(
+        "CASE CAST(doc_id % 6 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 4"
+        " WHEN 2 THEN 8 WHEN 3 THEN 16 WHEN 4 THEN 32 ELSE 64 END"
+    )
+    ws = F.split(F.trim(F.col("text")), " ")
+    mut = F.transform(
+        ws,
+        lambda w, i: F.when((i + 1) % per == 0, F.concat(w, F.lit("~"))).otherwise(w),
+    )
+    # the two corpus sides, keyed by sid = doc_id*2 + side (side 1 = twin)
+    two = docs.select(
+        F.col("doc_id"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("side"), F.col("text").alias("t")),
+                F.struct(
+                    F.lit(1).alias("side"),
+                    F.array_join(mut, " ").alias("t"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        (F.col("doc_id") * 2 + F.col("s.side")).alias("sid"),
+        F.col("s.t").alias("t"),
+    )
+    sh = (
+        shingle_rows(two, "sid", "t", w=3)
+        .select("sid", F.col("word").alias("sh"))
+        .distinct()
+    )
+    keyed = sh.select(
+        F.expr("sid DIV 2").alias("doc_id"),
+        (F.col("sid") % 2).alias("side"),
+        "sh",
+    )
+    # exact pair Jaccard: per-gram side presence, then a per-doc rollup
+    gram = keyed.groupBy("doc_id", "sh").agg(
+        F.max((F.col("side") == 0).cast("int")).alias("ha"),
+        F.max((F.col("side") == 1).cast("int")).alias("hb"),
+    )
+    jac = gram.groupBy("doc_id").agg(
+        F.sum(F.col("ha") * F.col("hb")).alias("inter"),
+        F.sum("ha").alias("sz_a"),
+        F.sum("hb").alias("sz_b"),
+    )
+    # production banding per side (groupBy-min of the md5 family —
+    # codegen), then both sides pivoted onto one row per doc: no join
+    # between the signature rows, just a second partial agg
+    sig = keyed.groupBy("doc_id", "side").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{k}")))).alias(f"h{k}")
+            for k in range(4)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        "side",
+        F.md5(F.concat("h0", F.lit("|"), "h1")).alias("b0"),
+        F.md5(F.concat("h2", F.lit("|"), "h3")).alias("b1"),
+    )
+    wide = bands.groupBy("doc_id").agg(
+        F.max(F.when(F.col("side") == 0, F.col("b0"))).alias("a0"),
+        F.max(F.when(F.col("side") == 0, F.col("b1"))).alias("a1"),
+        F.max(F.when(F.col("side") == 1, F.col("b0"))).alias("t0"),
+        F.max(F.when(F.col("side") == 1, F.col("b1"))).alias("t1"),
+    )
+    pairs = (
+        jac.join(wide, "doc_id")
+        .select(
+            F.col("inter"),
+            (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("uni"),
+            (
+                (F.col("a0") == F.col("t0")) | (F.col("a1") == F.col("t1"))
+            ).alias("caught"),
+        )
+        .filter(F.col("uni") > 0)
+    )
+    return (
+        pairs.withColumn(
+            "jac_decile", F.expr("CAST(inter * 10 DIV uni AS INT)")
+        )
+        .groupBy("jac_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("caught").cast("int")).cast("long").alias("n_caught"),
+            F.expr(
+                "CAST(SUM(CAST(caught AS INT)) * 1000000 DIV COUNT(1)"
+                " AS BIGINT)"
+            ).alias("recall_micro"),
+        )
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph (edges = the
+    production banded MinHash-LSH pairs): triangle count and global
+    transitivity are the structural health check of a dedup graph —
+    high transitivity means candidates form dense template clusters
+    (connected-component dedup will collapse whole families, as
+    intended); low transitivity with many edges flags chain-shaped
+    false-positive bridges that would over-merge components at 100 TB
+    (q_dedup_clusters / q_leakage_safe_split both consume these
+    components, so this is their early-warning twin).
+
+    Algorithm: degree-ordered orientation (each edge points from its
+    lower-(degree, id) endpoint), wedges enumerated from the ORIENTED
+    adjacency only, closed against the canonical edge set — the
+    compact-forward scheme (Latapy 2008, Theory Comp. Sci. 407;
+    Suri & Vassilvitskii WWW'11 use the same orientation for MapReduce
+    triangle counting): every triangle is found exactly once at its
+    orientation-minimal vertex, and wedge volume is Σ out-deg² =
+    O(E^1.5) instead of Σ deg² (a hub of degree d contributes ~d²
+    unoriented wedges but only O(E)·√E oriented ones — at 100 TB the
+    hub template cluster is exactly where naive wedge counting dies).
+
+    Scale shape: edges come from the bucket-capped candidate generator;
+    orientation is two broadcast-size degree joins; the wedge self-join
+    and the closure join are equi-joins on node keys; output is one
+    row. Transitivity = 3·triangles / unoriented-wedges in micro.
+    """
+    from telecom_competitor_analysis_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    edges = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    return triangle_stats(edges)
+
+
+def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement for label/preference data: pairwise
+    observed agreement and Cohen's kappa (Cohen 1960) per annotator
+    pair — the data-quality gate every RLHF/classification labeling
+    pipeline runs before q_label_vote aggregates the labels (raw
+    agreement overstates quality when the label marginals are skewed;
+    kappa subtracts the chance-agreement floor p_e = Σ_c p_a(c)·p_b(c)).
+
+    Three synthetic annotators are derived deterministically from the
+    embeddings labels (80% ground-truth fidelity, class-dependent
+    confusion — both engines rebuild them bit-identically). All-integer
+    arithmetic: p_o/p_e in micro via integer division, kappa_micro =
+    (p_o−p_e)·1M div (1M−p_e). By construction p_o ≫ p_e (0.8
+    fidelity vs ~0.1 chance), so the numerator stays positive and
+    truncating integer division agrees across engines.
+
+    Scale shape: the three per-annotator labels are one map-side
+    projection; the 3 pairs per row come from an in-row explode (NO
+    self-join on the row id — the classic formulation joins the long
+    label table to itself on item id, which shuffles the full table;
+    building the pair structs inside the row skips that entirely);
+    then one count-agg per pair plus class-marginal aggs joined on
+    (pair, class) — every aggregate partial, every join on
+    bounded-cardinality keys (3 pairs × ≤ 10 classes)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+    def lab(k: int):
+        return F.when(
+            (F.col("vec_id") * 7 + k * 13) % 10 < 8, F.col("label")
+        ).otherwise(
+            (F.col("label") + 1 + (F.col("vec_id") + k) % 9) % 10
+        )
+
+    la = [lab(k).alias(f"l{k}") for k in range(3)]
+    wide = emb.select(*la)
+
+    def pair_struct(i: int, j: int):
+        return F.struct(
+            F.lit(i).cast("int").alias("k_a"),
+            F.lit(j).cast("int").alias("k_b"),
+            F.col(f"l{i}").alias("lab_a"),
+            F.col(f"l{j}").alias("lab_b"),
+        )
+
+    p = wide.select(
+        F.explode(
+            F.array(pair_struct(0, 1), pair_struct(0, 2), pair_struct(1, 2))
+        ).alias("p")
+    ).select("p.*")
+    main = p.groupBy("k_a", "k_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lab_a") == F.col("lab_b")).cast("int")).alias("n_agree"),
+    )
+    ma = p.groupBy("k_a", "k_b", F.col("lab_a").alias("c")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    mb = p.groupBy("k_a", "k_b", F.col("lab_b").alias("c")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    pe = (
+        ma.join(mb, ["k_a", "k_b", "c"])
+        .groupBy("k_a", "k_b")
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("pe_num"))
+    )
+    return (
+        main.join(pe, ["k_a", "k_b"])
+        .select(
+            "k_a",
+            "k_b",
+            F.col("n").cast("long").alias("n"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.expr("CAST(n_agree * 1000000 DIV n AS BIGINT)").alias(
+                "p_o_micro"
+            ),
+            F.expr("CAST(pe_num * 1000000 DIV (n * n) AS BIGINT)").alias(
+                "p_e_micro"
+            ),
+        )
+        .withColumn(
+            "kappa_micro",
+            F.expr(
+                "CAST((p_o_micro - p_e_micro) * 1000000"
+                " DIV (1000000 - p_e_micro) AS BIGINT)"
+            ),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_semantic_decontaminate": q_semantic_decontaminate,
     "q_bradley_terry": q_bradley_terry,
@@ -5124,6 +5381,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_line_filter": q_line_filter,
     "q_ngram_novelty": q_ngram_novelty,
     "q_preference_pairs": q_preference_pairs,
+    "q_mutation_recall": q_mutation_recall,
+    "q_triangle_count": q_triangle_count,
+    "q_annotator_agreement": q_annotator_agreement,
     "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,

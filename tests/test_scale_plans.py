@@ -968,3 +968,37 @@ def test_preference_pairs_partial_chosen_and_bounded_window(spark, sf_dir):
     assert "partial_min" in plan
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mutation_recall_no_pair_stage(spark, sf_dir):
+    # the (doc, twin) pairs exist per-row by construction: the only
+    # join is the doc_id-keyed combine of the jaccard and banding legs
+    # (never a candidate pair join), every groupBy partial-aggregates,
+    # and nothing range-partitions
+    plan = _plan(QUERIES["q_mutation_recall"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "rangepartitioning" not in plan
+    assert "partial_min" in plan  # map-side minhash combine
+
+
+def test_triangle_count_equi_joins_only(spark, sf_dir):
+    # wedge + closure joins are equi-joins on node keys; the only
+    # nested-loop joins are the three 1-row aggregate combines
+    plan = _plan(QUERIES["q_triangle_count"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+
+
+def test_annotator_agreement_no_self_join_on_items(spark, sf_dir):
+    # the 3 annotator pairs come from an IN-ROW explode, never a
+    # long-table self-join on vec_id: no join keyed on the item id
+    plan = _plan(QUERIES["q_annotator_agreement"](spark, sf_dir))
+    assert "vec_id#" not in plan.split("Generate")[0].split("Join")[-1] \
+        or "Join" not in plan.split("Generate")[0]
+    # joins exist only on (k_a, k_b[, c]) — tiny keys; no exchange on vec_id
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "vec_id" not in ln
