@@ -173,6 +173,8 @@ HEADLINE_EXT = [
     "q_mutation_recall",
     "q_triangle_count",
     "q_annotator_agreement",
+    "q_doremi_step",
+    "q_span_corruption",
 ]
 
 

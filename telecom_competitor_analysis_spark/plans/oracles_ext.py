@@ -4825,3 +4825,82 @@ EXT_ORACLES["q_annotator_agreement"] = """
                 // (1000000 - p_e_micro) AS BIGINT) AS kappa_micro
     FROM f
 """
+
+
+# DoReMi multiplicative-weights step (queries_ext.q_doremi_step):
+# all-integer micro arithmetic mirrored verbatim; excess is vs the
+# min-proxy domain so every operand is non-negative.
+EXT_ORACLES["q_doremi_step"] = """
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS n_words,
+               CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    p AS (
+        SELECT *, CAST(n_chars * 1000000 // n_words AS BIGINT)
+                      AS proxy_micro
+        FROM per
+    ),
+    lo AS (SELECT MIN(proxy_micro) AS min_proxy FROM p),
+    fac AS (
+        SELECT source, n_docs, n_words, proxy_micro,
+               proxy_micro - min_proxy AS excess_micro,
+               CAST(1000000 + (500000 * (proxy_micro - min_proxy))
+                    // 1000000 AS BIGINT) AS factor_micro
+        FROM p, lo
+    ),
+    tot AS (
+        SELECT SUM(factor_micro) AS sum_f, COUNT(*) AS k FROM fac
+    )
+    SELECT source, n_docs, n_words, proxy_micro,
+           CAST(excess_micro AS BIGINT) AS excess_micro,
+           factor_micro,
+           CAST(factor_micro * 1000000 // sum_f AS BIGINT) AS w_micro,
+           CAST((9 * (factor_micro * 1000000 // sum_f)
+                 + (1000000 // k)) // 10 AS BIGINT) AS w_smoothed_micro
+    FROM fac, tot
+"""
+
+
+# T5 span corruption (queries_ext.q_span_corruption): 0-based word
+# index i0 = i - 1, chunk c = i0 // 3, every 7th chunk masked,
+# sentinel ordinal c // 7 — every formula mirrored verbatim.
+EXT_ORACLES["q_span_corruption"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(arr) AS BIGINT) AS n_words,
+               list_transform(generate_series(1, len(arr)), i ->
+                   CASE WHEN ((i - 1) // 3) % 7 = 0 AND (i - 1) % 3 = 0
+                        THEN '<extra_id_' ||
+                             CAST(((i - 1) // 3) // 7 AS VARCHAR) || '>'
+                        WHEN ((i - 1) // 3) % 7 = 0 THEN NULL
+                        ELSE arr[i] END) AS inp,
+               list_transform(generate_series(1, len(arr)), i ->
+                   CASE WHEN ((i - 1) // 3) % 7 = 0 AND (i - 1) % 3 = 0
+                        THEN '<extra_id_' ||
+                             CAST(((i - 1) // 3) // 7 AS VARCHAR) || '>'
+                             || ' ' || arr[i]
+                        WHEN ((i - 1) // 3) % 7 = 0 THEN arr[i]
+                        ELSE NULL END) AS tgt
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           CAST(len(list_filter(tgt, x -> x IS NOT NULL)) AS BIGINT)
+               AS n_masked_words,
+           CAST(len(list_filter(inp,
+                x -> x IS NOT NULL AND starts_with(x, '<extra_id_')))
+               AS BIGINT) AS n_spans,
+           CAST(len(list_filter(tgt, x -> x IS NOT NULL)) * 1000000
+                // n_words AS BIGINT) AS corruption_micro,
+           md5(array_to_string(list_filter(inp, x -> x IS NOT NULL), ' '))
+               AS inputs_md5,
+           md5(array_to_string(list_filter(tgt, x -> x IS NOT NULL), ' '))
+               AS targets_md5
+    FROM m
+"""

@@ -5117,6 +5117,164 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One DoReMi-style domain-reweighting step (Xie et al. 2023,
+    arXiv:2305.10429): the domain weights a mixture-trained run updates
+    from per-domain EXCESS LOSS — the learned-weights capstone of the
+    mixing family (q_temperature_mix is the static-heuristic mix,
+    q_domain_cap the hard ceiling, q_mix_rebalance the quota form;
+    this is the feedback step that moves weight toward domains the
+    model finds hardest). The multiplicative-weights form
+    w ← w·(1 + η·excess) replaces DoReMi's exp(η·excess) — same
+    first-order update, ALL-INTEGER (the repo's micro-unit rule: no
+    transcendental, no FP boundary; contrast q_temperature_mix, which
+    must round one pow() per language).
+
+    Loss proxy: per-domain mean characters-per-word in micro (an
+    integer-exact compressibility stand-in for reference-model loss —
+    harder/denser text scores higher); excess = proxy − min(proxy), so
+    the factor is ≥ 1M and every division sees positive operands.
+    Final weights smooth 9:1 with uniform (DoReMi's c·u + (1−c)·α,
+    c = 0.1), starting from uniform w0 (iteration 1 collapses to
+    normalizing the factors — same algebraic collapse q_bradley_terry
+    documents for its iteration 1).
+
+    Scale shape: ONE partial-aggregated groupBy(source) over the
+    corpus (8 rows out); the min/sum renormalizers are windows OVER
+    THE 8 AGGREGATED ROWS (the q_shard_balance pattern — an agg +
+    crossJoin formulation re-scans the corpus once per renormalizer
+    leg because each leg re-derives its lineage; the window keeps it
+    to one scan), so everything after the single corpus exchange is
+    O(domains)."""
+    eta_micro = 500_000  # η = 0.5
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("long")
+        .alias("n_words"),
+        F.sum(F.length(F.col("text"))).cast("long").alias("n_chars"),
+    )
+    per = per.withColumn(
+        "proxy_micro", F.expr("CAST(n_chars * 1000000 DIV n_words AS BIGINT)")
+    )
+    w = Window.partitionBy()
+    fac = per.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "proxy_micro",
+        (F.col("proxy_micro") - F.min("proxy_micro").over(w)).alias(
+            "excess_micro"
+        ),
+    ).withColumn(
+        "factor_micro",
+        F.expr(
+            f"CAST(1000000 + ({eta_micro} * excess_micro)"
+            " DIV 1000000 AS BIGINT)"
+        ),
+    )
+    fac = fac.withColumn("sum_f", F.sum("factor_micro").over(w)).withColumn(
+        "k", F.count(F.lit(1)).over(w)
+    )
+    return fac.select(
+        "source",
+        "n_docs",
+        "n_words",
+        "proxy_micro",
+        "excess_micro",
+        "factor_micro",
+        F.expr("CAST(factor_micro * 1000000 DIV sum_f AS BIGINT)").alias(
+            "w_micro"
+        ),
+        F.expr(
+            "CAST((9 * (factor_micro * 1000000 DIV sum_f)"
+            " + (1000000 DIV k)) DIV 10 AS BIGINT)"
+        ).alias("w_smoothed_micro"),
+    )
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption pair construction (Raffel et al. 2020,
+    arXiv:1910.10683 §3.1.4: mask contiguous spans, mean length 3,
+    ~15% of tokens; each masked span collapses to one sentinel in the
+    input and reappears after the same sentinel in the target) — the
+    denoising-objective sibling of q_sequence_pack's causal-LM packing.
+    Deterministic span choice so both engines rebuild bit-identically:
+    words chunk into 3-word spans, every 7th chunk is masked (14.3%
+    token corruption, T5's operating point), sentinel ordinal =
+    chunk_idx div 7 (⟨extra_id_0⟩, ⟨extra_id_1⟩, … in order).
+
+    Returns per doc: token accounting (n_words, n_masked_words,
+    n_spans, corruption_micro) and md5 digests of the input and target
+    strings — the content pin without shipping the text (the
+    q_dup_span_remove convention).
+
+    Scale shape: map-only — two flat transforms (token → replacement
+    or null) + null-filters + joins + digests over the word-array
+    ATTRIBUTE, one level deep (the q_mutation_recall lesson: never
+    nest HOFs over inlined array expressions; a single transform over
+    an attribute array is the safe shape). Zero exchanges under the
+    cluster setting (plan-asserted); at 100 TB the pair build runs at
+    scan speed."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    arrs = docs.select(
+        F.col("doc_id"), F.split(F.trim(F.col("text")), " ").alias("ws")
+    )
+    sentinel = lambda c: F.concat(  # noqa: E731
+        F.lit("<extra_id_"), (c / 7).cast("long").cast("string"), F.lit(">")
+    )
+
+    def tok_in(w, i):
+        c = (i / 3).cast("long")
+        masked = c % 7 == 0
+        return (
+            F.when(masked & (i % 3 == 0), sentinel(c))
+            .when(masked, F.lit(None).cast("string"))
+            .otherwise(w)
+        )
+
+    def tok_tgt(w, i):
+        c = (i / 3).cast("long")
+        masked = c % 7 == 0
+        return F.when(
+            masked & (i % 3 == 0), F.concat(sentinel(c), F.lit(" "), w)
+        ).when(masked, w)
+
+    keep = lambda x: x.isNotNull()  # noqa: E731
+    out = arrs.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size(
+            F.filter(F.transform("ws", tok_tgt), keep)
+        ).cast("long").alias("__tgt_toks"),
+        F.transform("ws", tok_in).alias("__in"),
+        F.transform("ws", tok_tgt).alias("__tgt"),
+    )
+    n_spans = F.size(
+        F.filter(F.col("__in"), lambda x: x.startswith("<extra_id_"))
+    ).cast("long")
+    return out.select(
+        "doc_id",
+        "n_words",
+        F.col("__tgt_toks").alias("n_masked_words"),
+        n_spans.alias("n_spans"),
+        F.expr(
+            "CAST(__tgt_toks * 1000000 DIV n_words AS BIGINT)"
+        ).alias("corruption_micro"),
+        F.md5(F.array_join(F.filter(F.col("__in"), keep), " ")).alias(
+            "inputs_md5"
+        ),
+        F.md5(F.array_join(F.filter(F.col("__tgt"), keep), " ")).alias(
+            "targets_md5"
+        ),
+    )
+
+
 def q_mutation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding S-curve measured on CONTROLLED mutations — the
     mid-Jaccard fixture the corpus-pair q_lsh_recall can't provide (its
@@ -5384,6 +5542,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mutation_recall": q_mutation_recall,
     "q_triangle_count": q_triangle_count,
     "q_annotator_agreement": q_annotator_agreement,
+    "q_doremi_step": q_doremi_step,
+    "q_span_corruption": q_span_corruption,
     "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,

@@ -1002,3 +1002,23 @@ def test_annotator_agreement_no_self_join_on_items(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "vec_id" not in ln
+
+
+def test_doremi_step_single_corpus_exchange(spark, sf_dir):
+    # one partial-aggregated groupBy(source) over the corpus; the
+    # min/sum renormalizers are 1-row broadcast combines
+    plan = _plan(QUERIES["q_doremi_step"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_span_corruption_is_map_only(spark, sf_dir):
+    # the pair build is scan-speed: zero exchanges under the cluster
+    # setting (the gated under-split round-robin is local-only)
+    spark.conf.set("spark.graft.ensureParallelism", "false")
+    try:
+        plan = _plan(QUERIES["q_span_corruption"](spark, sf_dir))
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.unset("spark.graft.ensureParallelism")
