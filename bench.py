@@ -175,6 +175,8 @@ HEADLINE_EXT = [
     "q_annotator_agreement",
     "q_doremi_step",
     "q_span_corruption",
+    "q_prefix_rule_match",
+    "q_k_anonymity",
 ]
 
 

@@ -4904,3 +4904,72 @@ EXT_ORACLES["q_span_corruption"] = """
                AS targets_md5
     FROM m
 """
+
+
+# Longest-prefix rule matching (queries_ext.q_prefix_rule_match):
+# synthetic rules and prefix-chain construction mirrored verbatim;
+# longest match via max_by on (length, rule) — arg_max in DuckDB.
+EXT_ORACLES["q_prefix_rule_match"] = """
+    WITH urls AS (
+        SELECT source || '.example.com' AS host,
+               '/catalog/item-' || CAST(doc_id % 40 AS VARCHAR) AS path,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    src AS (SELECT DISTINCT source FROM documents),
+    rules AS (
+        SELECT source || '.example.com' AS host,
+               '/catalog/item-1' AS rule
+        FROM src
+        UNION ALL
+        SELECT source || '.example.com', '/catalog'
+        FROM src WHERE length(source) % 2 = 0
+    ),
+    prefs AS (
+        SELECT host, path,
+               unnest(list_transform(
+                   generate_series(2, len(string_split(path, '/'))),
+                   i -> array_to_string(
+                       list_slice(string_split(path, '/'), 1, i), '/')))
+                   AS prefix
+        FROM urls
+    ),
+    matched AS (
+        SELECT p.host, p.path,
+               arg_max(r.rule, length(r.rule)) AS matched_rule
+        FROM prefs p
+        JOIN rules r ON r.host = p.host AND r.rule = p.prefix
+        GROUP BY 1, 2
+    )
+    SELECT u.host, u.path, u.n_docs,
+           COALESCE(m.matched_rule, '-') AS matched_rule,
+           CAST(CASE WHEN m.matched_rule IS NULL THEN 0
+                     ELSE length(m.matched_rule) END AS INT) AS rule_len,
+           CAST(CASE WHEN m.matched_rule IS NULL THEN 0 ELSE 1 END AS INT)
+               AS blocked
+    FROM urls u LEFT JOIN matched m USING (host, path)
+"""
+
+
+# k-anonymity audit (queries_ext.q_k_anonymity): the same two grouping
+# sets and k = 5 accounting.
+EXT_ORACLES["q_k_anonymity"] = """
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               GROUPING(c_nationkey) AS lvl,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+                                (c_mktsegment))
+    )
+    SELECT CAST(lvl AS INT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1000000
+                // SUM(n) AS BIGINT) AS risky_micro
+    FROM classes GROUP BY lvl
+"""

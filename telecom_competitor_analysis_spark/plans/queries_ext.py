@@ -5117,6 +5117,138 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_prefix_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt-style LONGEST-PREFIX rule matching over crawl URLs —
+    the admission screen that runs before any fetch (every crawler
+    honors per-host disallow prefixes, and at 100 TB frontier scale the
+    naive formulation is a disaster: `url.path LIKE rule || '%'` is a
+    theta-join the optimizer can only execute as a nested loop). The
+    Spark-shaped rewrite: explode each path into its PREFIX CHAIN
+    (bounded by path depth, here ≤ 2 segments), equi-join the chain
+    against the rule set on (host, prefix), and keep the longest match
+    per path with a partial-aggregable max(struct(len, rule)) — the
+    same explode-to-equi-join move q_fuzzy_join uses for edit distance.
+
+    Rules are derived deterministically from the corpus sources: every
+    host disallows '/catalog/item-1'; even-length sources also carry
+    the broader '/catalog' rule — so longest-match semantics are
+    actually exercised (on even hosts, item-1 must match the LONGER
+    item rule while every other item matches '/catalog').
+
+    Returns one row per (host, path): doc count, the longest matching
+    rule ('-' when no rule matches), its length, and the blocked flag.
+
+    Scale shape: URL table collapses to distinct (host, path) with a
+    partial-agg doc count; the rule table is dimension-sized
+    (broadcast); explode factor = path depth; the argmax and the final
+    left join key on (host, path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    path = F.concat(F.lit("/catalog/item-"), (F.col("doc_id") % 40).cast("string"))
+    urls = (
+        docs.select(host.alias("host"), path.alias("path"))
+        .groupBy("host", "path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    src = docs.select("source").distinct()
+    rules = (
+        src.select(
+            F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+            F.lit("/catalog/item-1").alias("rule"),
+        )
+        .unionByName(
+            src.filter(F.length("source") % 2 == 0).select(
+                F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+                F.lit("/catalog").alias("rule"),
+            )
+        )
+    )
+    parts = urls.withColumn("parts", F.split(F.col("path"), "/"))
+    prefs = parts.select(
+        "host",
+        "path",
+        "n_docs",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(2), F.size("parts")),
+                lambda i: F.array_join(F.slice(F.col("parts"), 1, i), "/"),
+            )
+        ).alias("prefix"),
+    )
+    matched = (
+        prefs.join(
+            F.broadcast(rules),
+            (prefs.host == rules.host) & (prefs.prefix == rules.rule),
+        )
+        .select(prefs.host, "path", F.col("rule"))
+        .groupBy("host", "path")
+        .agg(
+            # two distinct prefixes of ONE path can never share a
+            # length, so length alone is a unique argmax key
+            F.max_by(F.col("rule"), F.length("rule")).alias("matched_rule")
+        )
+    )
+    return urls.join(matched, ["host", "path"], "left").select(
+        "host",
+        "path",
+        "n_docs",
+        F.coalesce(F.col("matched_rule"), F.lit("-")).alias("matched_rule"),
+        F.when(F.col("matched_rule").isNull(), F.lit(0))
+        .otherwise(F.length("matched_rule"))
+        .cast("int")
+        .alias("rule_len"),
+        F.col("matched_rule").isNotNull().cast("int").alias("blocked"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifiers — the privacy gate a training corpus with
+    user-derived records passes before release: any QI equivalence
+    class smaller than k re-identifies its members. Two generalization
+    levels in ONE grouping-sets pass: level 0 = (mktsegment, nation),
+    level 1 = (mktsegment) — the audit shows how much generalizing the
+    nation away repairs anonymity. Per level: class count, smallest
+    class, risky classes (size < k = 5), rows they expose, and the
+    exposure rate in integer micro.
+
+    Scale shape: one GROUPING SETS aggregate over the table (both
+    levels share the single scan/shuffle — the same one-pass trick as
+    q_grouping_sets), then a ≤ 2-group rollup of the class rows."""
+    k = 5
+    cust = load_table(spark, sf_dir, "customer")
+    cust.select("c_mktsegment", "c_nationkey").createOrReplaceTempView(
+        "__kanon_qi"
+    )
+    classes = spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               GROUPING(c_nationkey) AS lvl,
+               COUNT(*) AS n
+        FROM __kanon_qi
+        GROUP BY GROUPING SETS ((c_mktsegment, c_nationkey),
+                                (c_mktsegment))
+        """
+    )
+    return (
+        classes.groupBy(F.col("lvl").cast("int").alias("level"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("n").cast("long").alias("min_class_size"),
+            F.sum((F.col("n") < k).cast("int")).cast("long").alias(
+                "n_risky_classes"
+            ),
+            F.sum(F.when(F.col("n") < k, F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_risky_rows"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN n < {k} THEN n ELSE 0 END) * 1000000"
+                " DIV SUM(n) AS BIGINT)"
+            ).alias("risky_micro"),
+        )
+    )
+
+
 def q_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One DoReMi-style domain-reweighting step (Xie et al. 2023,
     arXiv:2305.10429): the domain weights a mixture-trained run updates
@@ -5544,6 +5676,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_annotator_agreement": q_annotator_agreement,
     "q_doremi_step": q_doremi_step,
     "q_span_corruption": q_span_corruption,
+    "q_prefix_rule_match": q_prefix_rule_match,
+    "q_k_anonymity": q_k_anonymity,
     "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,

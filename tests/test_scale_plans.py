@@ -1022,3 +1022,20 @@ def test_span_corruption_is_map_only(spark, sf_dir):
         assert "Exchange" not in plan
     finally:
         spark.conf.unset("spark.graft.ensureParallelism")
+
+
+def test_prefix_rule_match_broadcasts_rules_no_theta_join(spark, sf_dir):
+    # the LIKE-prefix theta-join rewritten as prefix-chain explode +
+    # equi-join: rules broadcast, no nested loop anywhere
+    plan = _plan(QUERIES["q_prefix_rule_match"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_anonymity_single_pass_grouping_sets(spark, sf_dir):
+    # both generalization levels share ONE scan via Expand (grouping
+    # sets), then a <= 2-group rollup
+    plan = _plan(QUERIES["q_k_anonymity"](spark, sf_dir))
+    assert "Expand" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
