@@ -4671,6 +4671,13 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+    # Cost note (profiled r8): the executed plan re-derives the sym
+    # lineage per reference (no exchange reuse across the alias
+    # renames — 20 lineitem scans), but a localCheckpoint on sym was
+    # measured a wash (11.2 s -> 10.5 s lazy; eager just moves the
+    # cost into query build): the dominant cost is the oracle-pinned
+    # comparison join itself (~9M pair rows at sf0.1, ∝ rows ·
+    # rows-per-part), not the repeated scans. Left lazy on purpose.
     wins = sym.groupBy("i").agg(
         F.sum("w").cast("long").alias("W"),
         F.sum("n").cast("long").alias("n_comp"),
