@@ -5041,20 +5041,25 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary between engines.
 
     Scale shape: shingle_rows' single window pass (doc-id partitioned),
-    distinct on (doc, gram) with map-side combine, then the df count as
-    a window over partitionBy(gram) — ONE shuffle on the gram key (the
-    same distribution a groupBy would produce, reused directly) — and
-    the per-doc rollup shuffles on the doc id. No pairing stage at all:
-    unlike the Jaccard/containment family this never joins doc against
-    doc, so there is no candidate blowup to cap."""
+    distinct on (doc, gram) with map-side combine, then df via a
+    partial-aggregated groupBy(gram) JOINED back on the gram key, and
+    the per-doc rollup shuffles on the doc id. The df side is
+    deliberately a groupBy + join, NOT a count window over
+    partitionBy(gram): an unbounded-frame window BUFFERS its whole
+    partition, so one boilerplate gram shared by 10⁹ docs is a
+    single-task OOM at scale, while the groupBy collapses map-side and
+    the join is AQE-skew-splittable (r8 review finding — the window
+    form shipped first). No pairing stage at all: unlike the
+    Jaccard/containment family this never joins doc against doc, so
+    there is no candidate blowup to cap."""
     docs = load_table(spark, sf_dir, "documents")
     grams = (
         shingle_rows(docs, "doc_id", "text", w=3)
         .select(F.col("doc_id"), F.col("word").alias("sh"))
         .distinct()
     )
-    w_sh = Window.partitionBy("sh")
-    g = grams.withColumn("df", F.count(F.lit(1)).over(w_sh))
+    df_side = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    g = grams.join(df_side, "sh")
     return g.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_grams"),
         F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
