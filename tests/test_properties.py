@@ -535,3 +535,74 @@ def test_kcenter_property(spark, vecs):
         best = max(cand, key=lambda t: (t[1], -t[0]))
         sel.append(best[0])
     assert [got[r] for r in range(k)] == sel
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization laws (functions/urls.py)
+# ---------------------------------------------------------------------------
+
+url_like = st.builds(
+    lambda scheme, www, host, port, path, slash, params, frag: (
+        scheme + www + host + port + path + slash
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http://", "https://", "HTTP://", "HtTpS://"]),
+    www=st.sampled_from(["", "www.", "WWW."]),
+    host=st.from_regex(r"[a-zA-Z0-9]{1,8}(\.[a-zA-Z]{2,4}){1,2}",
+                       fullmatch=True),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.from_regex(r"(/[a-zA-Z0-9._-]{0,6}){0,3}", fullmatch=True),
+    slash=st.sampled_from(["", "/", "//"]),
+    params=st.lists(
+        st.from_regex(r"[a-z_]{1,8}=[a-zA-Z0-9]{0,5}", fullmatch=True),
+        max_size=4,
+    ),
+    frag=st.sampled_from(["", "#f", "#sec-1"]),
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(urls=st.lists(url_like, min_size=1, max_size=40))
+def test_canonicalize_url_idempotent(spark, urls):
+    """canonicalize is a CLOSURE operator: applying it to its own
+    output must be a no-op — otherwise two crawls of the same page can
+    still land on different dedup keys depending on how many times the
+    pipeline normalized the URL."""
+    from telecom_competitor_analysis_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(
+        canonicalize_url(F.col("u")).alias("c1"),
+        canonicalize_url(canonicalize_url(F.col("u"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        assert r.c1 == r.c2, r
+
+
+@settings(max_examples=30, deadline=None)
+@given(urls=st.lists(url_like, min_size=1, max_size=40))
+def test_canonicalize_url_drops_noise_keeps_identity(spark, urls):
+    """Canonical form never contains a fragment, never ends with the
+    scheme's default port, never carries a tracking parameter, and its
+    surviving query params arrive sorted."""
+    from telecom_competitor_analysis_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    rows = df.select(canonicalize_url(F.col("u")).alias("c")).collect()
+    for r in rows:
+        c = r.c
+        assert "#" not in c
+        assert "utm_" not in c and "fbclid=" not in c and "gclid=" not in c
+        head = c.split("?")[0]
+        if head.startswith("https://"):
+            assert not head.split("/")[2].endswith(":443")
+        if head.startswith("http://"):
+            assert not head.split("/")[2].endswith(":80")
+        if "?" in c:
+            qs = c.split("?", 1)[1].split("&")
+            assert qs == sorted(qs) and all(q for q in qs)
