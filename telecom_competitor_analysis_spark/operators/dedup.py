@@ -1022,3 +1022,81 @@ def paragraph_dedup(
             "scrubbed_text",
         )
     )
+
+
+def url_frontier_screen(
+    batch: DataFrame,
+    spark,
+    seen_dir: str,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """Cross-batch URL dedup for a streaming crawl frontier — the
+    SCREEN-ZERO of an admission pipeline (the cheapest cut there is:
+    no content is ever read): canonicalize each batch URL
+    (functions/urls.py — case/www/port/fragment/tracking-param
+    variants collapse onto one key), decide first-fetch-wins against a
+    PERSISTENT seen set, and append the batch's newly-seen canonicals
+    so later batches (and later runs) skip re-fetching the same page.
+
+    Returns (id, canonical_url, keeper_id, is_dup) for every batch
+    row; appends {seen_dir} = (canonical_url, keeper_id) parquet.
+
+    Exactly-once by CONSTRUCTION, not by transaction: the keeper for a
+    canonical is deterministic (the batch's min id on first sight,
+    frozen in the seen set afterwards), and the append is an anti-join
+    of the batch's canonicals against the current seen set — so a
+    crashed-and-replayed foreachBatch recomputes identical decisions
+    (its own canonicals are now in the seen set WITH THE SAME keepers,
+    and coalesce(seen, batch) keeper is unchanged) and appends nothing.
+    No batch-id bookkeeping, no transactional sink required.
+
+    Scale shape: per-batch cost ∝ batch (one canonical projection, one
+    batch-keyed partial agg, one join against the seen set on the
+    canonical key — at 100 TB frontier scale the seen set is the big
+    side, so write it bucketed by canonical_url and this join prunes
+    to the batch's buckets, the build_shingle_index pattern)."""
+    from telecom_competitor_analysis_spark.functions.urls import (
+        canonicalize_url,
+    )
+
+    c = batch.select(
+        F.col(id_col).alias("__id"),
+        canonicalize_url(F.col(url_col)).alias("canonical_url"),
+    )
+    batch_keep = c.groupBy("canonical_url").agg(
+        F.min("__id").alias("__batch_keeper")
+    )
+    try:
+        seen = spark.read.parquet(seen_dir).select(
+            "canonical_url", F.col("keeper_id").alias("__seen_keeper")
+        )
+    except Exception:  # first batch: no files yet
+        seen = spark.createDataFrame(
+            [], "canonical_url string, __seen_keeper long"
+        )
+    eff = batch_keep.join(seen, on="canonical_url", how="left").select(
+        "canonical_url",
+        "__batch_keeper",
+        F.coalesce(F.col("__seen_keeper"), F.col("__batch_keeper")).alias(
+            "__keeper"
+        ),
+        F.col("__seen_keeper").isNull().alias("__new"),
+    )
+    # materialize the decisions BEFORE appending, so the append cannot
+    # feed back into this batch's own keeper resolution
+    out = (
+        c.join(eff, on="canonical_url")
+        .select(
+            F.col("__id").alias(id_col),
+            "canonical_url",
+            F.col("__keeper").cast("long").alias("keeper_id"),
+            (F.col("__id") != F.col("__keeper")).alias("is_dup"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    eff.filter(F.col("__new")).select(
+        "canonical_url",
+        F.col("__batch_keeper").cast("long").alias("keeper_id"),
+    ).write.mode("append").parquet(seen_dir)
+    return out

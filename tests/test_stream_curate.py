@@ -561,3 +561,101 @@ def test_streaming_admission_with_ann_screen(spark, dirs):
             assert not r.admitted and r.reason == "model"
         else:
             assert r.admitted and r.reason is None
+
+
+def test_streaming_url_frontier_screen(spark, dirs):
+    """SCREEN-ZERO of the admission pipeline: cross-batch URL dedup
+    against a persistent seen set — the cheapest duplicate cut (no
+    content read). Each doc carries a synthetic crawl URL whose
+    canonical key is doc_id % 4 under case/port/slash/tracking noise:
+    batch 1 (docs 0-5) first-sees canonicals 0-3 (keepers 0-3, docs
+    4-5 are in-batch dups), batch 2 (docs 6-11) is ALL dups of the now
+    frozen seen set. Replaying a crashed batch is a no-op by
+    construction (deterministic keepers + anti-join append): decisions
+    identical, seen set unchanged."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        url_frontier_screen,
+    )
+
+    seen_dir = f"{dirs['index']}_url_seen"
+
+    def with_url(batch_df):
+        did = F.col("doc_id")
+        return batch_df.withColumn(
+            "url",
+            F.concat(
+                F.when(did % 2 == 0, F.lit("https://")).otherwise(
+                    F.lit("HTTPS://")
+                ),
+                F.lit("www.crawl.Example.COM"),
+                F.when(did % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+                F.lit("/page-"),
+                (did % 4).cast("string"),
+                F.when(did % 2 == 1, F.lit("/")).otherwise(F.lit("")),
+                F.lit("?utm_source=feed&v="),
+                (did % 4).cast("string"),
+                F.lit("#frag"),
+            ),
+        )
+
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+
+    def screen_batch(batch_df, batch_id: int) -> None:
+        out = url_frontier_screen(
+            with_url(batch_df), spark, seen_dir
+        ).withColumn("batch_id", F.lit(batch_id))
+        out.write.mode("append").parquet(dirs["out"])
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_documents")
+            .option("docsPerBatch", "6")
+            .load()
+            .writeStream.foreachBatch(screen_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()  # docs 0-5
+    run_once()  # docs 6-11 (offset resumed)
+
+    rows = {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert set(rows) == set(range(12))
+    # batch 1: canonicals 0-3 keep their first doc; 4,5 dup onto 0,1
+    for d in range(4):
+        assert not rows[d].is_dup and rows[d].keeper_id == d
+    assert rows[4].is_dup and rows[4].keeper_id == 0
+    assert rows[5].is_dup and rows[5].keeper_id == 1
+    # batch 2: every canonical already frozen — all dups, keepers 0-3
+    for d in range(6, 12):
+        assert rows[d].is_dup and rows[d].keeper_id == d % 4
+        assert rows[d].batch_id == 1
+    # canonicalization collapsed the noise: one canonical per d % 4
+    canon = {r.canonical_url for r in rows.values()}
+    assert canon == {
+        f"https://crawl.example.com/page-{k}?v={k}" for k in range(4)
+    }
+    # seen set: exactly the 4 canonicals, first-batch keepers
+    seen = {
+        r.canonical_url: r.keeper_id
+        for r in spark.read.parquet(seen_dir).collect()
+    }
+    assert sorted(seen.values()) == [0, 1, 2, 3] and len(seen) == 4
+
+    # crash-replay idempotence: re-screen batch 2's exact docs directly
+    replay_docs = spark.createDataFrame(
+        [(i, f"w{i}") for i in range(6, 12)], "doc_id long, text string"
+    )
+    replay = {
+        r.doc_id: r
+        for r in url_frontier_screen(
+            with_url(replay_docs), spark, seen_dir
+        ).collect()
+    }
+    for d in range(6, 12):
+        assert replay[d].is_dup == rows[d].is_dup
+        assert replay[d].keeper_id == rows[d].keeper_id
+    seen2 = spark.read.parquet(seen_dir).count()
+    assert seen2 == 4  # anti-join append added nothing
