@@ -177,6 +177,7 @@ HEADLINE_EXT = [
     "q_span_corruption",
     "q_prefix_rule_match",
     "q_k_anonymity",
+    "q_corpus_drift",
 ]
 
 

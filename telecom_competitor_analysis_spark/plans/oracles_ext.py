@@ -4973,3 +4973,77 @@ EXT_ORACLES["q_k_anonymity"] = """
                 // SUM(n) AS BIGINT) AS risky_micro
     FROM classes GROUP BY lvl
 """
+
+
+# Corpus drift (queries_ext.q_corpus_drift): KS over the n_words ECDF
+# + TVD over the source mix, halves split on doc_id % 2; all integer
+# micro arithmetic mirrored verbatim (window cumsum over the bounded
+# per-value rollup).
+EXT_ORACLES["q_corpus_drift"] = """
+    WITH d AS (
+        SELECT CASE WHEN doc_id % 7 < 3 THEN 1 ELSE 0 END AS cand,
+               len(string_split(trim(text), ' ')) AS n_words,
+               source
+        FROM documents
+    ),
+    v AS (
+        SELECT n_words,
+               SUM(1 - cand) AS cr, SUM(cand) AS cc
+        FROM d GROUP BY n_words
+    ),
+    c AS (
+        SELECT n_words,
+               SUM(cr) OVER () AS n_ref,
+               SUM(cc) OVER () AS n_cand,
+               SUM(cr) OVER (ORDER BY n_words
+                             ROWS UNBOUNDED PRECEDING) AS cum_r,
+               SUM(cc) OVER (ORDER BY n_words
+                             ROWS UNBOUNDED PRECEDING) AS cum_c
+        FROM v
+    ),
+    kd AS (
+        SELECT n_words, n_ref, n_cand,
+               abs(cum_r * 1000000 // n_ref
+                   - cum_c * 1000000 // n_cand) AS d_micro
+        FROM c
+    ),
+    ks AS (
+        SELECT 'ks_n_words' AS metric,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(MAX(d_micro) AS BIGINT) AS stat_micro,
+               CAST(arg_max(n_words,
+                    lpad(CAST(d_micro AS VARCHAR), 8, '0') || '|'
+                    || lpad(CAST(n_words AS VARCHAR), 6, '0'))
+                    AS VARCHAR) AS arg
+        FROM kd GROUP BY n_ref, n_cand
+    ),
+    s AS (
+        SELECT source, SUM(1 - cand) AS cr, SUM(cand) AS cc
+        FROM d GROUP BY source
+    ),
+    sd AS (
+        SELECT source,
+               SUM(cr) OVER () AS n_ref,
+               SUM(cc) OVER () AS n_cand,
+               cr, cc
+        FROM s
+    ),
+    sd2 AS (
+        SELECT source, n_ref, n_cand,
+               abs(cr * 1000000 // n_ref - cc * 1000000 // n_cand)
+                   AS d_micro
+        FROM sd
+    ),
+    tvd AS (
+        SELECT 'tvd_source' AS metric,
+               CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(SUM(d_micro) // 2 AS BIGINT) AS stat_micro,
+               arg_max(source,
+                   lpad(CAST(d_micro AS VARCHAR), 8, '0') || '|'
+                   || source) AS arg
+        FROM sd2 GROUP BY n_ref, n_cand
+    )
+    SELECT * FROM ks UNION ALL SELECT * FROM tvd
+"""

@@ -1123,17 +1123,17 @@ QUERIES.update(EXT_QUERIES)
 # and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
 # rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
 # except the 45 r5 greens parked first below the boundary. Round 8's
-# window (6 + 18 + 26 = 50): the 6 queries whose operator code
+# window (6 + 19 + 25 = 50): the 6 queries whose operator code
 # changed this round (the 5 r7 ADVICE fixes + the banded_signatures
-# extraction consumer q_minhash_lsh_pairs), the 18 new r8 oracles
+# extraction consumer q_minhash_lsh_pairs), the 19 new r8 oracles
 # (q_semantic_decontaminate, q_bradley_terry, q_lsh_recall,
 # q_sizing_report, q_shard_balance, q_quality_calibration,
 # q_lsh_band_stats, q_url_dedup, q_line_filter, q_ngram_novelty,
 # q_preference_pairs, q_mutation_recall, q_triangle_count,
 # q_annotator_agreement, q_doremi_step, q_span_corruption,
-# q_prefix_rule_match, q_k_anonymity), and 26 of the 31
+# q_prefix_rule_match, q_k_anonymity, q_corpus_drift), and 25 of the 31
 # never-driver-checked r7 oracles — new-code slots take precedence
-# over fill, so FIVE tier-2 items (q_char_entropy,
+# over fill, so SIX tier-2 items (q_gram_incremental, q_char_entropy,
 # q_ann_recall_filtered, q_impute_median, q_maxsim_index,
 # q_multiprobe_lsh — each judge-green at both SFs in r7) wait just
 # below the boundary and lead the r9 window, followed by the
@@ -1173,6 +1173,7 @@ VERIFY_PRIORITY = [
     "q_span_corruption",
     "q_prefix_rule_match",
     "q_k_anonymity",
+    "q_corpus_drift",
     # tier 2 — the remaining 31 of the 36 oracles declared after the r7
     # window filled; never driver-hash-checked (r7 VERDICT item 1)
     "q_containment_pairs",
@@ -1200,15 +1201,15 @@ VERIFY_PRIORITY = [
     "q_vocab_coverage",
     "q_gram_matrix",
     "q_ivf_bucket_stats",
-    "q_gram_incremental",
-    # 6 changed + 18 new + 26 never-checked = 50 (no fill slots left)
+    # 6 changed + 19 new + 25 never-checked = 50 (no fill slots left)
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # q_char_entropy / q_ann_recall_filtered / q_impute_median /
-    # q_maxsim_index / q_multiprobe_lsh: the five tier-2
-    # never-driver-greens displaced by the late r8 waves (each
+    # q_gram_incremental / q_char_entropy / q_ann_recall_filtered /
+    # q_impute_median / q_maxsim_index / q_multiprobe_lsh: the six
+    # tier-2 never-driver-greens displaced by the late r8 waves (each
     # judge-green at both SFs in r7) — FIRST for r9, then the fillers
     # displaced by the r8 additions, then the parked r5 greens (oldest
     # rotation set).
+    "q_gram_incremental",
     "q_char_entropy",
     "q_ann_recall_filtered",
     "q_impute_median",

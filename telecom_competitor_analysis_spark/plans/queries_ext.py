@@ -5129,6 +5129,119 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor between two corpus snapshots — the
+    check a refreshed training corpus passes before a retrain: a
+    Kolmogorov-Smirnov statistic on the document-length ECDF (numeric
+    drift) and the total-variation distance on the source mix
+    (categorical drift). Snapshots here are the deterministic split
+    doc_id % 7 < 3 (decorrelated from the corpus's source/length
+    derivations — a % 2 split IS the source parity, which pins TVD at
+    the useless maximum 1.0; caught on first output inspection) so
+    both engines split identically; in production the two sides are yesterday's and
+    today's partitions. Complements q_embedding_drift (semantic space)
+    with the surface-statistics drift the cheap monitors watch.
+
+    Integer-exact: ECDF values and probabilities in micro via integer
+    division, |differences| of micros, max/sum — no FP anywhere, so
+    the statistic is bit-identical across engines and shuffle orders.
+
+    Scale shape: each leg is ONE partial-aggregated groupBy over the
+    corpus (per distinct word count / per source — both bounded
+    cardinality), then windows over the AGGREGATED rows only (the
+    ECDF cumsum runs over ≤|distinct lengths| rows, never the corpus;
+    same q_shard_balance pattern). For an unbounded-cardinality
+    numeric column, pre-bin before this query — the ECDF rollup is
+    exact only because the value domain is bounded."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 7 < 3).cast("int").alias("cand"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_words"),
+        "source",
+    )
+    # KS leg: ECDF difference can only change at observed values
+    per_v = docs.groupBy("n_words").agg(
+        F.sum(1 - F.col("cand")).alias("cr"),
+        F.sum("cand").alias("cc"),
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("n_words").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ks = (
+        per_v.withColumn("n_ref", F.sum("cr").over(w_all))
+        .withColumn("n_cand", F.sum("cc").over(w_all))
+        .withColumn("cum_r", F.sum("cr").over(w_cum))
+        .withColumn("cum_c", F.sum("cc").over(w_cum))
+        .withColumn(
+            "d_micro",
+            F.abs(
+                F.expr(
+                    "cum_r * 1000000 DIV n_ref - cum_c * 1000000 DIV n_cand"
+                )
+            ),
+        )
+        .groupBy("n_ref", "n_cand")
+        .agg(
+            F.max("d_micro").cast("long").alias("stat_micro"),
+            # composite tie-break as a zero-padded string key — DuckDB's
+            # arg_max takes no struct key, so both engines order by the
+            # SAME lexicographic (d_micro, n_words) encoding
+            F.max_by(
+                F.col("n_words"),
+                F.concat(
+                    F.lpad(F.col("d_micro").cast("string"), 8, "0"),
+                    F.lit("|"),
+                    F.lpad(F.col("n_words").cast("string"), 6, "0"),
+                ),
+            )
+            .cast("string")
+            .alias("arg"),
+        )
+        .select(
+            F.lit("ks_n_words").alias("metric"),
+            F.col("n_ref").cast("long"),
+            F.col("n_cand").cast("long"),
+            "stat_micro",
+            "arg",
+        )
+    )
+    # TVD leg: half the L1 distance between the source mixes
+    per_s = docs.groupBy("source").agg(
+        F.sum(1 - F.col("cand")).alias("cr"),
+        F.sum("cand").alias("cc"),
+    )
+    tvd = (
+        per_s.withColumn("n_ref", F.sum("cr").over(w_all))
+        .withColumn("n_cand", F.sum("cc").over(w_all))
+        .withColumn(
+            "d_micro",
+            F.abs(
+                F.expr("cr * 1000000 DIV n_ref - cc * 1000000 DIV n_cand")
+            ),
+        )
+        .groupBy("n_ref", "n_cand")
+        .agg(
+            F.expr("CAST(SUM(d_micro) DIV 2 AS BIGINT)").alias("stat_micro"),
+            F.max_by(
+                F.col("source"),
+                F.concat(
+                    F.lpad(F.col("d_micro").cast("string"), 8, "0"),
+                    F.lit("|"),
+                    F.col("source"),
+                ),
+            ).alias("arg"),
+        )
+        .select(
+            F.lit("tvd_source").alias("metric"),
+            F.col("n_ref").cast("long"),
+            F.col("n_cand").cast("long"),
+            "stat_micro",
+            "arg",
+        )
+    )
+    return ks.unionByName(tvd)
+
+
 def q_prefix_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots.txt-style LONGEST-PREFIX rule matching over crawl URLs —
     the admission screen that runs before any fetch (every crawler
@@ -5690,6 +5803,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_span_corruption": q_span_corruption,
     "q_prefix_rule_match": q_prefix_rule_match,
     "q_k_anonymity": q_k_anonymity,
+    "q_corpus_drift": q_corpus_drift,
     "q_lsh_recall": q_lsh_recall,
     "q_sizing_report": q_sizing_report,
     "q_shard_balance": q_shard_balance,

@@ -57,3 +57,29 @@ def test_k_anonymity_planted_classes(spark, tmp_path):
     # generalizing nation away repairs anonymity: A=9, B=5 both safe
     assert lvl1.n_classes == 2 and lvl1.min_class_size == 5
     assert lvl1.n_risky_classes == 0 and lvl1.n_risky_rows == 0
+
+
+def test_corpus_drift_zero_on_identical_halves(spark, tmp_path):
+    # plant ids so the %7<3 split puts one copy of each (text, source)
+    # on each side: pairs (k, k+3) for k in 0..2 → cand={0,1,2},
+    # ref={3,4,5} with identical distributions ⇒ both stats exactly 0
+    rows = []
+    for k in range(3):
+        for i in (k, k + 3):
+            rows.append((i, " ".join(f"w{k}_{j}" for j in range(4 + k)), f"s{k}"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.metric: r for r in QUERIES["q_corpus_drift"](spark, str(tmp_path)).collect()}
+    assert out["ks_n_words"].stat_micro == 0
+    assert out["tvd_source"].stat_micro == 0
+    assert out["ks_n_words"].n_ref == 3 and out["ks_n_words"].n_cand == 3
+
+
+def test_corpus_drift_bounded_and_nondegenerate(spark, sf_dir):
+    out = {r.metric: r for r in QUERIES["q_corpus_drift"](spark, sf_dir).collect()}
+    for m, r in out.items():
+        assert 0 <= r.stat_micro <= 1_000_000, m
+    # the %7 split must stay decorrelated from the source derivation:
+    # TVD strictly inside (0, 1) on the synthetic corpus
+    assert 0 < out["tvd_source"].stat_micro < 1_000_000

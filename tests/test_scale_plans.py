@@ -1049,3 +1049,13 @@ def test_k_anonymity_single_pass_grouping_sets(spark, sf_dir):
     plan = _plan(QUERIES["q_k_anonymity"](spark, sf_dir))
     assert "Expand" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_corpus_drift_windows_only_over_aggregated_rows(spark, sf_dir):
+    # each leg is one partial-aggregated groupBy over the corpus; the
+    # ECDF cumsum / totals windows run over the bounded rollup only —
+    # no range partitioning (global sort) anywhere
+    plan = _plan(QUERIES["q_corpus_drift"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
