@@ -335,15 +335,29 @@ def c4_line_filter(
     short (first rule wins), so the drop counts partition the dropped
     lines exactly: n_lines = n_kept + n_drop_short + n_drop_badword.
 
-    Scale shape: the whole operator is ONE narrow projection — the line
-    array, the per-line rule checks (higher-order array functions), the
-    drop counts, and the reassembled-text digest all happen inside the
-    row, so the plan is scan -> project -> filter with ZERO exchanges;
-    at 100 TB it runs at scan speed and composes map-side with any
-    downstream shuffle.
+    Scale shape: the whole operator is ONE narrow projection with ZERO
+    exchanges — scan -> project -> filter; at 100 TB it runs at scan
+    speed and composes map-side with any downstream shuffle.
+
+    Evaluation shape (the q_mutation_recall lesson, measured here too):
+    the first cut materialized a line ARRAY via ``slice(ws, i*w+1, w)``
+    inside a transform lambda and re-referenced it five times — every
+    reference re-evaluated the inlined split, and every slice copied a
+    window, landing the ×100 probe at 16×. This form never builds line
+    arrays at all: only the TAIL chunk can be short (full chunks carry
+    exactly ``w`` words — validated min_line_words <= w), badword lines
+    are ``array_distinct`` of the badword occurrences' chunk ids (one
+    flat indexed transform), and the surviving text is one flat
+    word-level pass gated on (chunk != short tail) AND (chunk not in
+    bad set). Every lambda is single-level over the word array.
     """
     if w < 1:
         raise ValueError(f"w must be >= 1, got {w}")
+    if min_line_words > w:
+        raise ValueError(
+            f"min_line_words ({min_line_words}) > w ({w}) would mark every"
+            " line short; use a window at least as wide as the rule"
+        )
     # under-split guard: the per-row array/digest work is compute-heavy,
     # and a single-file local scan serializes it onto one core (measured
     # 6.2x at the x10 probe before this line; 1.5x after). On a real
@@ -351,26 +365,93 @@ def c4_line_filter(
     # no-op — the plan stays scan -> project -> filter, zero exchanges.
     df = ensure_parallelism(df)
     ws = F.split(F.trim(F.col(text_col)), " ")
-    n_lines = F.ceil(F.size(ws) / F.lit(float(w))).cast("bigint")
-    lines = F.transform(
-        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
-        lambda i: F.slice(ws, i * w + 1, w),
-    )
     bad = F.array(*[F.lit(b) for b in badwords])
-    is_short = lambda ln: F.size(ln) < min_line_words  # noqa: E731
-    has_bad = lambda ln: F.arrays_overlap(ln, bad)  # noqa: E731
-    kept = F.filter(lines, lambda ln: ~is_short(ln) & ~has_bad(ln))
-    out = df.select(
+    base = df.select(
         F.col(id_col),
+        ws.alias("__ws"),
+        F.size(ws).cast("bigint").alias("__n"),
+    )
+    n = F.col("__n")
+    n_lines = F.ceil(n / F.lit(float(w))).cast("bigint")
+    tail_len = n % w
+    # the tail chunk is the only possibly-short line (min_line_words<=w)
+    tail_short = (tail_len > 0) & (tail_len < min_line_words)
+    chunk = lambda i: (i / w).cast("bigint")  # noqa: E731
+    # distinct chunk ids containing a badword (one flat indexed pass)
+    bad_chunks = F.array_distinct(
+        F.filter(
+            F.transform(
+                F.col("__ws"),
+                lambda wrd, i: F.when(F.array_contains(bad, wrd), chunk(i)),
+            ),
+            lambda c: c.isNotNull(),
+        )
+    )
+    stage = base.select(
+        F.col(id_col),
+        F.col("__ws"),
+        n.alias("__n"),
         n_lines.alias("n_lines"),
-        F.size(kept).cast("bigint").alias("n_kept"),
-        F.size(F.filter(lines, is_short)).cast("bigint").alias("n_drop_short"),
-        F.size(F.filter(lines, lambda ln: ~is_short(ln) & has_bad(ln)))
+        tail_len.alias("__tail_len"),
+        tail_short.alias("__tail_short"),
+        bad_chunks.alias("__bad"),
+    )
+    tail_idx = F.col("n_lines") - 1
+    # badword lines exclude a short tail (short-first attribution)
+    bad_not_short = F.when(
+        F.col("__tail_short"),
+        F.array_remove(F.col("__bad"), tail_idx),
+    ).otherwise(F.col("__bad"))
+    counted = stage.select(
+        F.col(id_col),
+        F.col("__ws"),
+        F.col("n_lines"),
+        F.col("__n"),
+        F.col("__tail_len"),
+        F.col("__tail_short"),
+        F.col("__tail_short").cast("bigint").alias("n_drop_short"),
+        bad_not_short.alias("__badl"),
+    )
+    n_drop_badword = F.size(F.col("__badl")).cast("bigint")
+    # words lost to dropped lines: the short tail's words + w per full
+    # bad chunk (a non-short bad TAIL has tail_len words, not w)
+    bad_tail_not_short = F.array_contains(
+        F.col("__badl"), F.col("n_lines") - 1
+    ) & (F.col("__tail_len") > 0)
+    lost_bad = (
+        F.size(F.col("__badl")).cast("bigint") * w
+        - F.when(
+            bad_tail_not_short, F.lit(w) - F.col("__tail_len")
+        ).otherwise(F.lit(0))
+    )
+    lost_short = F.when(
+        F.col("__tail_short"), F.col("__tail_len")
+    ).otherwise(F.lit(0))
+    # surviving text: one flat word pass gated on the chunk verdicts
+    keep_word = lambda wrd, i: F.when(  # noqa: E731
+        ~(
+            (F.col("__tail_short") & (chunk(i) == F.col("n_lines") - 1))
+            | F.array_contains(F.col("__badl"), chunk(i))
+        ),
+        wrd,
+    )
+    clean = F.array_join(
+        F.filter(
+            F.transform(F.col("__ws"), keep_word), lambda x: x.isNotNull()
+        ),
+        " ",
+    )
+    out = counted.select(
+        F.col(id_col),
+        F.col("n_lines"),
+        (F.col("n_lines") - F.col("n_drop_short") - n_drop_badword)
         .cast("bigint")
-        .alias("n_drop_badword"),
-        F.size(F.flatten(kept)).cast("bigint").alias("n_kept_words"),
-        F.md5(
-            F.array_join(F.transform(kept, lambda ln: F.array_join(ln, " ")), " ")
-        ).alias("clean_md5"),
+        .alias("n_kept"),
+        F.col("n_drop_short"),
+        n_drop_badword.alias("n_drop_badword"),
+        (F.col("__n") - lost_short - lost_bad)
+        .cast("bigint")
+        .alias("n_kept_words"),
+        F.md5(clean).alias("clean_md5"),
     )
     return out.filter(F.col("n_kept") >= F.lit(min_kept_lines))
