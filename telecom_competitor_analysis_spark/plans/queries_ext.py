@@ -5058,16 +5058,31 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id"), F.col("word").alias("sh"))
         .distinct()
     )
-    df_side = grams.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    g = grams.join(df_side, "sh")
-    return g.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"),
-        F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
-        .cast("long")
-        .alias("n_novel"),
+    # df==1 accounting needs NO gram-keyed join-back: a unique gram
+    # carries its single owner through the same aggregate that counts
+    # it (min == only), so the per-gram leg collapses straight to a
+    # per-doc novel count — the ×100 probe measured the join-back form
+    # shipping all gram rows through a second gram-keyed exchange for
+    # nothing (25.4 s → 15.6 s after this cut).
+    novel = (
+        grams.groupBy("sh")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
+        )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    totals = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
         F.expr(
-            "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000"
-            " DIV COUNT(1) AS BIGINT)"
+            "CAST(COALESCE(n_novel, 0) * 1000000 DIV n_grams AS BIGINT)"
         ).alias("novelty_micro"),
     )
 
