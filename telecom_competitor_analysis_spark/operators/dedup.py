@@ -27,6 +27,7 @@ All pure DataFrame ops — no UDFs, everything whole-stage-codegen'd.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1067,33 +1068,49 @@ def url_frontier_screen(
     batch_keep = c.groupBy("canonical_url").agg(
         F.min("__id").alias("__batch_keeper")
     )
+    # Only a MISSING seen set means "first batch"; any other read
+    # failure (storage hiccup, corrupt footer, permissions) must
+    # propagate — silently treating it as empty would re-admit
+    # previously-seen URLs and append duplicate canonical_url rows,
+    # permanently breaking the one-row-per-canonical invariant the
+    # exactly-once argument depends on.
     try:
         seen = spark.read.parquet(seen_dir).select(
             "canonical_url", F.col("keeper_id").alias("__seen_keeper")
         )
-    except Exception:  # first batch: no files yet
+    except AnalysisException as e:
+        cond = (
+            e.getCondition()
+            if hasattr(e, "getCondition")
+            else e.getErrorClass()
+        )
+        if cond != "PATH_NOT_FOUND":
+            raise
         seen = spark.createDataFrame(
             [], "canonical_url string, __seen_keeper long"
         )
-    eff = batch_keep.join(seen, on="canonical_url", how="left").select(
-        "canonical_url",
-        "__batch_keeper",
-        F.coalesce(F.col("__seen_keeper"), F.col("__batch_keeper")).alias(
-            "__keeper"
-        ),
-        F.col("__seen_keeper").isNull().alias("__new"),
-    )
-    # materialize the decisions BEFORE appending, so the append cannot
-    # feed back into this batch's own keeper resolution
-    out = (
-        c.join(eff, on="canonical_url")
+    # Materialize the per-canonical decisions ONCE, before the append:
+    # both the returned rows and the seen-set append derive from this
+    # frozen frame, so the append can't feed back into this batch's
+    # own keeper resolution AND the append doesn't recompute the full
+    # canonicalize/groupBy/join lineage (incl. a second seen_dir read).
+    eff = (
+        batch_keep.join(seen, on="canonical_url", how="left")
         .select(
-            F.col("__id").alias(id_col),
             "canonical_url",
-            F.col("__keeper").cast("long").alias("keeper_id"),
-            (F.col("__id") != F.col("__keeper")).alias("is_dup"),
+            "__batch_keeper",
+            F.coalesce(
+                F.col("__seen_keeper"), F.col("__batch_keeper")
+            ).alias("__keeper"),
+            F.col("__seen_keeper").isNull().alias("__new"),
         )
         .localCheckpoint(eager=True)
+    )
+    out = c.join(eff, on="canonical_url").select(
+        F.col("__id").alias(id_col),
+        "canonical_url",
+        F.col("__keeper").cast("long").alias("keeper_id"),
+        (F.col("__id") != F.col("__keeper")).alias("is_dup"),
     )
     eff.filter(F.col("__new")).select(
         "canonical_url",

@@ -5275,6 +5275,15 @@ def q_prefix_rule_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually exercised (on even hosts, item-1 must match the LONGER
     item rule while every other item matches '/catalog').
 
+    SIMPLIFICATION vs raw robots.txt: prefixes match only on '/'
+    segment boundaries (the prefix CHAIN is built per path segment),
+    so rule '/catalog/item-1' does NOT block '/catalog/item-10',
+    whereas a literal robots.txt Disallow is a raw character prefix
+    and would. Oracle, tests, and fixture rules all share the
+    boundary-aligned semantics (internally consistent); raw-prefix
+    fidelity would add each path's character-prefix chain (bounded by
+    the rule lengths) to the explode — same plan shape, bigger fanout.
+
     Returns one row per (host, path): doc count, the longest matching
     rule ('-' when no rule matches), its length, and the blocked flag.
 

@@ -1006,8 +1006,11 @@ def test_annotator_agreement_no_self_join_on_items(spark, sf_dir):
     # the 3 annotator pairs come from an IN-ROW explode, never a
     # long-table self-join on vec_id: no join keyed on the item id
     plan = _plan(QUERIES["q_annotator_agreement"](spark, sf_dir))
-    assert "vec_id#" not in plan.split("Generate")[0].split("Join")[-1] \
-        or "Join" not in plan.split("Generate")[0]
+    # no join operator line may key on vec_id (a self-join on the item
+    # id would show it in the join condition)
+    for ln in plan.splitlines():
+        if "Join" in ln:
+            assert "vec_id" not in ln, ln
     # joins exist only on (k_a, k_b[, c]) — tiny keys; no exchange on vec_id
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:

@@ -659,3 +659,20 @@ def test_streaming_url_frontier_screen(spark, dirs):
         assert replay[d].keeper_id == rows[d].keeper_id
     seen2 = spark.read.parquet(seen_dir).count()
     assert seen2 == 4  # anti-join append added nothing
+
+    # a CORRUPT (readable-path, bad-content) seen set must RAISE, not
+    # be silently treated as "first batch" — swallowing it would
+    # re-admit every previously-seen URL and append duplicate
+    # canonical_url rows, permanently breaking the one-row-per-canonical
+    # invariant the exactly-once argument depends on
+    corrupt_dir = Path(f"{dirs['index']}_url_seen_corrupt")
+    corrupt_dir.mkdir(exist_ok=True)
+    (corrupt_dir / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception):
+        url_frontier_screen(
+            with_url(replay_docs), spark, str(corrupt_dir)
+        ).collect()
+    # and nothing was appended to the corrupt dir by the failed screen
+    assert [p.name for p in corrupt_dir.iterdir()] == [
+        "part-00000.parquet"
+    ]
