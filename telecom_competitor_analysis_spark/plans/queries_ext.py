@@ -564,25 +564,82 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASYMMETRIC near-dup detection: shingle CONTAINMENT
     max(|A∩B|/|A|, |A∩B|/|B|) ≥ 0.6 — catches a short document quoted
     or embedded inside a longer one, which symmetric Jaccard misses
-    (|A∩B|/|A∪B| stays small when |B| ≫ |A|). Candidates come from the
-    same df-capped inverted-index join as q_ngram_jaccard (threshold=0
-    → no Jaccard gate; the containment gate replaces it); `direction`
-    names the contained side (the smaller shingle set). Containment is
-    ONE double division of exact integer set sizes — bit-identical
-    cross-engine."""
-    pairs = shingle_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"),
-        "doc_id",
-        "text",
-        w=3,
-        threshold=0.0,
+    (|A∩B|/|A∪B| stays small when |B| ≫ |A|). Same df-capped distinct
+    3-shingle universe as q_ngram_jaccard; candidates come from the
+    CONTAINMENT PREFIX FILTER (Xiao et al. WWW'08 §5,
+    operators/setsim.py::containment_prefix_candidates): the smaller
+    set's rare-first prefix joined against full posting lists — a
+    provably lossless strict subset of the ungated any-shared-token
+    join this query used before (the brute-force oracle re-proves
+    losslessness on every run, the q_setsim_join pattern), so at scale
+    recall never depends on the df-cap tuning constant alone. Verify
+    is exact array_intersect on per-doc sorted shingle arrays;
+    containment is ONE double division of exact integer set sizes —
+    bit-identical cross-engine. `direction` names the contained side
+    (the smaller shingle set)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        _ensure_parallelism,
+        shingle_rows,
+    )
+    from telecom_competitor_analysis_spark.operators.setsim import (
+        containment_prefix_candidates,
+        rank_token_sets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        shingle_rows(_ensure_parallelism(docs), "doc_id", "text", 3)
+        .select(F.col("doc_id").alias("id"), "word")
+        .distinct()
+    )
+    # df-cap as a window count over the shingle — one shuffle on the
+    # same key the candidate join hashes on (shingle_jaccard_pairs'
+    # measured pattern); shingles with df > 1000 leave the universe
+    # BEFORE sizes are counted, exactly as the oracle defines it
+    w_sh = Window.partitionBy("word")
+    toks = toks.withColumn("df", F.count(F.lit(1)).over(w_sh)).filter(
+        F.col("df") <= F.lit(1000)
+    )
+    # localCheckpoint the RANKED universe once: the candidate join
+    # consumes it on both sides and the verify legs twice more, and
+    # Spark shares nothing across join sides — without the
+    # materialization each consumer re-runs the whole shingle+rank
+    # pipeline (measured 19.8 s unmaterialized vs ~3.5 s here at
+    # sf0.1; the r7 multi-consumer lesson). The frame is narrow
+    # (id, word, rn, sz) and shingle-count-sized; at 100 TB this is a
+    # parquet artifact (the build_shingle_index pattern), not an
+    # in-memory checkpoint.
+    ranked = rank_token_sets(toks).localCheckpoint(eager=True)
+    cand = containment_prefix_candidates(ranked, 60)
+    # exact verify on the SURVIVORS only (positional filtering leaves
+    # few): per-doc sorted shingle arrays from the same checkpointed
+    # frame, n_shared = array_intersect size. (A join-back count that
+    # re-probes the posting table was measured 2× slower at ×10 — it
+    # shuffles the 2.6M-row posting frame twice, where the array
+    # collect is ONE groupBy and the pair joins broadcast the
+    # doc-count-sized array table.)
+    arrays = ranked.groupBy("id").agg(
+        F.array_sort(F.collect_list("word")).alias("arr")
     )
     cont = F.greatest(
         F.col("n_shared").cast("double") / F.col("n_a"),
         F.col("n_shared").cast("double") / F.col("n_b"),
     )
     return (
-        pairs.withColumn("containment", cont)
+        cand.join(arrays.withColumnRenamed("id", "id_a"), "id_a")
+        .withColumnRenamed("arr", "arr_a")
+        .join(arrays.withColumnRenamed("id", "id_b"), "id_b")
+        .withColumnRenamed("arr", "arr_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("arr_a", "arr_b"))
+            .cast("long")
+            .alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+        )
+        .withColumn("containment", cont)
         .filter(F.col("containment") >= 0.6)
         .select(
             "id_a",

@@ -1017,6 +1017,18 @@ def test_annotator_agreement_no_self_join_on_items(spark, sf_dir):
             assert "vec_id" not in ln
 
 
+def test_containment_pairs_materialized_once_no_cartesian(spark, sf_dir):
+    # the ranked shingle universe is localCheckpointed ONCE and every
+    # consumer (prefix side, full side, verify arrays) scans the
+    # checkpointed RDD — the returned plan must hold NO parquet scans
+    # (they all happened during the eager checkpoint) and no cartesian
+    # anywhere; candidates come from the prefix-filtered equi-join
+    plan = _plan(QUERIES["q_containment_pairs"](spark, sf_dir))
+    assert "Scan parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_doremi_step_single_corpus_exchange(spark, sf_dir):
     # one partial-aggregated groupBy(source) over the corpus; the
     # min/sum renormalizers are 1-row broadcast combines

@@ -97,6 +97,123 @@ def test_setsim_df_caps_and_threshold(spark):
     assert "rare2" in kept_abs               # df=2 <= 2
 
 
+def test_containment_prefix_candidates_lossless_and_smaller(spark):
+    """The containment prefix filter (Xiao et al. WWW'08 §5) must be
+    (a) LOSSLESS — every true containment pair survives, including the
+    asymmetric short-inside-long case where Jaccard is tiny — and
+    (b) a STRICT REDUCTION vs the ungated any-shared-token join."""
+    from telecom_competitor_analysis_spark.operators.setsim import (
+        containment_prefix_candidates,
+        rank_token_sets,
+    )
+
+    # doc 0 is a 2-token set fully contained in doc 1's 10-token set
+    # (containment 1.0, Jaccard 0.2); docs 2/3 share one rare token
+    # (containment 0.5 — below t=0.6); doc 4 is disjoint filler that
+    # shares a common token with everyone (candidate noise the prefix
+    # should prune).
+    rows = [
+        (0, ["q", "r"]),
+        (1, ["q", "r"] + [f"w{i}" for i in range(8)]),
+        (2, ["s", "x0", "x1", "x2"]),
+        (3, ["s", "y0", "y1", "y2"]),
+        (4, ["w0", "z0", "z1", "z2", "z3", "z4"]),
+    ]
+    docs = spark.createDataFrame(rows, "id long, toks array<string>")
+    tok = docs.select(
+        "id", F.explode(F.array_distinct("toks")).alias("word")
+    )
+    dfc = tok.groupBy("word").agg(F.count("*").alias("df"))
+    sets = tok.join(dfc, "word").select("id", "word", "df")
+
+    cand = {
+        (r.id_a, r.id_b)
+        for r in containment_prefix_candidates(rank_token_sets(sets), 60).collect()
+    }
+    # lossless: the true pair (0,1) is a candidate
+    assert (0, 1) in cand
+    # strict reduction: the ungated join pairs everything sharing any
+    # token — (1,4) via w0, (2,3) via s, (0,1) via q/r
+    ungated = {
+        (r.id_a, r.id_b)
+        for r in (
+            tok.alias("a")
+            .join(tok.alias("b"), "word")
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .distinct()
+        ).collect()
+    }
+    assert cand.issubset(ungated)
+    assert len(cand) < len(ungated)
+    # (1,4): 'w0' ranks LAST in doc 4's rare-first order (df=2 vs the
+    # df=1 z-tokens) and outside doc 4's prefix (len 6-4+1=3), and doc 4
+    # is the smaller side — so the noise pair is pruned
+    assert (1, 4) not in cand
+
+
+def test_containment_prefix_lossless_on_corpus(spark, sf_dir):
+    """Corpus-scale losslessness: over the sf0.001 documents' df-capped
+    distinct 3-shingle universe, the prefix-filtered candidate set must
+    contain EVERY pair whose exact containment >= 0.6 (recomputed here
+    by brute force), and be smaller than the ungated candidate set."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        shingle_rows,
+    )
+    from telecom_competitor_analysis_spark.operators.setsim import (
+        containment_prefix_candidates,
+        rank_token_sets,
+    )
+    from telecom_competitor_analysis_spark.sources.readers import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        shingle_rows(docs, "doc_id", "text", 3)
+        .select(F.col("doc_id").alias("id"), "word")
+        .distinct()
+    )
+    toks = toks.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("word"))
+    ).filter(F.col("df") <= 1000)
+
+    ungated = (
+        toks.alias("a")
+        .join(toks.alias("b"), "word")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n"))
+    true_pairs = {
+        (r.id_a, r.id_b)
+        for r in (
+            toks.alias("a")
+            .join(toks.alias("b"), "word")
+            .where(F.col("a.id") < F.col("b.id"))
+            .groupBy(
+                F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+            )
+            .agg(F.count("*").alias("o"))
+            .join(sizes.withColumnRenamed("id", "id_a"), "id_a")
+            .withColumnRenamed("n", "n_a")
+            .join(sizes.withColumnRenamed("id", "id_b"), "id_b")
+            .withColumnRenamed("n", "n_b")
+            .where(F.col("o") * 100 >= 60 * F.least("n_a", "n_b"))
+        ).collect()
+    }
+    cand = {
+        (r.id_a, r.id_b)
+        for r in containment_prefix_candidates(rank_token_sets(toks), 60).collect()
+    }
+    assert true_pairs <= cand  # zero false negatives
+    n_ungated = ungated.count()
+    assert len(cand) < n_ungated  # the filter actually filters
+    print(f"candidates {len(cand)} vs ungated {n_ungated}")
+
+
 def test_interval_overlap_rejects_nonpositive_bin_width(spark):
     # bin_width=0 would NULL every bin under non-ANSI division and the
     # join would silently return empty — the API rejects it instead
