@@ -199,6 +199,16 @@ def main() -> None:
     # records an "err" entry and the run continues — the JSON line is always
     # emitted, so one sick query can never erase the other 25 measurements.
     errors: dict[str, str] = {}
+    # Noise adjudication (r8 VERDICT item 2): four unchanged queries once
+    # showed 5-12x driver-bench inflation that took a judge re-run to
+    # dismiss as ambient load. The artifact now carries what a future
+    # reader needs to adjudicate any >2x per-query delta WITHOUT a
+    # re-run: machine loadavg at run start/end, plus each query's
+    # [min, median, max] across the 3 timed runs (a wide spread or a
+    # high loadavg says "noise"; a tight spread on a quiet machine says
+    # "the code changed").
+    spreads: dict[str, list[float]] = {}
+    load_start = list(os.getloadavg())
 
     def run_list(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
@@ -208,20 +218,24 @@ def main() -> None:
                 continue
             try:
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = float("inf")
+                runs: list[float] = []
                 for _ in range(3):
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite"
                     ).save()
-                    best = min(best, time.perf_counter() - t0)
-                timings[name] = round(best, 3)
+                    runs.append(time.perf_counter() - t0)
+                runs.sort()
+                timings[name] = round(runs[0], 3)
+                spreads[name] = [round(runs[0], 3), round(runs[1], 3),
+                                 round(runs[2], 3)]
             except Exception as exc:  # noqa: BLE001 — isolate any query fault
                 errors[name] = f"{type(exc).__name__}: {exc}"[:500]
         return timings
 
     timings = run_list(HEADLINE)
     timings_ext = run_list(HEADLINE_EXT)
+    load_end = list(os.getloadavg())
 
     # Key order is survival order: the driver archives a BOUNDED TAIL of
     # stdout (r6 artifact evidence: the line's tail survived, its head
@@ -232,7 +246,22 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "methodology": "steady-state: warm-up then best-of-3 runs per query, full materialization via noop sink; value/queries = the byte-stable r2 headline (apples-to-apples across rounds), value_ext/queries_ext = the merged operator-wave list (r4 wave + r5 wave + r6/r7 additions; cutover recorded round 6 — compare list totals within an era, per-query timings across all rounds)",
+        "methodology": (
+            "steady-state: warm-up then best-of-3 runs per query (best "
+            "reported; [min, median, max] spread + machine loadavg in "
+            "BENCH_LOCAL for noise adjudication — judge a >2x per-query "
+            "delta against the spread and load, not the point value). "
+            "Full materialization via noop sink. TWO lists, both frozen "
+            "append-only: value/queries = the byte-stable 26-query r2 "
+            "headline (apples-to-apples across every round); "
+            "value_ext/queries_ext = the ONE canonical ext list (era "
+            "cutovers: r4 wave at birth, r5 wave folded at the r6 "
+            "cutover, r6/r7/r8 additions measured from birth — compare "
+            "list TOTALS only within an era, per-query timings across "
+            "all rounds via BENCH_r{N}.json / BENCH_LOCAL_r{N}.json)"
+        ),
+        "loadavg_start": load_start,
+        "loadavg_end": load_end,
         "queries": timings,
         "queries_ext": timings_ext,
     }
@@ -243,6 +272,9 @@ def main() -> None:
     out["value"] = round(sum(timings.values()), 3)
     out["value_ext"] = round(sum(timings_ext.values()), 3)
     print(json.dumps(out))
+    # The spread dict doubles the artifact size, so it rides only in the
+    # BENCH_LOCAL file (the driver's stdout tail keeps the totals).
+    out["queries_spread"] = spreads
 
     # Self-contained artifact: the driver archives only a BOUNDED TAIL of
     # stdout, which truncates the headline per-query dict — so the full
