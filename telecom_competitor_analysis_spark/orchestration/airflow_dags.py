@@ -55,6 +55,25 @@ TASK_SPEC: dict[str, Any] = {
                 "spark.sql.session.timeZone": "UTC",
             },
         },
+        # the LLM-corpus path: batch curation funnel over the documents
+        # corpus (jobs/curate.py — URL dedup → line filter → Gopher →
+        # classifier → near-dup → decontaminate → shard, emitting the
+        # dataset-card lineage table). Independent of the telco star
+        # pipeline — a parallel root in the same daily DAG.
+        "curate_corpus": {
+            "operator": "spark_submit",
+            "application": (
+                "-m telecom_competitor_analysis_spark.jobs.curate"
+            ),
+            "application_args": [
+                "--input", "{{ var.value.corpus_dir }}",
+                "--out", "{{ var.value.curated_dir }}",
+            ],
+            "conf": {
+                "spark.sql.adaptive.enabled": "true",
+                "spark.sql.session.timeZone": "UTC",
+            },
+        },
     },
     # edges as (upstream, downstream) pairs
     "dependencies": [("scrape", "clean_and_load")],

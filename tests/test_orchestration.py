@@ -31,8 +31,20 @@ def test_task_spec_mirrors_reference_chain():
     dags/master_dag.py:22-39 chains scrape ≫ clean ≫ load; the two Spark
     stages collapse into one job here)."""
     spec = airflow_dags.TASK_SPEC
-    assert set(spec["tasks"]) == {"scrape", "clean_and_load"}
+    assert set(spec["tasks"]) == {
+        "scrape",
+        "clean_and_load",
+        "curate_corpus",
+    }
     assert spec["dependencies"] == [("scrape", "clean_and_load")]
+    # the curation funnel is a parallel root (no telco-star dependency)
+    curate = spec["tasks"]["curate_corpus"]
+    assert curate["operator"] == "spark_submit"
+    assert curate["application"].endswith("jobs.curate")
+    assert [a for a in curate["application_args"] if a.startswith("--")] == [
+        "--input",
+        "--out",
+    ]
     assert spec["default_args"]["retries"] == 1
     assert spec["schedule"] == "@daily" and spec["catchup"] is False
 
