@@ -178,6 +178,14 @@ HEADLINE_EXT = [
     "q_prefix_rule_match",
     "q_k_anonymity",
     "q_corpus_drift",
+    # --- r9 additions (measured from birth) ---
+    "q_expectations",
+    "q_rouge_n",
+    "q_pass_at_k",
+    "q_winrate_ci",
+    "q_scaling_fit",
+    "q_textrank_keywords",
+    "q_label_propagation",
 ]
 
 

@@ -162,3 +162,104 @@ def triangle_stats(edges: DataFrame, id_a: str = "id_a",
             ).alias("transitivity_micro"),
         )
     )
+
+
+def textrank_scores(
+    edges: DataFrame, iters: int = 2, damping_micro: int = 850_000
+) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004) over an UNDIRECTED edge list
+    (u, v) — pass each edge once; both directions are derived here.
+    All-integer micro arithmetic (the pagerank_micro discipline):
+    s' = (1e6 − damping) + damping · Σ_{u∈N(v)} (s(u) div deg(u)) div 1e6,
+    every contribution an integer BEFORE the sum, so both engines
+    reproduce the fixpoint bit-for-bit. Returns (word, deg, s) after
+    ``iters`` rounds from s₀ = 1e6.
+
+    Scale shape per iteration: one join both⋈state on the word, one
+    partial-aggregable inbound sum, one left join back — O(|E|); no
+    whole-graph window."""
+    both = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    state = deg.select(
+        F.col("u").alias("word"),
+        "deg",
+        F.lit(1_000_000).cast("long").alias("s"),
+    )
+    base = 1_000_000 - damping_micro
+    for _ in range(iters):
+        contrib = (
+            both.join(
+                state.select(
+                    F.col("word").alias("u"),
+                    F.expr("CAST(s DIV deg AS BIGINT)").alias("c"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("word"))
+            .agg(F.sum("c").cast("long").alias("inflow"))
+        )
+        state = (
+            state.select("word", "deg")
+            .join(contrib, "word", "left")
+            .select(
+                "word",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"CAST({damping_micro} * coalesce(inflow, 0)"
+                        " DIV 1000000 AS BIGINT)"
+                    )
+                )
+                .cast("long")
+                .alias("s"),
+            )
+        )
+    return state
+
+
+def label_propagation(
+    nodes: DataFrame, edges: DataFrame, rounds: int = 2
+) -> DataFrame:
+    """Majority-vote label propagation (Raghavan et al. 2007),
+    SYNCHRONOUS variant: each round every node adopts the most frequent
+    label among its neighbors (ties → smallest label; isolated nodes
+    keep their own). Deterministic by construction — synchronous
+    rounds + a total tie order — hence oracle-checkable, where the
+    textbook asynchronous variant is visit-order dependent.
+
+    ``nodes`` = (node, label) initial assignment; ``edges`` = (u, v)
+    undirected pairs. Returns (node, label) after ``rounds``.
+
+    Scale shape per round: one join (neighbor labels), one
+    partial-aggregable (node, label) count, one argmax per node, one
+    left join back — everything keys on node or (node, label)."""
+    both = edges.select("u", "v").unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    state = nodes.select("node", F.col("label").cast("long").alias("label"))
+    for _ in range(rounds):
+        votes = (
+            both.join(
+                state.select(
+                    F.col("node").alias("u"), F.col("label").alias("nl")
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"), F.col("nl"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        winner = votes.groupBy("node").agg(
+            F.max_by(
+                F.col("nl"), F.struct(F.col("cnt"), (-F.col("nl")))
+            ).alias("new_label")
+        )
+        state = state.join(winner, "node", "left").select(
+            "node",
+            F.coalesce(F.col("new_label"), F.col("label"))
+            .cast("long")
+            .alias("label"),
+        )
+    return state

@@ -5047,3 +5047,277 @@ EXT_ORACLES["q_corpus_drift"] = """
     )
     SELECT * FROM ks UNION ALL SELECT * FROM tvd
 """
+
+# ---------------------------------------------------------------------------
+# Round-9 wave: eval metrics, contracts, graph/text extraction
+# ---------------------------------------------------------------------------
+
+# Data-contract audit (queries_ext.q_expectations): one aggregate pass
+# per table for the level checks, one anti-join for referential.
+EXT_ORACLES["q_expectations"] = """
+    WITH o AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v1,
+               SUM(CASE WHEN NOT (o_totalprice > 0) THEN 1 ELSE 0 END) AS v2,
+               COUNT(*) - COUNT(DISTINCT o_orderkey) AS v3,
+               SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS v4
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(*) AS n_rows,
+               SUM(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50)
+                        THEN 1 ELSE 0 END) AS v5
+        FROM lineitem
+    ),
+    orph AS (
+        SELECT COUNT(*) AS v6 FROM lineitem li
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = li.l_orderkey)
+    ),
+    rows_out AS (
+        SELECT 'orders.o_custkey not_null' AS check_name,
+               n_rows, v1 AS n_violations FROM o
+        UNION ALL
+        SELECT 'orders.o_totalprice positive', n_rows, v2 FROM o
+        UNION ALL
+        SELECT 'orders.o_orderkey unique', n_rows, v3 FROM o
+        UNION ALL
+        SELECT 'orders.o_orderstatus accepted_values', n_rows, v4 FROM o
+        UNION ALL
+        SELECT 'lineitem.l_quantity in [1,50]', n_rows, v5 FROM l
+        UNION ALL
+        SELECT 'lineitem.l_orderkey references orders', l.n_rows, orph.v6
+        FROM l, orph
+    )
+    SELECT check_name,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM rows_out
+"""
+
+# ROUGE-2 recall over (even ref, odd cand) doc pairs
+# (queries_ext.q_rouge_n): clipped counts per Lin 2004.
+EXT_ORACLES["q_rouge_n"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    g AS (
+        SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_ref,
+               arr[i] || ' ' || arr[i + 1] AS gram
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+    ),
+    ref AS (
+        SELECT pair_id, gram, COUNT(*) AS rc, MIN(doc_id) AS ref_id
+        FROM g WHERE is_ref GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT pair_id, gram, COUNT(*) AS cc
+        FROM g WHERE NOT is_ref GROUP BY 1, 2
+    ),
+    cids AS (
+        SELECT pair_id, MIN(doc_id) AS cand_id
+        FROM g WHERE NOT is_ref GROUP BY 1
+    ),
+    cl AS (
+        SELECT r.pair_id, MIN(r.ref_id) AS ref_id,
+               SUM(r.rc) AS nrb,
+               SUM(LEAST(r.rc, COALESCE(c.cc, 0))) AS noc
+        FROM ref r
+        LEFT JOIN cand c ON r.pair_id = c.pair_id AND r.gram = c.gram
+        GROUP BY 1
+    )
+    SELECT cl.pair_id, cl.ref_id, cids.cand_id,
+           CAST(nrb AS BIGINT) AS n_ref_bigrams,
+           CAST(noc AS BIGINT) AS n_overlap_clipped,
+           CAST(noc * 1000000 // nrb AS BIGINT) AS rouge2_recall_micro
+    FROM cl JOIN cids USING (pair_id)
+"""
+
+# pass@k (queries_ext.q_pass_at_k): n/c exact integers; the k-term
+# product is the SAME SQL text both engines parse (identical IEEE op
+# order -> bit-identical), micro-rounded once.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    PASS_AT_K_EXPR,
+    _wilson_sql,
+)
+
+EXT_ORACLES["q_pass_at_k"] = f"""
+    WITH per AS (
+        SELECT doc_id % 40 AS task_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3') THEN 1 ELSE 0 END AS ok
+        FROM documents
+    ),
+    a AS (
+        SELECT task_id, COUNT(*) AS n, SUM(ok) AS c
+        FROM per GROUP BY 1
+    )
+    SELECT task_id,
+           CAST(n AS BIGINT) AS n,
+           CAST(c AS BIGINT) AS c,
+           {PASS_AT_K_EXPR} AS pass_at_k_micro,
+           CAST(5 AS BIGINT) AS k
+    FROM a
+"""
+
+# Wilson-CI win rates (queries_ext.q_winrate_ci): identical formula
+# text both engines; ties count for the k_b side by convention.
+EXT_ORACLES["q_winrate_ci"] = f"""
+    WITH m AS (
+        SELECT user_id, event_type AS t_a, value AS v_a,
+               LEAD(event_type) OVER win AS t_b,
+               LEAD(value) OVER win AS v_b
+        FROM events
+        WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    nrm AS (
+        SELECT LEAST(t_a, t_b) AS k_a, GREATEST(t_a, t_b) AS k_b,
+               CASE WHEN t_a < t_b
+                    THEN CASE WHEN v_a > v_b THEN 1 ELSE 0 END
+                    ELSE CASE WHEN v_b > v_a THEN 1 ELSE 0 END
+               END AS win_a
+        FROM m WHERE t_b IS NOT NULL AND t_a <> t_b
+    ),
+    a AS (
+        SELECT k_a, k_b, COUNT(*) AS n, SUM(win_a) AS w
+        FROM nrm GROUP BY 1, 2
+    )
+    SELECT k_a, k_b,
+           CAST(n AS BIGINT) AS n,
+           CAST(w AS BIGINT) AS w,
+           CAST(w * 1000000 // n AS BIGINT) AS winrate_micro,
+           {_wilson_sql("low")} AS ci_low_micro,
+           {_wilson_sql("high")} AS ci_high_micro
+    FROM a
+"""
+
+# Per-source log-log OLS fit (queries_ext.q_scaling_fit): milli-
+# rounded logs -> exact integer sums -> two micro-rounded divisions.
+EXT_ORACLES["q_scaling_fit"] = """
+    WITH p AS (
+        SELECT source,
+               CAST(round(ln(len(string_split(trim(text), ' '))) * 1000)
+                    AS BIGINT) AS x,
+               CAST(round(ln(n_chars) * 1000) AS BIGINT) AS y
+        FROM documents
+    ),
+    s AS (
+        SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM p GROUP BY 1
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+                                 // (n * sxx - sx * sx)) * sx)
+                // n AS BIGINT) AS intercept_milli_micro
+    FROM s
+"""
+
+# TextRank keywords (queries_ext.q_textrank_keywords): two unrolled
+# all-integer iterations over the adjacent-word graph.
+EXT_ORACLES["q_textrank_keywords"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS pos, arr[i] AS w
+        FROM t, unnest(generate_series(1, len(arr))) AS s(i)
+    ),
+    adj AS (
+        SELECT w AS a,
+               LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM tok
+    ),
+    e0 AS (
+        SELECT DISTINCT LEAST(a, b) AS u, GREATEST(a, b) AS v
+        FROM adj WHERE b IS NOT NULL AND a <> b
+    ),
+    be AS (
+        SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0
+    ),
+    deg AS (SELECT u, COUNT(*) AS deg FROM be GROUP BY 1),
+    s0 AS (SELECT u AS word, deg, CAST(1000000 AS BIGINT) AS s FROM deg),
+    i1 AS (
+        SELECT be.v AS word, SUM(s0.s // s0.deg) AS inflow
+        FROM be JOIN s0 ON be.u = s0.word GROUP BY 1
+    ),
+    s1 AS (
+        SELECT s0.word, s0.deg,
+               CAST(150000 + (850000 * COALESCE(i1.inflow, 0)) // 1000000
+                    AS BIGINT) AS s
+        FROM s0 LEFT JOIN i1 USING (word)
+    ),
+    i2 AS (
+        SELECT be.v AS word, SUM(s1.s // s1.deg) AS inflow
+        FROM be JOIN s1 ON be.u = s1.word GROUP BY 1
+    ),
+    s2 AS (
+        SELECT s1.word, s1.deg,
+               CAST(150000 + (850000 * COALESCE(i2.inflow, 0)) // 1000000
+                    AS BIGINT) AS s
+        FROM s1 LEFT JOIN i2 USING (word)
+    )
+    SELECT word, CAST(deg AS BIGINT) AS deg, s AS score_micro
+    FROM s2 ORDER BY s DESC, word LIMIT 10
+"""
+
+# Majority-vote label propagation (queries_ext.q_label_propagation):
+# two unrolled synchronous rounds over the SAME banded-minhash pair
+# graph as the other five consumers; argmax = max count then min label
+# (zero-padded composite key — this DuckDB's arg_max takes no struct).
+EXT_ORACLES["q_label_propagation"] = (
+    _NEARDUP_CC_CTES
+    + """
+    , n0 AS (
+        SELECT doc_id AS node, CAST(doc_id AS BIGINT) AS label
+        FROM documents
+    ),
+    bi AS (
+        SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    v1 AS (
+        SELECT bi.v AS node, n0.label AS nl, COUNT(*) AS cnt
+        FROM bi JOIN n0 ON bi.u = n0.node GROUP BY 1, 2
+    ),
+    w1 AS (
+        SELECT node,
+               arg_max(nl, lpad(CAST(cnt AS VARCHAR), 10, '0') || '|'
+                           || lpad(CAST(999999999999 - nl AS VARCHAR),
+                                   12, '0')) AS new_label
+        FROM v1 GROUP BY 1
+    ),
+    n1 AS (
+        SELECT n0.node,
+               CAST(COALESCE(w1.new_label, n0.label) AS BIGINT) AS label
+        FROM n0 LEFT JOIN w1 USING (node)
+    ),
+    v2 AS (
+        SELECT bi.v AS node, n1.label AS nl, COUNT(*) AS cnt
+        FROM bi JOIN n1 ON bi.u = n1.node GROUP BY 1, 2
+    ),
+    w2 AS (
+        SELECT node,
+               arg_max(nl, lpad(CAST(cnt AS VARCHAR), 10, '0') || '|'
+                           || lpad(CAST(999999999999 - nl AS VARCHAR),
+                                   12, '0')) AS new_label
+        FROM v2 GROUP BY 1
+    ),
+    n2 AS (
+        SELECT n1.node,
+               CAST(COALESCE(w2.new_label, n1.label) AS BIGINT) AS label
+        FROM n1 LEFT JOIN w2 USING (node)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS community_size,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM n2 GROUP BY 1
+"""
+)

@@ -1123,98 +1123,47 @@ QUERIES.update(EXT_QUERIES)
 # and ALL 36 queries whose latest green is r4 (the r6 VERDICT item-2
 # rotation debt): 3 + 11 + 36 = 50 — after r7 no green older than r5
 # except the 45 r5 greens parked first below the boundary. Round 8's
-# window (6 + 19 + 25 = 50): the 6 queries whose operator code
-# changed this round (the 5 r7 ADVICE fixes + the banded_signatures
-# extraction consumer q_minhash_lsh_pairs), the 19 new r8 oracles
-# (q_semantic_decontaminate, q_bradley_terry, q_lsh_recall,
-# q_sizing_report, q_shard_balance, q_quality_calibration,
-# q_lsh_band_stats, q_url_dedup, q_line_filter, q_ngram_novelty,
-# q_preference_pairs, q_mutation_recall, q_triangle_count,
-# q_annotator_agreement, q_doremi_step, q_span_corruption,
-# q_prefix_rule_match, q_k_anonymity, q_corpus_drift), and 25 of the 31
-# never-driver-checked r7 oracles — new-code slots take precedence
-# over fill, so SIX tier-2 items (q_gram_incremental, q_char_entropy,
-# q_ann_recall_filtered, q_impute_median, q_maxsim_index,
-# q_multiprobe_lsh — each judge-green at both SFs in r7) wait just
-# below the boundary and lead the r9 window, followed by the
-# displaced r5 fillers and the 43 parked r5 greens.
+# window (6 + 19 + 25 = 50): the 6 queries whose operator code changed
+# (the 5 r7 ADVICE fixes + q_minhash_lsh_pairs), the 19 new r8 wave
+# oracles, and 25 of the 31 never-driver-checked r7 oracles — the SIX
+# displaced tier-2 items waited below the boundary. Round 9's window
+# (1 + 6 + 7 + 36 = 50): q_containment_pairs (rebuilt this round on
+# the prefix+positional filter), the six never-driver-green oracles
+# (q_gram_incremental, q_char_entropy, q_ann_recall_filtered,
+# q_impute_median, q_maxsim_index, q_multiprobe_lsh — after r9's run
+# every PRE-r9 oracle-checked query has a driver-artifact green), the
+# 7 new r9 wave oracles (each locally driver-sim green at both SFs on
+# declaration), and the 36 oldest parked r5 greens (the 8 displaced r5
+# greens park first below the boundary and lead the r10 window).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-8 WINDOW (first 50) ============
-    # tier 1 — operator code changed this round (r7 ADVICE fixes:
-    # interval.py bin_width validation, setsim.py max_df_frac validation,
-    # freq.py typed mapInPandas schema, q_pq_recall folded onto the shared
-    # _recall_join helper, kcenter_select <k-corpus contract, and the
-    # banded_signatures extraction inside lsh_candidate_pairs)
-    "q_interval_overlap",
-    "q_setsim_join",
-    "q_heavy_hitters",
-    "q_pq_recall",
-    "q_kcenter_select",
-    "q_minhash_lsh_pairs",
-    # tier 2a — the round-8 wave oracles, never checked
-    "q_semantic_decontaminate",
-    "q_bradley_terry",
-    "q_lsh_recall",
-    "q_sizing_report",
-    "q_shard_balance",
-    "q_quality_calibration",
-    "q_lsh_band_stats",
-    "q_url_dedup",
-    "q_line_filter",
-    "q_ngram_novelty",
-    "q_preference_pairs",
-    "q_mutation_recall",
-    "q_triangle_count",
-    "q_annotator_agreement",
-    "q_doremi_step",
-    "q_span_corruption",
-    "q_prefix_rule_match",
-    "q_k_anonymity",
-    "q_corpus_drift",
-    # tier 2 — the remaining 31 of the 36 oracles declared after the r7
-    # window filled; never driver-hash-checked (r7 VERDICT item 1)
+    # ============ ROUND-9 WINDOW (first 50) ============
+    # tier 1 — operator code changed this round: q_containment_pairs
+    # was rebuilt on the containment prefix + positional filter
+    # (operators/setsim.py; r8 VERDICT item 3)
     "q_containment_pairs",
-    "q_oov_rate",
-    "q_curriculum_order",
-    "q_quality_classifier",
-    "q_phrase_search",
-    "q_label_vote",
-    "q_dup_span_remove",
-    "q_rrf_fusion",
-    "q_rollup_incremental",
-    "q_leakage_safe_split",
-    "q_corpus_overlap",
-    "q_zorder_layout",
-    "q_pq_ann",
-    "q_knn_label_audit",
-    "q_hard_negatives",
-    "q_embedding_drift",
-    "q_bloom_prefilter_join",
-    "q_profile_table",
-    "q_dup_rate_by_domain",
-    "q_ann_filtered",
-    "q_maxsim_retrieval",
-    "q_skyline",
-    "q_vocab_coverage",
-    "q_gram_matrix",
-    "q_ivf_bucket_stats",
-    # 6 changed + 19 new + 25 never-checked = 50 (no fill slots left)
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # q_gram_incremental / q_char_entropy / q_ann_recall_filtered /
-    # q_impute_median / q_maxsim_index / q_multiprobe_lsh: the six
-    # tier-2 never-driver-greens displaced by the late r8 waves (each
-    # judge-green at both SFs in r7) — FIRST for r9, then the fillers
-    # displaced by the r8 additions, then the parked r5 greens (oldest
-    # rotation set).
+    # tier 2 — the six never-driver-green oracles (each judge-green at
+    # both SFs in r7 AND r8; parked at the boundary by the late-r8
+    # waves; r8 VERDICT item 1 says they LEAD this window)
     "q_gram_incremental",
     "q_char_entropy",
     "q_ann_recall_filtered",
     "q_impute_median",
     "q_maxsim_index",
     "q_multiprobe_lsh",
+    # tier 2a — the round-9 wave oracles, never checked (each
+    # locally driver-sim green at sf0.01 AND sf0.1 on declaration)
+    "q_expectations",
+    "q_rouge_n",
+    "q_pass_at_k",
+    "q_winrate_ci",
+    "q_scaling_fit",
+    "q_textrank_keywords",
+    "q_label_propagation",
+    # tier 3 — fill with the OLDEST greens: 36 of the 43 parked r5
+    # greens (their last driver green is r5)
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
@@ -1251,6 +1200,12 @@ VERIFY_PRIORITY = [
     "q_bm25_search",
     "q_bigram_lm",
     "q_fuzzy_join",
+    # 1 changed + 6 never-green + 7 new r9 oracles + 36 oldest r5
+    # greens = 50
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The remaining 8 parked r5 greens (displaced by the r9 wave; their
+    # last green stays r5) LEAD the r10 window, then the r6 greens, the
+    # r7 greens, and the re-parked r8 window (most recent greens last).
     "q_weighted_sample",
     "q_cdc_apply",
     "q_retention_cohorts",
@@ -1358,6 +1313,56 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_key_skew",
+    # r8 greens (the former r8 window — most recent, park last)
+    "q_interval_overlap",
+    "q_setsim_join",
+    "q_heavy_hitters",
+    "q_pq_recall",
+    "q_kcenter_select",
+    "q_minhash_lsh_pairs",
+    "q_semantic_decontaminate",
+    "q_bradley_terry",
+    "q_lsh_recall",
+    "q_sizing_report",
+    "q_shard_balance",
+    "q_quality_calibration",
+    "q_lsh_band_stats",
+    "q_url_dedup",
+    "q_line_filter",
+    "q_ngram_novelty",
+    "q_preference_pairs",
+    "q_mutation_recall",
+    "q_triangle_count",
+    "q_annotator_agreement",
+    "q_doremi_step",
+    "q_span_corruption",
+    "q_prefix_rule_match",
+    "q_k_anonymity",
+    "q_corpus_drift",
+    "q_oov_rate",
+    "q_curriculum_order",
+    "q_quality_classifier",
+    "q_phrase_search",
+    "q_label_vote",
+    "q_dup_span_remove",
+    "q_rrf_fusion",
+    "q_rollup_incremental",
+    "q_leakage_safe_split",
+    "q_corpus_overlap",
+    "q_zorder_layout",
+    "q_pq_ann",
+    "q_knn_label_audit",
+    "q_hard_negatives",
+    "q_embedding_drift",
+    "q_bloom_prefilter_join",
+    "q_profile_table",
+    "q_dup_rate_by_domain",
+    "q_ann_filtered",
+    "q_maxsim_retrieval",
+    "q_skyline",
+    "q_vocab_coverage",
+    "q_gram_matrix",
+    "q_ivf_bucket_stats",
 ]
 
 _ROWS_ONLY_LAST = [

@@ -5870,7 +5870,412 @@ def q_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit (the dbt-test / Great-Expectations layer
+    every warehouse load runs before publishing — the reference trusts
+    its scraper output implicitly; a 100 TB ingest cannot): named
+    checks over the orders/lineitem contract, one row per check with
+    its violation count and verdict. Checks: not-null key, positive
+    amount, primary-key uniqueness, accepted status values, quantity
+    range, and lineitem→orders referential integrity.
+
+    Scale shape: ALL order-level checks ride ONE aggregate pass over
+    orders and all lineitem-level checks ONE pass over lineitem
+    (conditional sums — no per-check scan); uniqueness is
+    count − count_distinct inside the same pass; the referential check
+    is one anti-join keyed on the order key. Output is
+    checks-cardinality (7 rows) at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    viol = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    o = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        viol(F.col("o_custkey").isNull()).alias("v_custkey_null"),
+        viol(~(F.col("o_totalprice") > 0)).alias("v_price_nonpos"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("v_orderkey_dup"),
+        viol(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+            "v_status_domain"
+        ),
+    )
+    l = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        viol(
+            ~((F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50))
+        ).alias("v_qty_range"),
+    )
+    orphan = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("v_orphan"))
+    )
+    o_rows = o.selectExpr(
+        "stack(4,"
+        " 'orders.o_custkey not_null', n_rows, v_custkey_null,"
+        " 'orders.o_totalprice positive', n_rows, v_price_nonpos,"
+        " 'orders.o_orderkey unique', n_rows, v_orderkey_dup,"
+        " 'orders.o_orderstatus accepted_values', n_rows, v_status_domain"
+        ") AS (check_name, n_rows, n_violations)"
+    )
+    l_rows = l.selectExpr(
+        "stack(1, 'lineitem.l_quantity in [1,50]', n_rows, v_qty_range)"
+        " AS (check_name, n_rows, n_violations)"
+    )
+    ref_rows = orphan.join(l.select("n_rows")).select(
+        F.lit("lineitem.l_orderkey references orders").alias("check_name"),
+        F.col("n_rows"),
+        F.col("v_orphan").alias("n_violations"),
+    )
+    return (
+        o_rows.unionByName(l_rows)
+        .unionByName(ref_rows)
+        .select(
+            "check_name",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_violations").cast("long").alias("n_violations"),
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+    )
+
+
+def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 recall between paired documents (Lin 2004) — the
+    n-gram-overlap eval metric of every summarization/distillation
+    pipeline, and the lexical twin of the embedding-side q_maxsim
+    family: each even doc plays the REFERENCE, its odd successor the
+    CANDIDATE (pair = doc_id div 2). Counts are CLIPPED per ROUGE's
+    definition: each reference bigram occurrence can be matched at most
+    as many times as the candidate contains it —
+    Σ_g min(cnt_ref(g), cnt_cand(g)) / Σ_g cnt_ref(g), micro-rounded
+    integer division (exact cross-engine).
+
+    Scale shape: bigram rows keep multiplicity (no distinct pass);
+    per-(pair, gram) counts partial-aggregate map-side; the clip join
+    keys on (pair, gram) — the same key the counts were hashed on —
+    and the final rollup keys on the pair. Nothing is corpus-global."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        shingle_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = shingle_rows(docs, "doc_id", "text", 2).select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        F.col("doc_id"),
+        F.col("word").alias("gram"),
+    )
+    ref = (
+        grams.filter("is_ref")
+        .groupBy("pair_id", "gram")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.first("doc_id").alias("ref_id"),
+        )
+    )
+    cand = grams.filter(~F.col("is_ref")).groupBy("pair_id", "gram").agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    # pairs need both sides to exist; an unpaired trailing even doc
+    # drops via the inner join on the candidate side's pair ids
+    cand_ids = (
+        grams.filter(~F.col("is_ref"))
+        .groupBy("pair_id")
+        .agg(F.first("doc_id").alias("cand_id"))
+    )
+    clipped = (
+        ref.join(cand, ["pair_id", "gram"], "left")
+        .groupBy("pair_id")
+        .agg(
+            F.first("ref_id").alias("ref_id"),
+            F.sum("rc").cast("long").alias("n_ref_bigrams"),
+            F.sum(F.least(F.col("rc"), F.coalesce(F.col("cc"), F.lit(0))))
+            .cast("long")
+            .alias("n_overlap_clipped"),
+        )
+    )
+    return clipped.join(cand_ids, "pair_id").select(
+        "pair_id",
+        "ref_id",
+        "cand_id",
+        "n_ref_bigrams",
+        "n_overlap_clipped",
+        F.expr(
+            "CAST(n_overlap_clipped * 1000000 DIV n_ref_bigrams AS BIGINT)"
+        ).alias("rouge2_recall_micro"),
+    )
+
+
+# the pass@k product, written ONCE as SQL text and parsed by BOTH
+# engines: identical literal text → identical left-associated IEEE
+# operation order → bit-identical doubles (the q_winrate_ci convention;
+# exact integer arithmetic can't express the k-term product without
+# overflowing int64 at probe scale)
+PASS_AT_K = 5
+_PASS_PRODUCT_SQL = " * ".join(
+    f"(CAST(n - c - {i} AS DOUBLE) / (n - {i}))" for i in range(PASS_AT_K)
+)
+PASS_AT_K_EXPR = (
+    f"CAST(CASE WHEN c = 0 THEN 0"
+    f" WHEN n - c < {PASS_AT_K} THEN 1000000"
+    f" ELSE CAST(round((1.0 - {_PASS_PRODUCT_SQL}) * 1000000, 0) AS BIGINT)"
+    f" END AS BIGINT)"
+)
+
+
+def q_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k estimator (Chen et al. 2021, arXiv:2107.03374
+    §2.1) — THE eval aggregation of code-generation pipelines: per task
+    with n samples of which c pass, pass@k = 1 − C(n−c,k)/C(n,k),
+    computed in the numerically-stable product form
+    1 − Π_{i<k}(n−c−i)/(n−i). Tasks are doc_id % 40; a sample "passes"
+    by a deterministic md5 coin (first hex nibble ≤ 3, P = 1/4), so
+    both engines derive identical outcomes from the raw table.
+
+    Exactness: n and c are exact integer aggregates; the k-term product
+    is the ONE floating stage, evaluated from identical SQL text in
+    both engines (identical left-assoc IEEE order → bit-identical),
+    then micro-rounded once. Degenerate branches are integer-exact:
+    c=0 → 0; n−c<k → 1 (C(n−c,k)=0).
+
+    Scale shape: one partial-aggregable groupBy(task) — output is
+    task-cardinality at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_task = (
+        docs.select(
+            (F.col("doc_id") % 40).alias("task_id"),
+            F.when(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+                .isin("0", "1", "2", "3"),
+                1,
+            )
+            .otherwise(0)
+            .alias("ok"),
+        )
+        .groupBy("task_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("c"),
+        )
+    )
+    return per_task.select(
+        "task_id",
+        "n",
+        "c",
+        F.expr(PASS_AT_K_EXPR).alias("pass_at_k_micro"),
+    ).withColumn("k", F.lit(PASS_AT_K).cast("long"))
+
+
+# Wilson 95% score interval, written ONCE as SQL text (identical
+# literal text parsed by both engines → identical IEEE op order →
+# bit-identical doubles, then ONE micro-round per bound). w/n are
+# exact integer aggregates.
+def _wilson_sql(bound: str) -> str:
+    sign = "-" if bound == "low" else "+"
+    return (
+        "CAST(round(("
+        " ((CAST(w AS DOUBLE) / n) + 1.9208 / n"
+        f"  {sign} 1.96 * sqrt("
+        "    (CAST(w AS DOUBLE) / n) * (1.0 - CAST(w AS DOUBLE) / n) / n"
+        "    + 0.9604 / (n * n)))"
+        " / (1.0 + 3.8416 / n)"
+        ") * 1000000, 0) AS BIGINT)"
+    )
+
+
+def q_winrate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise win rates with Wilson 95% confidence intervals — the
+    model-arena scoreboard (how chat-eval leaderboards report head-to-
+    head results; Wilson 1927 is the interval of choice because it
+    stays inside [0,1] at small n). Matches are consecutive events per
+    user (lead window over the ts order): the two event types play the
+    two models, the higher value wins; the pair is normalized
+    (k_a < k_b) and wins are counted for the k_a side. Ties count as
+    k_b wins (a deterministic convention, stated rather than hidden).
+
+    Exactness: n and w are exact integers; the Wilson bounds are the
+    one floating stage — both engines evaluate the IDENTICAL formula
+    text (same literals 1.96/1.9208/0.9604/3.8416, same op order, and
+    sqrt is correctly rounded per IEEE in both JVMs and libm), then
+    each bound micro-rounds once.
+
+    Scale shape: one user-keyed window (the sessionize exchange), one
+    partial-aggregable groupBy on the type pair — output is
+    pair-cardinality at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    m = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("t_a"),
+        F.col("value").alias("v_a"),
+        F.lead("event_type").over(w_user).alias("t_b"),
+        F.lead("value").over(w_user).alias("v_b"),
+    ).filter(F.col("t_b").isNotNull() & (F.col("t_a") != F.col("t_b")))
+    norm = m.select(
+        F.least("t_a", "t_b").alias("k_a"),
+        F.greatest("t_a", "t_b").alias("k_b"),
+        F.when(
+            F.col("t_a") < F.col("t_b"), (F.col("v_a") > F.col("v_b"))
+        )
+        .otherwise(F.col("v_b") > F.col("v_a"))
+        .cast("int")
+        .alias("win_a"),
+    )
+    agg = norm.groupBy("k_a", "k_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("win_a").cast("long").alias("w"),
+    )
+    return agg.select(
+        "k_a",
+        "k_b",
+        "n",
+        "w",
+        F.expr("CAST(w * 1000000 DIV n AS BIGINT)").alias("winrate_micro"),
+        F.expr(_wilson_sql("low")).alias("ci_low_micro"),
+        F.expr(_wilson_sql("high")).alias("ci_high_micro"),
+    )
+
+
+def q_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source power-law fit (the scaling-law regression shape,
+    Kaplan et al. 2020: fit y = a·x^b by ordinary least squares on
+    log-log points — here chars vs words per document, i.e. the
+    bytes-per-token scaling of each source). Closed-form OLS from
+    distributed sums: b = (nΣxy − ΣxΣy) / (nΣxx − (Σx)²).
+
+    Exactness: x/y are MILLI-rounded logs (round(ln·1e3) — an integer
+    immediately, the q_char_entropy convention at e3 scale so the
+    second-moment sums stay far inside int64 at the ×100 probe:
+    x ≈ 6e3 → Σxx ≈ 2e13 at 500k docs/source, n·Σxy ≈ 3e17); all five
+    sums are exact integer aggregates; the slope/intercept are TWO
+    final micro-rounded divisions.
+
+    Scale shape: one partial-aggregable groupBy(source) — five integer
+    sums collapse map-side; output is source-cardinality."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = F.round(
+        F.log(F.size(F.split(F.trim(F.col("text")), " ")).cast("double"))
+        * 1000
+    ).cast("long")
+    y = F.round(F.log(F.col("n_chars").cast("double")) * 1000).cast("long")
+    s = (
+        docs.select("source", x.alias("x"), y.alias("y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+    )
+    return s.select(
+        "source",
+        "n",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_micro"),
+        # intercept in milli-log units, micro-rounded: (sy - b*sx)/n
+        # with b applied in micro → one integer expression
+        F.expr(
+            "CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx)) * sx) DIV n AS BIGINT)"
+        ).alias("intercept_milli_micro"),
+    )
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the word co-occurrence graph (adjacent-word edges), the
+    unsupervised keyword scorer summarization pipelines run before
+    titling/routing. Two unrolled iterations of
+    s' = 0.15 + 0.85·Σ_{u∈N(v)} s(u)/deg(u) from s₀ = 1, ALL-INTEGER
+    (micro scores; each neighbor contribution is s(u) div deg(u), the
+    damping step one more integer div — the q_pagerank discipline on a
+    word graph instead of the doc graph). Top-10 by (score, word).
+
+    Scale shape: adjacency edges are a lead-window pass over the token
+    stream (doc-keyed exchange reused from tokenization); distinct
+    undirected edges partial-aggregate on the word pair; each iteration
+    is one join + one partial-aggregable groupBy on the word
+    (operators/graph.py::textrank_scores); the final top-10 is
+    TakeOrderedAndProject (never a global sort)."""
+    from telecom_competitor_analysis_spark.functions.text import words
+    from telecom_competitor_analysis_spark.operators.graph import (
+        textrank_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
+    )
+    adj = toks.select(
+        F.col("w").alias("a"), F.lead("w").over(win).alias("b")
+    ).filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    edges = (
+        adj.select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+    )
+    final = textrank_scores(edges, iters=2)
+    return (
+        final.orderBy(F.col("s").desc(), F.col("word"))
+        .limit(10)
+        .select("word", F.col("deg").cast("long").alias("deg"),
+                F.col("s").alias("score_micro"))
+    )
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote label propagation (Raghavan et al. 2007) over the
+    materialized near-dup pair graph — the community-detection
+    complement of q_dedup_clusters' min-label connected components:
+    two SYNCHRONOUS rounds where each node adopts the most frequent
+    label among its neighbors (ties → smallest label; isolated nodes
+    keep their own), starting from label = doc_id. Deterministic by
+    construction (synchronous rounds + total tie order), hence
+    oracle-checkable — the asynchronous textbook variant is RNG-order
+    dependent and untestable.
+
+    Scale shape: SIXTH consumer of the materialized LSH pair table;
+    each round is one join (neighbor labels) + one partial-aggregable
+    count + one argmax per node (operators/graph.py::label_propagation)
+    — everything keys on node or (node, label); no global state."""
+    from telecom_competitor_analysis_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").cast("long").alias("label"),
+    )
+    final = label_propagation(nodes, edges, rounds=2)
+    return final.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_expectations": q_expectations,
+    "q_rouge_n": q_rouge_n,
+    "q_pass_at_k": q_pass_at_k,
+    "q_winrate_ci": q_winrate_ci,
+    "q_scaling_fit": q_scaling_fit,
+    "q_textrank_keywords": q_textrank_keywords,
+    "q_label_propagation": q_label_propagation,
     "q_semantic_decontaminate": q_semantic_decontaminate,
     "q_bradley_terry": q_bradley_terry,
     "q_url_dedup": q_url_dedup,

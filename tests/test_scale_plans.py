@@ -1029,6 +1029,57 @@ def test_containment_pairs_materialized_once_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_pass_at_k_single_exchange(spark, sf_dir):
+    # one partial-aggregable groupBy(task_id); the product expr is a
+    # post-agg projection — no second corpus pass, no window
+    plan = _plan(QUERIES["q_pass_at_k"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_scaling_fit_single_exchange(spark, sf_dir):
+    # five integer sums collapse map-side; slope/intercept are
+    # projections over the aggregated source rows
+    plan = _plan(QUERIES["q_scaling_fit"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+    assert "Window" not in plan
+
+
+def test_winrate_ci_one_user_window_one_pair_agg(spark, sf_dir):
+    # the lead window exchanges on user_id once; the pair aggregate is
+    # partial-aggregable; no global sort anywhere
+    plan = _plan(QUERIES["q_winrate_ci"](spark, sf_dir))
+    assert "rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_textrank_top10_never_global_sort(spark, sf_dir):
+    # the final top-10 must be TakeOrderedAndProject, not a global sort
+    plan = _plan(QUERIES["q_textrank_keywords"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expectations_no_cartesian_and_bounded_output(spark, sf_dir):
+    # level checks ride per-table aggregates; referential is one
+    # anti-join; the two 1-row combines are the only nested loops
+    plan = _plan(QUERIES["q_expectations"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_label_propagation_keys_on_node_only(spark, sf_dir):
+    # every exchange keys on node/label/word-side keys — never a pair
+    # self-join on anything corpus-quadratic; no cartesian
+    plan = _plan(QUERIES["q_label_propagation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_doremi_step_single_corpus_exchange(spark, sf_dir):
     # one partial-aggregated groupBy(source) over the corpus; the
     # min/sum renormalizers are 1-row broadcast combines
