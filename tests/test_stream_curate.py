@@ -563,6 +563,167 @@ def test_streaming_admission_with_ann_screen(spark, dirs):
             assert r.admitted and r.reason is None
 
 
+def test_streaming_admission_with_line_filter_screen(spark, dirs):
+    """SEVENTH admission signal: the C4 LINE filter joins the composite
+    (the batch funnel jobs/curate.py runs has it; the streaming path
+    must too). Screen order / reason precedence:
+    dup > ann_dup > line_filter > boilerplate > screen > model.
+    With the scrambled feed the planted dups ALSO fail the line filter
+    (the badword 'lazy' cuts one of their 4 chunks and the tail chunk
+    is short), but ann_dup outranks it; doc 4 is the novel doc whose
+    own chunk carries the second badword — its reason IS line_filter.
+    Verdicts are pinned against an independent batch-side recompute of
+    c4_line_filter; exactly-once across the checkpointed restart."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        c4_line_filter,
+        gopher_rules,
+        hashed_linear_score,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        build_ivf_index,
+        cosine,
+        hashed_bow_embedding,
+    )
+
+    keep = spark.createDataFrame(
+        [(1000, SyntheticDocumentsDataSource.KEEP_TEXT)],
+        "doc_id long, text string",
+    )
+    build_shingle_index(keep, "doc_id", "text", dirs["index"], w=3)
+    ivf_path = f"{dirs['index']}_ivf"
+    build_ivf_index(
+        hashed_bow_embedding(keep),
+        ivf_path,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_anchors=1,
+    )
+    spark.dataSource.register(SyntheticDocumentsDataSource)
+    LF_KW = dict(w=4, min_line_words=4, badwords=("lazy", "w4x7"),
+                 min_kept_lines=3)
+
+    def curate_batch(batch_df, batch_id: int) -> None:
+        emb = hashed_bow_embedding(batch_df)
+        nbrs = ann_against_index(
+            emb, spark, ivf_path,
+            id_col="doc_id", vec_col="embedding", k=1, nprobe=1,
+        )
+        idx_vecs = spark.read.parquet(f"{ivf_path}/assignments").select(
+            "neighbor_id", "c_vec"
+        )
+        ann = (
+            nbrs.join(idx_vecs, on="neighbor_id")
+            .join(
+                emb.withColumnRenamed("doc_id", "query_id"), on="query_id"
+            )
+            .where(cosine(F.col("embedding"), F.col("c_vec")) >= 0.8)
+            .select(F.col("query_id").alias("doc_id"))
+            .distinct()
+            .withColumn("__ann", F.lit(True))
+        )
+        lf = (
+            c4_line_filter(batch_df, "doc_id", "text", **LF_KW)
+            .select("doc_id")
+            .withColumn("__lf_ok", F.lit(True))
+        )
+        screened = gopher_rules(
+            batch_df, "doc_id", "text",
+            min_words=5, min_mean_word_len=1.0, max_mean_word_len=20.0,
+            min_stopwords=0, max_top_word_fraction=0.9,
+            min_distinct_fraction=0.2, max_dup_bigram_fraction=0.9,
+        ).select("doc_id", "passes")
+        model = hashed_linear_score(batch_df, "doc_id", "text").select(
+            "doc_id", F.col("keep").alias("model_keep")
+        )
+        dups = (
+            near_dups_against_index(
+                batch_df, spark, dirs["index"], "doc_id", "text",
+                w=3, threshold=0.2,
+            )
+            .select(F.col("id_a").alias("doc_id"))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        out = (
+            batch_df.join(screened, on="doc_id")
+            .join(model, on="doc_id")
+            .join(lf, on="doc_id", how="left")
+            .join(ann, on="doc_id", how="left")
+            .join(dups, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.lit(batch_id).alias("batch_id"),
+                F.col("__lf_ok").isNotNull().alias("lf_ok"),
+                (
+                    F.col("passes")
+                    & F.col("model_keep")
+                    & F.col("__lf_ok").isNotNull()
+                    & F.col("__ann").isNull()
+                    & F.col("__dup").isNull()
+                ).alias("admitted"),
+                F.when(F.col("__dup").isNotNull(), "dup")
+                .when(F.col("__ann").isNotNull(), "ann_dup")
+                .when(F.col("__lf_ok").isNull(), "line_filter")
+                .when(~F.col("passes"), "screen")
+                .when(~F.col("model_keep"), "model")
+                .alias("reason"),
+            )
+        )
+        out.write.mode("append").parquet(dirs["out"])
+
+    def run_once():
+        q = (
+            spark.readStream.format("synthetic_documents")
+            .option("docsPerBatch", "6")
+            .option("scrambleDups", "true")
+            .load()
+            .writeStream.foreachBatch(curate_batch)
+            .option("checkpointLocation", dirs["ckpt"])
+            .trigger(once=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    run_once()
+
+    rows = {r.doc_id: r for r in spark.read.parquet(dirs["out"]).collect()}
+    assert set(rows) == set(range(12))  # exactly-once across restart
+
+    # batch-side recompute is the verdict authority
+    stream_docs = spark.createDataFrame(
+        [
+            (i, SyntheticDocumentsDataSource.text_for(i, scramble=True))
+            for i in range(12)
+        ],
+        "doc_id long, text string",
+    )
+    lf_expected = {
+        r.doc_id
+        for r in c4_line_filter(
+            stream_docs, "doc_id", "text", **LF_KW
+        ).collect()
+    }
+    model_expected = {
+        r.doc_id: r.keep
+        for r in hashed_linear_score(stream_docs, "doc_id", "text").collect()
+    }
+    for i in range(12):
+        r = rows[i]
+        assert r.lf_ok == (i in lf_expected), i
+        if i % 3 == 0:
+            # planted dup: ALSO fails the line filter, but the
+            # embedding screen outranks it
+            assert not r.lf_ok and r.reason == "ann_dup", i
+        elif i == 4:
+            assert r.reason == "line_filter" and not r.admitted
+        elif not model_expected[i]:
+            assert r.reason == "model" and not r.admitted
+        else:
+            assert r.admitted and r.reason is None
+
+
 def test_streaming_url_frontier_screen(spark, dirs):
     """SCREEN-ZERO of the admission pipeline: cross-batch URL dedup
     against a persistent seen set — the cheapest duplicate cut (no
