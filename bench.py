@@ -186,6 +186,13 @@ HEADLINE_EXT = [
     "q_scaling_fit",
     "q_textrank_keywords",
     "q_label_propagation",
+    "q_bleu",
+    "q_bootstrap_ci",
+    "q_mmr_select",
+    "q_cdc_chunks",
+    "q_rank_correlation",
+    "q_silhouette",
+    "q_zipf_fit",
 ]
 
 

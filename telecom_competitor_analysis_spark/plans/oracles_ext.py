@@ -5321,3 +5321,373 @@ EXT_ORACLES["q_label_propagation"] = (
     FROM n2 GROUP BY 1
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# round-9 second wave oracles: BLEU, Poisson bootstrap, MMR, CDC chunks,
+# Spearman, silhouette, Zipf.
+# ---------------------------------------------------------------------------
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    BLEU2_EXPR,
+    BOOTSTRAP_B,
+    MMR_POOL,
+    SPEARMAN_EXPR,
+    _poisson_weight_sql,
+    silhouette_expr,
+)
+
+# BLEU-2 with brevity penalty (queries_ext.q_bleu): precision-side
+# clipped counts; the BP·sqrt(p1·p2) combination is the SAME text both
+# engines parse (BLEU2_EXPR), micro-rounded once.
+EXT_ORACLES["q_bleu"] = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    g AS (
+        SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_ref,
+               1 AS n, arr[i] AS gram
+        FROM t, unnest(generate_series(1, len(arr))) AS s(i)
+        UNION ALL
+        SELECT doc_id, doc_id // 2, doc_id % 2 = 0,
+               2, arr[i] || ' ' || arr[i + 1]
+        FROM t, unnest(generate_series(1, len(arr) - 1)) AS s(i)
+    ),
+    ref AS (
+        SELECT pair_id, n, gram, COUNT(*) AS rc
+        FROM g WHERE is_ref GROUP BY 1, 2, 3
+    ),
+    cand AS (
+        SELECT pair_id, n, gram, COUNT(*) AS cc, MIN(doc_id) AS cand_id
+        FROM g WHERE NOT is_ref GROUP BY 1, 2, 3
+    ),
+    pern AS (
+        SELECT c.pair_id, c.n, MIN(c.cand_id) AS cand_id,
+               SUM(c.cc) AS den, SUM(LEAST(c.cc, COALESCE(r.rc, 0))) AS num
+        FROM cand c
+        LEFT JOIN ref r
+          ON r.pair_id = c.pair_id AND r.n = c.n AND r.gram = c.gram
+        GROUP BY 1, 2
+    ),
+    flat AS (
+        SELECT pair_id, MIN(cand_id) AS cand_id,
+           CAST(COALESCE(SUM(CASE WHEN n = 1 THEN num END), 0) AS BIGINT)
+               AS n1,
+           CAST(COALESCE(SUM(CASE WHEN n = 1 THEN den END), 0) AS BIGINT)
+               AS d1,
+           CAST(COALESCE(SUM(CASE WHEN n = 2 THEN num END), 0) AS BIGINT)
+               AS n2,
+           CAST(COALESCE(SUM(CASE WHEN n = 2 THEN den END), 0) AS BIGINT)
+               AS d2
+        FROM pern GROUP BY 1
+    ),
+    lens AS (
+        SELECT doc_id, doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_ref,
+               len(arr)::BIGINT AS wlen
+        FROM t
+    ),
+    rl AS (
+        SELECT pair_id, MIN(doc_id) AS ref_id, MIN(wlen) AS ref_len
+        FROM lens WHERE is_ref GROUP BY 1
+    ),
+    cl AS (
+        SELECT pair_id, MIN(wlen) AS cand_len
+        FROM lens WHERE NOT is_ref GROUP BY 1
+    )
+    SELECT rl.pair_id, CAST(rl.ref_id AS BIGINT) AS ref_id,
+           CAST(flat.cand_id AS BIGINT) AS cand_id,
+           CAST(rl.ref_len AS BIGINT) AS ref_len,
+           CAST(cl.cand_len AS BIGINT) AS cand_len,
+           n1, d1, n2, d2,
+           {BLEU2_EXPR} AS bleu2_micro
+    FROM rl JOIN cl USING (pair_id) JOIN flat USING (pair_id)
+"""
+
+# Poisson bootstrap CI (queries_ext.q_bootstrap_ci): weights from the
+# SAME md5-hex inverse-CDF table (_poisson_weight_sql over POISSON1_HEX,
+# one Python source); ranks 2 and B-1 of the 32 replicate means.
+EXT_ORACLES["q_bootstrap_ci"] = f"""
+    WITH reps AS (
+        SELECT source, doc_id, n_chars, r.rep,
+               substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                             || CAST(r.rep AS VARCHAR)), 1, 8) AS u
+        FROM documents,
+             unnest(generate_series(0, {BOOTSTRAP_B - 1})) AS r(rep)
+    ),
+    wtd AS (
+        SELECT source, rep, n_chars,
+               CAST({_poisson_weight_sql("u")} AS BIGINT) AS w
+        FROM reps
+    ),
+    per_rep AS (
+        SELECT source, rep,
+               CASE WHEN SUM(w) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(CAST(SUM(w * n_chars) AS BIGINT) * 1000000
+                              // CAST(SUM(w) AS BIGINT) AS BIGINT)
+               END AS m
+        FROM wtd GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT source, m,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY m ASC, rep ASC) AS rn
+        FROM per_rep
+    ),
+    ci AS (
+        SELECT source,
+               CAST(MAX(CASE WHEN rn = 2 THEN m END) AS BIGINT)
+                   AS boot_lo_micro,
+               CAST(MAX(CASE WHEN rn = {BOOTSTRAP_B - 1} THEN m END)
+                    AS BIGINT) AS boot_hi_micro
+        FROM ranked GROUP BY 1
+    ),
+    pt AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               CAST(CAST(SUM(n_chars) AS BIGINT) * 1000000
+                    // COUNT(*) AS BIGINT) AS point_mean_micro
+        FROM documents GROUP BY 1
+    )
+    SELECT pt.source, pt.n_docs, pt.point_mean_micro,
+           ci.boot_lo_micro, ci.boot_hi_micro,
+           CAST({BOOTSTRAP_B} AS BIGINT) AS b
+    FROM pt JOIN ci USING (source)
+"""
+
+
+def _mmr_cte_sql(pool: int = MMR_POOL, rounds: int = 4) -> str:
+    """Unrolled greedy MMR rounds mirroring queries_ext.q_mmr_select:
+    query = lowest-id vector, pool = top-``pool`` by micro-rounded
+    cosine relevance, score = 7·rel − 3·max-sim-to-selected in
+    λ-tenths·micro units, vec_id tie-break. Selection CTEs are s1..sN
+    (rank, vec_id, rel_micro, mmr_score)."""
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "q AS (SELECT vec_id AS q_id, v AS q_vec FROM e"
+        " ORDER BY vec_id ASC LIMIT 1)",
+        "scored AS (SELECT e.vec_id, e.v,"
+        " CAST(round(" + cos.format(a="e.v", b="q.q_vec")
+        + " * 1000000, 0) AS BIGINT) AS rel_micro"
+        " FROM e CROSS JOIN q WHERE e.vec_id != q.q_id)",
+        f"pool AS (SELECT * FROM scored ORDER BY rel_micro DESC,"
+        f" vec_id ASC LIMIT {pool})",
+        "sims AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
+        " CAST(round(" + cos.format(a="a.v", b="b.v")
+        + " * 1000000, 0) AS BIGINT) AS sim_micro"
+        " FROM pool a JOIN pool b ON a.vec_id != b.vec_id)",
+        "s1 AS (SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel_micro,"
+        " CAST(rel_micro * 7 AS BIGINT) AS mmr_score"
+        " FROM pool ORDER BY rel_micro * 7 DESC, vec_id ASC LIMIT 1)",
+    ]
+    for r in range(2, rounds + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"sel{r} AS ({prev})"
+        )
+        parts.append(
+            f"pen{r} AS (SELECT sims.a_id AS vec_id,"
+            f" MAX(sims.sim_micro) AS max_sim FROM sims"
+            f" JOIN sel{r} ON sims.b_id = sel{r}.vec_id GROUP BY 1)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT CAST({r} AS BIGINT) AS rank, p.vec_id,"
+            f" p.rel_micro,"
+            f" CAST(p.rel_micro * 7 - pen{r}.max_sim * 3 AS BIGINT)"
+            f" AS mmr_score"
+            f" FROM pool p JOIN pen{r} USING (vec_id)"
+            f" WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{r})"
+            f" ORDER BY p.rel_micro * 7 - pen{r}.max_sim * 3 DESC,"
+            f" p.vec_id ASC LIMIT 1)"
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, rounds + 1))
+    parts.append(f"sel AS ({union})")
+    return ",\n    ".join(parts)
+
+
+EXT_ORACLES["q_mmr_select"] = f"""
+    WITH {_mmr_cte_sql()}
+    SELECT rank, CAST(vec_id AS BIGINT) AS vec_id, rel_micro,
+           mmr_score
+    FROM sel
+"""
+
+# Content-defined chunking (queries_ext.q_cdc_chunks): boundary = word
+# whose md5 first nibble is '0'; chunk id = running boundary count of
+# STRICTLY PRECEDING words; fingerprint = md5 of the space-joined chunk.
+EXT_ORACLES["q_cdc_chunks"] = """
+    WITH t AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, i AS pos, arr[i] AS w
+        FROM t, unnest(generate_series(1, len(arr))) AS s(i)
+    ),
+    fl AS (
+        SELECT doc_id, pos, w,
+               CASE WHEN substring(md5(w), 1, 1) = '0' THEN 1 ELSE 0 END
+                   AS b
+        FROM toks
+    ),
+    ch AS (
+        SELECT doc_id, pos, w,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos) - b
+                   AS chunk_idx
+        FROM fl
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_idx,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+               COUNT(*)::BIGINT AS len_words
+        FROM ch GROUP BY 1, 2
+    )
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*)::BIGINT AS n_occurrences,
+           CAST(MIN(len_words) AS BIGINT) AS len_words
+    FROM chunks GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+# Spearman over double-ranks (queries_ext.q_rank_correlation): integer
+# moment sums, shared-text double combination.
+EXT_ORACLES["q_rank_correlation"] = f"""
+    WITH d AS (
+        SELECT source, n_chars::BIGINT AS xv,
+               len(string_split(trim(text), ' '))::BIGINT AS yv
+        FROM documents
+    ),
+    g AS (
+        SELECT source, xv, yv, COUNT(*)::BIGINT AS c
+        FROM d GROUP BY 1, 2, 3
+    ),
+    xc AS (
+        SELECT source, xv, CAST(SUM(c) AS BIGINT) AS cnt
+        FROM g GROUP BY 1, 2
+    ),
+    xr AS (
+        SELECT source, xv,
+               CAST(2 * (COALESCE(SUM(cnt) OVER (
+                   PARTITION BY source ORDER BY xv ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + 1) + cnt - 1 AS BIGINT) AS dr_x
+        FROM xc
+    ),
+    yc AS (
+        SELECT source, yv, CAST(SUM(c) AS BIGINT) AS cnt
+        FROM g GROUP BY 1, 2
+    ),
+    yr AS (
+        SELECT source, yv,
+               CAST(2 * (COALESCE(SUM(cnt) OVER (
+                   PARTITION BY source ORDER BY yv ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   + 1) + cnt - 1 AS BIGINT) AS dr_y
+        FROM yc
+    ),
+    s AS (
+        SELECT g.source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(c * dr_x) AS BIGINT) AS sx,
+               CAST(SUM(c * dr_y) AS BIGINT) AS sy,
+               CAST(SUM(c * dr_x * dr_y) AS BIGINT) AS sxy,
+               CAST(SUM(c * dr_x * dr_x) AS BIGINT) AS sxx,
+               CAST(SUM(c * dr_y * dr_y) AS BIGINT) AS syy
+        FROM g
+        JOIN xr ON xr.source = g.source AND xr.xv = g.xv
+        JOIN yr ON yr.source = g.source AND yr.yv = g.yv
+        GROUP BY 1
+    )
+    SELECT source, n, {SPEARMAN_EXPR} AS spearman_micro FROM s
+"""
+
+
+def _silhouette_sql(k: int = 4, iters: int = 2, dim: int = 64) -> str:
+    """Simplified silhouette over the shared unrolled k-means CTEs
+    (_kmeans_cte_sql): recompute final integer-micro centroids from the
+    m{iters-1} assignment, micro-round cosine distances, combine with
+    the shared SILHOUETTE_EXPR."""
+    sums = ",\n               ".join(
+        f"CAST(SUM(CAST(round(v[{d + 1}] * 1000000, 0) AS BIGINT))"
+        f" AS BIGINT) AS s{d}"
+        for d in range(dim)
+    )
+    divs = ", ".join(f"s{d} / (n * 1000000.0)" for d in range(dim))
+    m = f"m{iters - 1}"
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    return f"""WITH {_kmeans_cte_sql(k=k, iters=iters, dim=dim)},
+    gfin AS (SELECT cid AS cluster_id, COUNT(*) AS n,
+               {sums}
+           FROM {m} GROUP BY cid),
+    cfin AS (SELECT cluster_id AS ccid, list_value({divs}) AS cvec
+             FROM gfin),
+    scored AS (
+        SELECT {m}.vec_id, {m}.cid AS cluster_id, cfin.ccid,
+               CAST(round((1.0 - {cos.format(a=f"{m}.v", b="cfin.cvec")})
+                    * 1000000, 0) AS BIGINT) AS d_micro
+        FROM {m} CROSS JOIN cfin
+    ),
+    ab AS (
+        SELECT vec_id, MAX(cluster_id) AS cluster_id,
+               MAX(CASE WHEN ccid = cluster_id THEN d_micro END)
+                   AS a_micro,
+               MIN(CASE WHEN ccid != cluster_id THEN d_micro END)
+                   AS b_micro
+        FROM scored GROUP BY vec_id
+    ),
+    sil AS (
+        SELECT cluster_id, {silhouette_expr('//')} AS s_micro FROM ab
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           COUNT(*)::BIGINT AS n,
+           CAST(CAST(SUM(s_micro) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mean_silhouette_micro,
+           CAST(MIN(s_micro) AS BIGINT) AS min_silhouette_micro
+    FROM sil GROUP BY 1"""
+
+
+EXT_ORACLES["q_silhouette"] = _silhouette_sql()
+
+# Zipf fit (queries_ext.q_zipf_fit): q_scaling_fit's OLS discipline on
+# (ln rank, ln freq) of the top-1000 words.
+EXT_ORACLES["q_zipf_fit"] = """
+    WITH tok AS (
+        SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+    ),
+    f AS (
+        SELECT w, COUNT(*)::BIGINT AS f FROM tok
+        WHERE w != '' GROUP BY w
+    ),
+    top AS (SELECT w, f FROM f ORDER BY f DESC, w ASC LIMIT 1000),
+    r AS (
+        SELECT row_number() OVER (ORDER BY f DESC, w ASC) AS r, f
+        FROM top
+    ),
+    p AS (
+        SELECT CAST(round(ln(r) * 1000, 0) AS BIGINT) AS x,
+               CAST(round(ln(f) * 1000, 0) AS BIGINT) AS y
+        FROM r
+    ),
+    s AS (
+        SELECT COUNT(*)::BIGINT AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM p
+    )
+    SELECT n AS n_words,
+           CAST((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
+           CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
+                // (n * sxx - sx * sx)) * sx) // n AS BIGINT)
+               AS intercept_milli_micro
+    FROM s
+"""

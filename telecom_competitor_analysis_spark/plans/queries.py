@@ -1162,6 +1162,15 @@ VERIFY_PRIORITY = [
     "q_scaling_fit",
     "q_textrank_keywords",
     "q_label_propagation",
+    # tier 2b — the round-9 SECOND wave oracles (eval/stats/retrieval/
+    # dedup additions made mid-round), never driver-checked
+    "q_bleu",
+    "q_bootstrap_ci",
+    "q_mmr_select",
+    "q_cdc_chunks",
+    "q_rank_correlation",
+    "q_silhouette",
+    "q_zipf_fit",
     # tier 3 — fill with the OLDEST greens: 36 of the 43 parked r5
     # greens (their last driver green is r5)
     "q_agg_latest_price",
@@ -1193,6 +1202,13 @@ VERIFY_PRIORITY = [
     "q_moving_avg",
     "q_simhash64_pairs",
     "q_minhash_jaccard_est",
+    # 1 changed + 6 never-green + 14 new r9 oracles (two waves) + 29
+    # oldest r5 greens = 50
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # The remaining 15 parked r5 greens (displaced by the two r9 waves;
+    # their last green stays r5) LEAD the r10 window, then the r6
+    # greens, the r7 greens, and the re-parked r8 window (most recent
+    # greens last).
     "q_mix_rebalance",
     "q_winsorize",
     "q_frame_sample",
@@ -1200,12 +1216,6 @@ VERIFY_PRIORITY = [
     "q_bm25_search",
     "q_bigram_lm",
     "q_fuzzy_join",
-    # 1 changed + 6 never-green + 7 new r9 oracles + 36 oldest r5
-    # greens = 50
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The remaining 8 parked r5 greens (displaced by the r9 wave; their
-    # last green stays r5) LEAD the r10 window, then the r6 greens, the
-    # r7 greens, and the re-parked r8 window (most recent greens last).
     "q_weighted_sample",
     "q_cdc_apply",
     "q_retention_cohorts",

@@ -6268,7 +6268,647 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-9 second wave: precision-side eval (BLEU), scale-first statistics
+# (Poisson bootstrap, Spearman agreement, Zipf fit), diversified retrieval
+# (MMR), shift-robust dedup (content-defined chunking), and clustering
+# observability (simplified silhouette).
+# ---------------------------------------------------------------------------
+
+# BLEU-2 combination, written ONCE as SQL text (the q_pass_at_k /
+# q_winrate_ci convention): identical literal text parsed by both engines
+# → identical IEEE op order → bit-identical doubles, then ONE micro-round.
+# exp/ln precedent: the PMI/BM25/DSIR oracles already round-after-exp/ln.
+BLEU2_EXPR = (
+    "CAST(round(CASE WHEN d1 = 0 OR d2 = 0 OR n1 = 0 OR n2 = 0 THEN 0.0"
+    " ELSE (CASE WHEN cand_len >= ref_len THEN 1.0"
+    " ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END)"
+    " * sqrt((CAST(n1 AS DOUBLE) / d1) * (CAST(n2 AS DOUBLE) / d2))"
+    " END * 1000000, 0) AS BIGINT)"
+)
+
+
+def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 with brevity penalty (Papineni et al. 2002) over the same
+    (even ref, odd cand) doc pairing as q_rouge_n — the PRECISION-side
+    twin: CANDIDATE n-gram occurrences are clipped by the reference
+    count (p_n = Σ_g min(cnt_cand, cnt_ref) / Σ_g cnt_cand for
+    n ∈ {1, 2}), combined as BP · sqrt(p1·p2) with
+    BP = exp(1 − r/c) when the candidate is shorter than the
+    reference. The n/d terms per n are exact integer aggregates; the
+    combination is ONE shared SQL text both engines parse (BLEU2_EXPR),
+    micro-rounded once; degenerate pairs (empty candidate, zero
+    overlap, no bigrams) take the integer-exact 0 branch.
+
+    Scale shape (the q_rouge_n discipline): gram rows keep multiplicity
+    (no distinct pass); per-(pair, n, gram) counts partial-aggregate
+    map-side; the clip join keys on the same (pair, n, gram) the counts
+    were hashed on; the rollup keys on the pair. Nothing is
+    corpus-global."""
+    docs = load_table(spark, sf_dir, "documents")
+    uni = shingle_rows(docs, "doc_id", "text", 1)
+    bi = shingle_rows(docs, "doc_id", "text", 2)
+    grams = (
+        uni.withColumn("n", F.lit(1))
+        .unionByName(bi.withColumn("n", F.lit(2)))
+        .select(
+            (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+            (F.col("doc_id") % 2 == 0).alias("is_ref"),
+            "doc_id",
+            "n",
+            F.col("word").alias("gram"),
+        )
+    )
+    ref = grams.filter("is_ref").groupBy("pair_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    cand = grams.filter(~F.col("is_ref")).groupBy("pair_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.first("doc_id").alias("cand_id"),
+    )
+    per_n = (
+        cand.join(ref, ["pair_id", "n", "gram"], "left")
+        .groupBy("pair_id", "n")
+        .agg(
+            F.first("cand_id").alias("cand_id"),
+            F.sum("cc").cast("long").alias("den"),
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("long")
+            .alias("num"),
+        )
+    )
+    flat = per_n.groupBy("pair_id").agg(
+        F.first("cand_id").alias("cand_id"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("n") == nn, F.col(col))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"{col[0]}{nn}")
+            for nn in (1, 2)
+            for col in ("num", "den")
+        ],
+    )
+    lens = docs.select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        "doc_id",
+        F.size(words(F.trim(F.col("text")))).cast("long").alias("wlen"),
+    )
+    ref_lens = lens.filter("is_ref").select(
+        "pair_id",
+        F.col("doc_id").alias("ref_id"),
+        F.col("wlen").alias("ref_len"),
+    )
+    cand_lens = lens.filter(~F.col("is_ref")).select(
+        "pair_id", F.col("wlen").alias("cand_len")
+    )
+    return (
+        ref_lens.join(cand_lens, "pair_id")
+        .join(flat, "pair_id")
+        .select(
+            "pair_id",
+            "ref_id",
+            "cand_id",
+            "ref_len",
+            "cand_len",
+            "n1",
+            "d1",
+            "n2",
+            "d2",
+            F.expr(BLEU2_EXPR).alias("bleu2_micro"),
+        )
+    )
+
+
+def _poisson1_cdf_hex() -> list[str]:
+    """Inverse-CDF thresholds for Poisson(1) as 8-hex-digit string
+    literals scaled to 2^32 — ONE Python source inlined into BOTH
+    engines (the _hyperplane_bucket_sql convention). Lexicographic
+    compare of lowercase fixed-width hex == numeric compare, so the
+    md5-prefix uniform never needs a hex→int parse in either engine."""
+    import math
+
+    out, cum, term = [], 0.0, math.exp(-1.0)
+    for k in range(7):
+        cum += term
+        out.append(format(int(cum * 2**32), "08x"))
+        term /= k + 1
+    return out
+
+
+POISSON1_HEX = _poisson1_cdf_hex()
+BOOTSTRAP_B = 32
+
+
+def _poisson_weight_sql(u_expr: str) -> str:
+    """CASE mapping an 8-hex-digit uniform to a Poisson(1) draw, capped
+    at 7 (P ≈ 8e-5 beyond). Shared text; only the uniform's hash-input
+    expression differs per engine (it must produce identical STRINGS,
+    not identical syntax)."""
+    branches = " ".join(
+        f"WHEN {u_expr} < '{h}' THEN {k}"
+        for k, h in enumerate(POISSON1_HEX)
+    )
+    return f"CASE {branches} ELSE 7 END"
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the per-source mean
+    document length (Chamandy et al. 2012, "Estimating Uncertainty for
+    Massive Data Streams") — THE bootstrap that works at 100 TB:
+    classical resampling needs n draws with global coordination per
+    replicate; the Poisson bootstrap instead gives every row an
+    INDEPENDENT Poisson(1) replication weight per replicate, entirely
+    map-side, and the per-replicate weighted means converge to the
+    classical bootstrap at O(1/n). Weights are drawn deterministically:
+    uniform = first 8 md5 hex digits of 'doc_id:rep' compared against
+    inverse-CDF thresholds inlined from one Python source
+    (POISSON1_HEX) — no RNG state, both engines derive identical
+    weights from the raw table.
+
+    The interval is the percentile bootstrap on B = 32 replicate means
+    (micro-rounded integer division each): ranks 2 and 31 of the
+    sorted 32 — the ~93.75% central interval. All arithmetic integer.
+
+    Scale shape: the explode is a constant ×32 map-side fanout of
+    (source, rep) partial aggregates — the shuffle carries
+    32·|sources| rows, not 32·n; the order-statistic window runs over
+    exactly 32 rows per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(BOOTSTRAP_B - 1))
+            ).alias("rep"),
+        )
+        .withColumn(
+            "u",
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("rep").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+        )
+        .withColumn("w", F.expr(_poisson_weight_sql("u")).cast("long"))
+    )
+    per_rep = (
+        reps.groupBy("source", "rep")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias("sw"),
+            F.sum("w").cast("long").alias("cnt"),
+        )
+        .select(
+            "source",
+            "rep",
+            F.expr(
+                "CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE CAST(sw * 1000000 DIV cnt AS BIGINT) END"
+            ).alias("m"),
+        )
+    )
+    wnd = Window.partitionBy("source").orderBy(
+        F.col("m").asc(), F.col("rep").asc()
+    )
+    ranked = per_rep.withColumn("rn", F.row_number().over(wnd))
+    ci = ranked.groupBy("source").agg(
+        F.max(F.when(F.col("rn") == 2, F.col("m")))
+        .cast("long")
+        .alias("boot_lo_micro"),
+        F.max(F.when(F.col("rn") == BOOTSTRAP_B - 1, F.col("m")))
+        .cast("long")
+        .alias("boot_hi_micro"),
+    )
+    point = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(sum(n_chars) * 1000000 DIV count(1) AS BIGINT)"
+        ).alias("point_mean_micro"),
+    )
+    return point.join(ci, "source").withColumn(
+        "b", F.lit(BOOTSTRAP_B).cast("long")
+    )
+
+
+MMR_POOL = 12
+MMR_SELECT = 4
+MMR_LAMBDA10 = 7  # λ = 0.7 in tenths: score = 7·rel − 3·max_sim
+
+
+def q_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified selection (Carbonell &
+    Goldstein 1998) — the result-diversification stage of a RAG
+    retriever or a diversity-seeking curation sampler: greedily pick
+    argmax_d λ·rel(q, d) − (1−λ)·max_{s∈S} sim(d, s). The query is the
+    lowest-id corpus vector (the shared _pick_anchors seed policy,
+    self excluded); relevance and pairwise similarities are
+    micro-rounded cosines, λ = 0.7 in TENTHS, so every greedy round is
+    an exact integer argmax with vec_id tie-break; MMR_SELECT rounds
+    are unrolled (the q_kmeans_assign convention — deterministic,
+    hence oracle-checkable). Scores are in λ-tenths·micro units.
+
+    Scale shape: the only corpus-sized stages are ONE broadcast-scored
+    relevance scan and ONE top-MMR_POOL row_number (WindowGroupLimit
+    partial top-k before the single-partition merge); the greedy
+    rounds and the pairwise sim matrix run on the MMR_POOL-row pool
+    (≤ MMR_POOL² rows) — reranking never touches the corpus again."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.round(cosine(F.col("embedding"), F.col("q_vec")) * 1000000, 0)
+            .cast("long")
+            .alias("rel_micro"),
+        )
+    )
+    wnd = Window.orderBy(F.col("rel_micro").desc(), F.col("vec_id").asc())
+    pool = (
+        scored.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= MMR_POOL)
+        .drop("rn")
+    )
+    # The pool is ≤ MMR_POOL rows but its LINEAGE is the corpus-sized
+    # relevance scan + top-k — and the unrolled greedy rounds consume it
+    # through ~3 sibling branches each (sims twice, cand, the growing
+    # selected chain), which Spark re-derives per branch (the measured
+    # crossJoin/agg lineage re-derivation law, SCALE.md). Cutting the
+    # lineage at the 12-row boundary makes every round O(pool), not
+    # O(corpus): measured 93 s → ~2 s at sf0.01.
+    pool = pool.localCheckpoint(eager=True)
+    a = pool.select(
+        F.col("vec_id").alias("a_id"), F.col("v").alias("a_v")
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b_id"), F.col("v").alias("b_v")
+    )
+    sims = (
+        a.crossJoin(b)
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(cosine(F.col("a_v"), F.col("b_v")) * 1000000, 0)
+            .cast("long")
+            .alias("sim_micro"),
+        )
+    )
+    cand = pool.select("vec_id", "rel_micro")
+    lam, com = MMR_LAMBDA10, 10 - MMR_LAMBDA10
+    selected = None
+    for r in range(1, MMR_SELECT + 1):
+        if r == 1:
+            pick = cand.select(
+                "vec_id",
+                "rel_micro",
+                (F.col("rel_micro") * lam).cast("long").alias("score"),
+            )
+        else:
+            sel_ids = selected.select(F.col("vec_id").alias("b_id"))
+            pen = (
+                sims.join(F.broadcast(sel_ids), "b_id")
+                .groupBy("a_id")
+                .agg(F.max("sim_micro").alias("max_sim"))
+            )
+            pick = (
+                cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+                .join(
+                    pen.withColumnRenamed("a_id", "vec_id"), "vec_id"
+                )
+                .select(
+                    "vec_id",
+                    "rel_micro",
+                    (
+                        F.col("rel_micro") * lam - F.col("max_sim") * com
+                    )
+                    .cast("long")
+                    .alias("score"),
+                )
+            )
+        top = (
+            pick.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .withColumn("rank", F.lit(r).cast("long"))
+        )
+        selected = top if selected is None else selected.unionByName(top)
+    return selected.select(
+        "rank", "vec_id", "rel_micro", F.col("score").alias("mmr_score")
+    )
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/FastCDC idea at word
+    granularity): a chunk boundary is set by CONTENT — a word whose
+    md5 first hex nibble is '0' closes its chunk (P = 1/16, expected
+    chunk length 16 words) — never by position, so inserting or
+    deleting a sentence shifts NO other chunk boundary and shared
+    chunks between edited near-duplicates still fingerprint
+    identically. This is the failure mode positional shingle schemes
+    pay for with banding; CDC gets shift-robustness for free. Emits
+    chunk fingerprints shared by ≥ 2 documents with occurrence stats
+    (the dedup-candidate feed).
+
+    Scale shape: boundary flags are map-side; the running chunk index
+    is a doc-partitioned window (doc-bounded buffer — the documented
+    per-doc law); fingerprints aggregate on (doc, chunk) reusing the
+    tokenizer's doc-keyed exchange, then on the 16-byte digest. NO pair
+    stage anywhere — sharing is a groupBy on the digest, which is what
+    makes CDC the cheapest near-dup screen in the funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(words(F.trim(F.col("text")))).alias("pos", "w"),
+    )
+    bflag = (
+        F.when(F.substring(F.md5(F.col("w")), 1, 1) == "0", 1)
+        .otherwise(0)
+    )
+    wnd = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = toks.select(
+        "doc_id",
+        "pos",
+        "w",
+        (F.sum(bflag).over(wnd) - bflag).alias("chunk_idx"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "w"))
+                ).getField("w"),
+            )
+        ).alias("chunk_hash"),
+        F.count(F.lit(1)).cast("long").alias("len_words"),
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("len_words").cast("long").alias("len_words"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# Pearson-over-double-ranks combination, ONE shared text. The exact
+# integer sums can reach ~4n³ (double-rank ≤ 2n), so the COMBINATION is
+# all-double (int64 would overflow in n·sxx at ×1000); the sums
+# themselves stay int64-exact through the ×100 probe (documented bound:
+# Σ c·dr² ≈ 4n³ → 7.8e15 at n = 125k docs/source).
+SPEARMAN_EXPR = (
+    "CAST(round(CASE"
+    " WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0"
+    " OR CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy <= 0 THEN 0.0"
+    " ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+    " END * 1000000, 0) AS BIGINT)"
+)
+
+
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-document quality
+    signals (chars vs whitespace tokens), per source — the
+    metric-agreement audit a curation pipeline runs before trusting a
+    cheap signal as a proxy for an expensive one (and the
+    q_quality_calibration companion: calibration bins ask 'is the
+    classifier right', Spearman asks 'do two signals ORDER the corpus
+    the same way'). Ties take AVERAGE ranks via the double-rank trick:
+    2·min_rank + ties − 1 is an integer equal to twice the average
+    rank, and Pearson is affine-invariant, so Pearson over double-ranks
+    IS Spearman — no fractional ranks anywhere. The five sums are
+    exact integer aggregates; the combination is one shared double
+    text (SPEARMAN_EXPR), micro-rounded once.
+
+    Scale shape: ranks are computed over DISTINCT VALUES, not rows —
+    per-(source, value) counts partial-aggregate map-side first, the
+    rank window scans value-cardinality rows (a cumsum of counts), and
+    the moment sums re-weight by the counts. No data-scaled window
+    anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("xv"),
+        F.size(words(F.trim(F.col("text")))).cast("long").alias("yv"),
+    )
+    g = d.groupBy("source", "xv", "yv").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+
+    def double_ranks(col: str) -> DataFrame:
+        per = g.groupBy("source", col).agg(
+            F.sum("c").cast("long").alias("cnt")
+        )
+        wnd = (
+            Window.partitionBy("source")
+            .orderBy(F.col(col).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "source",
+            col,
+            (
+                2 * (F.coalesce(F.sum("cnt").over(wnd), F.lit(0)) + 1)
+                + F.col("cnt")
+                - 1
+            )
+            .cast("long")
+            .alias(f"dr_{col}"),
+        )
+
+    joined = g.join(double_ranks("xv"), ["source", "xv"]).join(
+        double_ranks("yv"), ["source", "yv"]
+    )
+    sums = joined.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("dr_xv")).cast("long").alias("sx"),
+        F.sum(F.col("c") * F.col("dr_yv")).cast("long").alias("sy"),
+        F.sum(F.col("c") * F.col("dr_xv") * F.col("dr_yv"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("c") * F.col("dr_xv") * F.col("dr_xv"))
+        .cast("long")
+        .alias("sxx"),
+        F.sum(F.col("c") * F.col("dr_yv") * F.col("dr_yv"))
+        .cast("long")
+        .alias("syy"),
+    )
+    return sums.select(
+        "source", "n", F.expr(SPEARMAN_EXPR).alias("spearman_micro")
+    )
+
+
+# silhouette combination: integer division truncates toward zero in
+# BOTH engines (Spark DIV and DuckDB // verified on negatives), so the
+# signed division is portable — but the OPERATOR SPELLING differs, so
+# the shared text takes it as the one template parameter; the
+# max(…, 1) floor guards the all-centroids-equal degenerate (a = b = 0).
+def silhouette_expr(div: str) -> str:
+    return (
+        "CAST((b_micro - a_micro) * 1000000"
+        f" {div} greatest(greatest(a_micro, b_micro), 1) AS BIGINT)"
+    )
+
+
+SILHOUETTE_EXPR = silhouette_expr("DIV")
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette over the shared k-means
+    clustering (k = 4, 2 Lloyd rounds — the exact q_kmeans_assign
+    pipeline): a = cosine distance to OWN centroid, b = min distance
+    to any OTHER centroid, s = (b − a) / max(a, b). The O(n·k)
+    variant — the classic pairwise silhouette is O(n²/k) and adds
+    nothing for a cluster-health metric; this is the quality
+    observability the IVF/semdedup stack reports next to
+    q_ivf_bucket_stats (skew) and q_lsh_band_stats (band health).
+    Distances are micro-rounded once; s is exact integer from there
+    (SILHOUETTE_EXPR).
+
+    Scale shape: kmeans_assign's own rounds plus ONE more broadcast
+    scoring pass (k centroids out; the n×k candidate rows collapse to
+    (a, b) per vector via two conditional aggregates, partial
+    map-side) and a k-row rollup."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine,
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=4, iters=2, dim=EMBEDDING_DIM)
+    sums = [
+        F.expr(f"sum(cast(round(v[{d}] * 1000000, 0) as bigint)) as s{d}")
+        for d in range(EMBEDDING_DIM)
+    ]
+    cvec = F.expr(
+        "array("
+        + ",".join(
+            f"s{d} / (n * 1000000.0)" for d in range(EMBEDDING_DIM)
+        )
+        + ") as cvec"
+    )
+    cents = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), *sums)
+        .select(F.col("cluster_id").alias("cid"), cvec)
+    )
+    scored = assigned.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cluster_id",
+        "cid",
+        F.round(
+            (F.lit(1.0) - cosine(F.col("v"), F.col("cvec"))) * 1000000, 0
+        )
+        .cast("long")
+        .alias("d_micro"),
+    )
+    ab = scored.groupBy("vec_id").agg(
+        F.max("cluster_id").alias("cluster_id"),
+        F.max(
+            F.when(F.col("cid") == F.col("cluster_id"), F.col("d_micro"))
+        ).alias("a_micro"),
+        F.min(
+            F.when(F.col("cid") != F.col("cluster_id"), F.col("d_micro"))
+        ).alias("b_micro"),
+    )
+    s = ab.select(
+        "cluster_id", F.expr(SILHOUETTE_EXPR).alias("s_micro")
+    )
+    return s.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr("CAST(sum(s_micro) DIV count(1) AS BIGINT)").alias(
+            "mean_silhouette_micro"
+        ),
+        F.min("s_micro").cast("long").alias("min_silhouette_micro"),
+    )
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of ln(freq)
+    on ln(rank) for the top-1000 words (slope ≈ −1 on natural text —
+    THE corpus-health smoke test: a slope far from −1 flags template
+    spam, boilerplate floods, or tokenizer damage before any deeper
+    audit runs). Same exactness discipline as q_scaling_fit:
+    milli-rounded logs → exact integer moment sums → two micro-rounded
+    integer divisions; the rank tie-break (freq desc, word asc) is
+    total, so ranks are deterministic.
+
+    Scale shape: the word count partial-aggregates map-side to
+    vocab-cardinality; the top-1000 is TakeOrderedAndProject (never a
+    global sort); the rank window and the OLS sums run over exactly
+    1000 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words(F.trim(F.col("text")))).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    top = freq.orderBy(F.col("f").desc(), F.col("w").asc()).limit(1000)
+    wnd = Window.orderBy(F.col("f").desc(), F.col("w").asc())
+    pts = top.select(
+        F.round(
+            F.log(F.row_number().over(wnd).cast("double")) * 1000
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_words"),
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("slope_micro"),
+        F.expr(
+            "CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
+            " DIV (n * sxx - sx * sx)) * sx) DIV n AS BIGINT)"
+        ).alias("intercept_milli_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_bleu": q_bleu,
+    "q_bootstrap_ci": q_bootstrap_ci,
+    "q_mmr_select": q_mmr_select,
+    "q_cdc_chunks": q_cdc_chunks,
+    "q_rank_correlation": q_rank_correlation,
+    "q_silhouette": q_silhouette,
+    "q_zipf_fit": q_zipf_fit,
     "q_expectations": q_expectations,
     "q_rouge_n": q_rouge_n,
     "q_pass_at_k": q_pass_at_k,
