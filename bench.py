@@ -193,6 +193,7 @@ HEADLINE_EXT = [
     "q_rank_correlation",
     "q_silhouette",
     "q_zipf_fit",
+    "q_ndcg",
 ]
 
 

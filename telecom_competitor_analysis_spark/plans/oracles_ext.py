@@ -5691,3 +5691,46 @@ EXT_ORACLES["q_zipf_fit"] = """
                AS intercept_milli_micro
     FROM s
 """
+
+# Rank-aware ANN quality (queries_ext.q_ndcg): composed from the two
+# deterministic ranking mirrors; per-term micro-rounding via the SAME
+# NDCG_TERM_EXPR text; IDCG is the shared inlined constant.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    IDCG10_MICRO,
+    NDCG_TERM_EXPR,
+)
+
+EXT_ORACLES["q_ndcg"] = f"""
+    WITH exact0 AS ({EXT_ORACLES["q_embedding_topk"]}),
+    approx0 AS ({EXT_ORACLES["q_embedding_lsh_topk"]}),
+    exact AS (
+        SELECT query_id, neighbor_id, rank AS exact_rank FROM exact0
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rank AS approx_rank FROM approx0
+    ),
+    hits AS (
+        SELECT e.query_id, {NDCG_TERM_EXPR} AS t,
+               e.exact_rank, a.approx_rank
+        FROM approx a
+        JOIN exact e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(SUM(t) AS BIGINT) AS dcg_micro,
+               COUNT(*)::BIGINT AS n_hits,
+               MIN(CASE WHEN exact_rank = 1 THEN approx_rank END)
+                   AS top1_pos
+        FROM hits GROUP BY 1
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(p.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           CAST(COALESCE(p.dcg_micro, 0) * 1000000
+                // {IDCG10_MICRO} AS BIGINT) AS ndcg_micro,
+           CAST(CASE WHEN p.top1_pos IS NULL THEN 0
+                ELSE 1000000 // p.top1_pos END AS BIGINT) AS rr_micro
+    FROM (SELECT query_id FROM exact WHERE exact_rank = 1) q
+    LEFT JOIN per_q p USING (query_id)
+"""

@@ -1171,6 +1171,7 @@ VERIFY_PRIORITY = [
     "q_rank_correlation",
     "q_silhouette",
     "q_zipf_fit",
+    "q_ndcg",
     # tier 3 — fill with the OLDEST greens: 36 of the 43 parked r5
     # greens (their last driver green is r5)
     "q_agg_latest_price",
@@ -1201,14 +1202,14 @@ VERIFY_PRIORITY = [
     "q_resample_daily",
     "q_moving_avg",
     "q_simhash64_pairs",
-    "q_minhash_jaccard_est",
-    # 1 changed + 6 never-green + 14 new r9 oracles (two waves) + 29
+    # 1 changed + 6 never-green + 15 new r9 oracles (three waves) + 28
     # oldest r5 greens = 50
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The remaining 15 parked r5 greens (displaced by the two r9 waves;
+    # The remaining 16 parked r5 greens (displaced by the r9 waves;
     # their last green stays r5) LEAD the r10 window, then the r6
     # greens, the r7 greens, and the re-parked r8 window (most recent
     # greens last).
+    "q_minhash_jaccard_est",
     "q_mix_rebalance",
     "q_winsorize",
     "q_frame_sample",

@@ -6901,7 +6901,104 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-hit DCG term, ONE shared text: graded gain (11 − exact_rank,
+# i.e. 10…1 for exact ranks 1…10) discounted by log2(approx position
+# + 1), micro-rounded PER TERM so the per-query sum is an exact integer
+# in any aggregation order (double sums are order-dependent — the
+# q_bm25_search lesson).
+NDCG_TERM_EXPR = (
+    "CAST(round((11 - exact_rank) * 1000000"
+    " / (ln(approx_rank + 1) / ln(2)), 0) AS BIGINT)"
+)
+
+
+def _idcg_micro(k: int = 10) -> int:
+    """Ideal DCG under the same per-term micro-rounding — a CONSTANT,
+    computed once in Python and inlined as a literal into both engines
+    (the POISSON1_HEX convention)."""
+    import math
+
+    total = 0
+    for i in range(1, k + 1):
+        x = (11 - i) * 1_000_000 / (math.log(i + 1) / math.log(2))
+        total += int(math.floor(x + 0.5))
+    return total
+
+
+IDCG10_MICRO = _idcg_micro(10)
+
+
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-AWARE ANN quality: nDCG@10 and MRR of the hyperplane-LSH
+    approximate ranking against the brute-force exact ranking — the
+    completion of the observability family (q_ann_recall counts WHICH
+    exact neighbors the approximate list found; nDCG scores WHERE it
+    put them, MRR scores how fast it surfaces the true top-1 — the
+    numbers a retrieval eval harness reports alongside recall).
+    Relevance grades derive from the exact rank (11 − rank: 10…1);
+    each DCG term is micro-rounded BEFORE the sum (NDCG_TERM_EXPR), so
+    per-query DCG is an exact integer; IDCG is the inlined constant
+    IDCG10_MICRO; nDCG and reciprocal rank are single integer
+    divisions. Queries the approximate path missed entirely surface
+    with ndcg 0, not as absent rows.
+
+    Scale shape: both legs end in per-query partial top-k
+    (WindowGroupLimit), so the metric join sees ≤ 2·k·|queries| rows
+    at any corpus size — the same bound as q_ann_recall."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rank").alias("exact_rank"),
+    )
+    approx = lsh_bucketed_topk(
+        emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
+    ).select(
+        "query_id", "neighbor_id", F.col("rank").alias("approx_rank")
+    )
+    hits = approx.join(exact, ["query_id", "neighbor_id"])
+    per_q = (
+        hits.select(
+            "query_id",
+            F.expr(NDCG_TERM_EXPR).alias("t"),
+            "exact_rank",
+            "approx_rank",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum("t").cast("long").alias("dcg_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min(
+                F.when(F.col("exact_rank") == 1, F.col("approx_rank"))
+            ).alias("top1_pos"),
+        )
+    )
+    qs = exact.filter(F.col("exact_rank") == 1).select("query_id")
+    return qs.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce(F.col("dcg_micro"), F.lit(0))
+        .cast("long")
+        .alias("dcg_micro"),
+        F.expr(
+            f"CAST(coalesce(dcg_micro, 0) * 1000000"
+            f" DIV {IDCG10_MICRO} AS BIGINT)"
+        ).alias("ndcg_micro"),
+        F.expr(
+            "CAST(CASE WHEN top1_pos IS NULL THEN 0"
+            " ELSE 1000000 DIV top1_pos END AS BIGINT)"
+        ).alias("rr_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_ndcg": q_ndcg,
     "q_bleu": q_bleu,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_mmr_select": q_mmr_select,

@@ -61,7 +61,31 @@ def test_bleu_join_keys_match_count_keys(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_ndcg_both_legs_end_in_partial_topk(spark, sf_dir):
+    # exact and approx legs must both carry the WindowGroupLimit
+    # partial top-k so the metric join sees ≤ 2·k·|queries| rows
+    plan = _plan(QUERIES["q_ndcg"](spark, sf_dir))
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "rangepartitioning" not in plan
+
+
 # ----------------------------------------------------------- behavior
+
+
+def test_ndcg_bounds_and_consistency_with_recall(spark, sf_dir):
+    ndcg = {r.query_id: r for r in QUERIES["q_ndcg"](spark, sf_dir).collect()}
+    recall = {
+        r.query_id: r.n_matched
+        for r in QUERIES["q_ann_recall"](spark, sf_dir).collect()
+    }
+    assert ndcg.keys() == recall.keys()
+    for q, r in ndcg.items():
+        assert 0 <= r.ndcg_micro <= 1_000_000
+        assert 0 <= r.rr_micro <= 1_000_000
+        # same hit set as recall@10 by construction
+        assert r.n_hits == recall[q]
+        if r.n_hits == 10:
+            assert r.ndcg_micro > 0
 
 
 def test_bleu_bounds_and_clip_invariants(spark, sf_dir):
