@@ -801,8 +801,18 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic synthetic email + phone is appended per document (both
     engines construct the identical string) — the scrub then provably
     removes it. Map-only regexp_replace / regexp_extract_all; at 100 TB
-    this is a pure narrow stage with zero shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
+    this is a pure narrow stage with zero shuffle. The scan gets the
+    shared ensure_parallelism guard: three regex passes per row are
+    compute-bound, and a small parquet's 1-2 splits would serialize
+    them onto 1-2 cores (the r9 full-surface ×10 sweep caught exactly
+    that — 14× wall on 10× data from a 2-split scan; with the guard
+    the ×10 run lands at 0.8 s, BELOW the sf0.1 time, because 32-way
+    splits amortize the fixed stage cost)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     synth = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -954,8 +964,15 @@ def q_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget per word; CC-mix papers report exactly this ratio). Exact
     integer token sums; the ratio is ONE double division rounded to 6
     (cross-engine bit-stable). Map-side counts, one partial-agg shuffle
-    on lang."""
-    docs = load_table(spark, sf_dir, "documents")
+    on lang. The scan carries the shared ensure_parallelism guard —
+    the BPE-ish regex pass is compute-bound and a small parquet's 1-2
+    splits serialize it (r9 full-surface ×10 sweep: 6.2× → 1.6× with
+    the guard)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(
             "lang",
@@ -1460,9 +1477,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (per-vector
     max-abs scale, the storage-efficiency op for 100 TB embedding
     tables: 4 bytes/dim → 1). Emitted exploded as (vec_id, dim_idx, q)
-    so the check is value-exact; map-only, zero shuffles. Zero vectors
+    so the check is value-exact; map-only, zero shuffles (plus the
+    shared ensure_parallelism guard: the per-element HOF + 64-way
+    posexplode is compute-bound and a small parquet's single split
+    serializes it — r9 full-surface ×10 sweep finding). Zero vectors
     quantize to zeros (guarded divide)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     v = F.col("embedding")
     maxabs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
     d = emb.select(
