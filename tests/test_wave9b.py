@@ -61,6 +61,19 @@ def test_bleu_join_keys_match_count_keys(spark, sf_dir):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+def test_compute_bound_map_queries_keep_the_parallelism_guard(
+    spark, sf_dir
+):
+    # r9 full-surface ×10 finding: pii_scrub/fertility/embedding_quantize
+    # serialized compute-bound regex/HOF stages onto a 1-2-split scan
+    # (14×/6.2×/6.2× at ×10). The guard repartitions under-split scans;
+    # at the tiny test SF that must show as a round-robin exchange in
+    # the plan. Regression here = someone dropped the guard.
+    for q in ("q_pii_scrub", "q_fertility", "q_embedding_quantize"):
+        plan = _plan(QUERIES[q](spark, sf_dir))
+        assert "roundrobin" in plan.lower(), q
+
+
 def test_ndcg_both_legs_end_in_partial_topk(spark, sf_dir):
     # exact and approx legs must both carry the WindowGroupLimit
     # partial top-k so the metric join sees ≤ 2·k·|queries| rows
