@@ -194,6 +194,8 @@ HEADLINE_EXT = [
     "q_silhouette",
     "q_zipf_fit",
     "q_ndcg",
+    # --- r10 additions (measured from birth) ---
+    "q_semdedup_scaled",
 ]
 
 

@@ -2800,6 +2800,40 @@ EXT_ORACLES["q_semdedup"] = f"""
     FROM m1 LEFT JOIN dropped ON m1.vec_id = dropped.vec_id
 """
 
+# SemDedup, SCALED-BLOCKER regime (queries_ext.q_semdedup_scaled): the
+# bucket is the first p sign bits of the 16-plane hyperplane pattern,
+# p from the shared all-integer rule (SEMDEDUP_PLANES_EXPR — spelled
+# with // here, DIV there; both truncate toward zero and bin()/length()
+# agree). The frozen-universe mirror of the fingerprint-cached
+# assignment artifact, like q_semdedup's kmeans CTE.
+EXT_ORACLES["q_semdedup_scaled"] = f"""
+    WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    assign AS (
+        SELECT
+            vec_id,
+            CAST(embedding AS DOUBLE[]) AS v,
+            substr(
+                {_hyperplane_bucket_sql("embedding", 64, 16)},
+                1,
+                (SELECT CASE WHEN (n - 1) // 128 < 1 THEN 1
+                        ELSE length(bin((n - 1) // 128)) END FROM cnt)
+            ) AS cluster_id
+        FROM embeddings
+    ),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM assign a
+        JOIN assign b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+    )
+    SELECT
+        assign.vec_id,
+        assign.cluster_id,
+        (dropped.vec_id IS NULL) AS kept
+    FROM assign LEFT JOIN dropped ON assign.vec_id = dropped.vec_id
+"""
+
 
 # RAG retrieval composition (queries_ext.q_semantic_neighbors): the
 # retrieval leg is the MATERIALIZED IVF index (same quantization as

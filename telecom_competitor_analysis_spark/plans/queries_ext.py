@@ -1155,6 +1155,90 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Scaled-blocker plane sizing, ONE shared integer rule (inlined into the
+# oracle SQL too): the smallest p with 2^p >= n / TARGET_BUCKET is
+# length(bin((n-1) div TARGET_BUCKET)) — bin() exists in BOTH engines
+# and length(bin(q)) = floor(log2(q)) + 1 for q >= 1, so no float log
+# ever decides a knob. (n-1) div TARGET < 1 (tiny corpus) floors at one
+# plane. DIV truncates toward zero in both engines; n >= 1 keeps the
+# operand non-negative anyway.
+SEMDEDUP_TARGET_BUCKET = 128
+SEMDEDUP_MAX_PLANES = 16
+SEMDEDUP_PLANES_EXPR = (
+    "CASE WHEN ({n} - 1) DIV 128 < 1 THEN 1"
+    " ELSE length(bin(({n} - 1) DIV 128)) END"
+)
+
+
+def q_semdedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup in the SCALED-BLOCKER regime — the production form the
+    fixed-k q_semdedup deliberately is not (its k=8 pins cluster size
+    ∝ n, pair volume ∝ n²/k: quadratic BY KNOB CHOICE, measured in
+    SCALE.md r9). Here the blocker count grows WITH the corpus so
+    expected bucket size stays ≈ SEMDEDUP_TARGET_BUCKET: the bucket is
+    the first p sign bits of the deterministic 16-plane hyperplane
+    pattern (hyperplane_sign_bucket — the same LSH family the ANN stack
+    uses; the paper's faiss-IVF blocker played by the O(n·planes)
+    bucketer), with p = length(bin((n−1) div 128)) — an ALL-INTEGER
+    sizing rule shared textually with the oracle (SEMDEDUP_PLANES_EXPR),
+    no float log anywhere. Pair volume is Σ bucket² ≈ (n/128)·128² =
+    128·n — LINEAR in the corpus (probed: tools/probe_semdedup_scaled.py
+    measured 1.5× wall on 100× vectors in exactly this regime).
+
+    The corpus count enters as a 1-row broadcast aggregate inside the
+    ARTIFACT BUILD (never a driver-side collect); the assignment is a
+    fingerprint-cached materialized table (the q_semdedup /
+    q_ann_index_probe discipline — block once, prune repeatedly), and
+    the prune is semdedup_prune's guarded assign path: coverage of the
+    corpus is enforced per-row, so a stale table fails loudly. At sf0.01
+    (500 vecs) the rule gives 2 planes / 4 buckets; at sf0.1 (2000) 4
+    planes / 16 buckets — the bucket count demonstrably scales.
+
+    Returns (vec_id, cluster_id, kept) with cluster_id the bit-string
+    bucket; kept=false for the higher id of every within-bucket pair
+    with cosine ≥ 0.2 (keep-lowest, the exact_dedup_groups rule)."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        hyperplane_sign_bucket,
+        semdedup_prune,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build(p: str) -> None:
+        n1 = emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        staged = (
+            emb.crossJoin(F.broadcast(n1))
+            .select(
+                "vec_id",
+                F.col("embedding").alias("v"),
+                hyperplane_sign_bucket(
+                    F.col("embedding"),
+                    EMBEDDING_DIM,
+                    SEMDEDUP_MAX_PLANES,
+                ).alias("__bits"),
+                F.expr(SEMDEDUP_PLANES_EXPR.format(n="__n"))
+                .cast("int")
+                .alias("__p"),
+            )
+            .select(
+                "vec_id",
+                "v",
+                F.col("__bits")
+                .substr(F.lit(1), F.col("__p"))
+                .alias("cluster_id"),
+            )
+        )
+        staged.write.mode("overwrite").parquet(f"{p}/assign")
+
+    path = _materialized(
+        spark, sf_dir, "semdedup_blocker_p16t128", "embeddings", _build
+    )
+    assign = spark.read.parquet(f"{path}/assign")
+    return semdedup_prune(
+        emb, "vec_id", "embedding", threshold=0.2, assign=assign
+    )
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-shaped six-table star join (region → nation → customer
     → orders → lineitem → supplier, with the local-supplier constraint
@@ -4722,7 +4806,20 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately to per-supplier-pair counts, and each MM iteration is
     two broadcast-size joins (the ratings table has one row per item)
     + one integer-sum aggregate. Fixed 2 iterations keeps the plan
-    static; production would loop to a tolerance with the same body."""
+    static; production would loop to a tolerance with the same body.
+
+    Multiplicity pre-aggregation (the documented r8 lever, probed r10
+    and found MOOT here): grouping identical (part, supplier, price)
+    triples to a multiplicity m before the comparison join — with pair
+    weights m_a·m_b — is exact under these semantics and cuts pair
+    volume quadratically in the duplicate rate. Measured on this
+    testdata: 60,000/60,000 (sf0.01) and 600,000/600,000 (sf0.1)
+    triples are DISTINCT → raw-vs-preagg pair volume ratio exactly
+    1.0; the pre-agg would add one corpus-wide exchange for zero pair
+    reduction, so it stays a documented lever, to be enabled when a
+    real preference corpus shows duplicate comparisons (common in
+    RLHF dedup'd-prompt data, absent in price quotes keyed by
+    quantity)."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
@@ -5994,7 +6091,7 @@ def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pair_id", "gram")
         .agg(
             F.count(F.lit(1)).alias("rc"),
-            F.first("doc_id").alias("ref_id"),
+            F.min("doc_id").alias("ref_id"),
         )
     )
     cand = grams.filter(~F.col("is_ref")).groupBy("pair_id", "gram").agg(
@@ -6005,13 +6102,13 @@ def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_ids = (
         grams.filter(~F.col("is_ref"))
         .groupBy("pair_id")
-        .agg(F.first("doc_id").alias("cand_id"))
+        .agg(F.min("doc_id").alias("cand_id"))
     )
     clipped = (
         ref.join(cand, ["pair_id", "gram"], "left")
         .groupBy("pair_id")
         .agg(
-            F.first("ref_id").alias("ref_id"),
+            F.min("ref_id").alias("ref_id"),
             F.sum("rc").cast("long").alias("n_ref_bigrams"),
             F.sum(F.least(F.col("rc"), F.coalesce(F.col("cc"), F.lit(0))))
             .cast("long")
@@ -6348,13 +6445,13 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = grams.filter(~F.col("is_ref")).groupBy("pair_id", "n", "gram").agg(
         F.count(F.lit(1)).alias("cc"),
-        F.first("doc_id").alias("cand_id"),
+        F.min("doc_id").alias("cand_id"),
     )
     per_n = (
         cand.join(ref, ["pair_id", "n", "gram"], "left")
         .groupBy("pair_id", "n")
         .agg(
-            F.first("cand_id").alias("cand_id"),
+            F.min("cand_id").alias("cand_id"),
             F.sum("cc").cast("long").alias("den"),
             F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
             .cast("long")
@@ -6362,7 +6459,7 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     flat = per_n.groupBy("pair_id").agg(
-        F.first("cand_id").alias("cand_id"),
+        F.min("cand_id").alias("cand_id"),
         *[
             F.coalesce(
                 F.sum(F.when(F.col("n") == nn, F.col(col))), F.lit(0)
@@ -6912,6 +7009,15 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
+    # int64 headroom bound (the SPEARMAN_EXPR discipline): the slope
+    # numerator is (n·sxy − sx·sy)·1e6 = slope · D · 1e6 where
+    # D = n·sxx − sx² = n²·var(x). At n = 1000 with x = milli-ln-rank,
+    # var(ln rank) ≈ 1 → var(x) ≈ 1e6 milli², so D ≈ 1e12 and the
+    # numerator ≈ |slope|·1e18 — under 2^63 ≈ 9.2e18 for |slope| < ~9.
+    # Natural text sits at slope ≈ −1; |slope| ≥ 9 means a degenerate
+    # corpus (near-constant vocab), and on overflow Spark wraps while
+    # DuckDB raises, so the engines would diverge instead of failing
+    # together — hence this documented bound.
     return s.select(
         F.col("n").alias("n_words"),
         F.expr(
@@ -7058,6 +7164,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lsh_band_stats": q_lsh_band_stats,
     "q_kmeans_assign": q_kmeans_assign,
     "q_semdedup": q_semdedup,
+    "q_semdedup_scaled": q_semdedup_scaled,
     "q_domain_cap": q_domain_cap,
     "q_training_shards": q_training_shards,
     "q_fertility": q_fertility,

@@ -132,8 +132,14 @@ def test_key_skew_topk_avoids_global_sort(spark, sf_dir):
 
 
 def test_pii_scrub_is_map_only(spark, sf_dir):
-    # pure narrow stage: no exchange anywhere in the plan
-    assert "Exchange" not in _plan(QUERIES["q_pii_scrub"](spark, sf_dir))
+    # pure narrow stage: zero exchanges under the cluster setting (the
+    # gated under-split round-robin is local-only; ungated presence is
+    # pinned by tests/test_wave9b.py::test_compute_bound_map_queries_...)
+    spark.conf.set("spark.graft.ensureParallelism", "false")
+    try:
+        assert "Exchange" not in _plan(QUERIES["q_pii_scrub"](spark, sf_dir))
+    finally:
+        spark.conf.unset("spark.graft.ensureParallelism")
 
 
 def test_salted_join_rejects_replication_unsafe_how(spark, sf_dir):
@@ -452,11 +458,17 @@ def test_quality_classifier_is_map_only(spark, sf_dir):
     map-only projection: the per-doc score folds over the words array
     inside one codegen'd expression — NO exchange, NO explode-generate,
     NO Python stage. At 100 TB this is the difference between scan
-    speed and a corpus-scale shuffle."""
-    plan = _plan(QUERIES["q_quality_classifier"](spark, sf_dir))
-    assert "Exchange" not in plan
-    assert "Generate" not in plan
-    assert "Python" not in plan
+    speed and a corpus-scale shuffle. House rule (r9 lesson): map-only
+    assertions gate the under-split guard conf off first, so adding the
+    guard to this compute-heavy scan later can't contradict this test."""
+    spark.conf.set("spark.graft.ensureParallelism", "false")
+    try:
+        plan = _plan(QUERIES["q_quality_classifier"](spark, sf_dir))
+        assert "Exchange" not in plan
+        assert "Generate" not in plan
+        assert "Python" not in plan
+    finally:
+        spark.conf.unset("spark.graft.ensureParallelism")
 
 
 def test_phrase_search_partial_topk_and_broadcast_probe(spark, sf_dir):

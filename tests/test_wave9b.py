@@ -141,10 +141,13 @@ def test_mmr_ranks_scores_and_diversity_shape(spark, sf_dir):
     )
     assert [r.rank for r in rows] == [1, 2, 3, 4]
     assert len({r.vec_id for r in rows}) == 4
-    # rank 1 is the pure-relevance argmax; greedy scores are
-    # non-increasing (penalty set grows, candidate set shrinks)
+    # rank 1 is the pure-relevance argmax; from rank 2 on, greedy
+    # scores are provably non-increasing (the penalty set grows and the
+    # candidate set shrinks). rank1 -> rank2 is NOT an invariant: with
+    # negative cosine sims, 7*rel - 3*max_sim can exceed 7*rel1 —
+    # asserting it would be fixture-coupled (r9 ADVICE).
     assert rows[0].mmr_score == rows[0].rel_micro * 7
-    for a, b in zip(rows, rows[1:]):
+    for a, b in zip(rows[1:], rows[2:]):
         assert a.mmr_score >= b.mmr_score
 
 
