@@ -196,6 +196,13 @@ HEADLINE_EXT = [
     "q_ndcg",
     # --- r10 additions (measured from birth) ---
     "q_semdedup_scaled",
+    "q_edit_distance_pairs",
+    "q_kcore",
+    "q_l_diversity",
+    "q_chrf",
+    "q_band_tuning",
+    "q_length_buckets",
+    "q_frame_dedup",
 ]
 
 

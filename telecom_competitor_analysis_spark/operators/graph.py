@@ -263,3 +263,55 @@ def label_propagation(
             .alias("label"),
         )
     return state
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 3
+) -> DataFrame:
+    """k-core peeling (Seidman 1983), fixed unrolled rounds: each round
+    computes degrees over the CURRENT edge set, keeps nodes with
+    degree >= k, and keeps edges whose BOTH endpoints survive. After
+    enough rounds the fixpoint is the k-core; a fixed ``rounds`` keeps
+    the plan static and both engines compute the SAME partial peel, so
+    parity holds even before convergence (the
+    q_pagerank / q_bradley_terry unrolled-iteration discipline).
+
+    ``edges`` = (u, v) undirected pairs, u < v. Returns one row per
+    round: (round, n_nodes, n_edges) — the survivor counts AFTER that
+    round's peel, the shape of the dup-graph health report (a large
+    2-core that survives peeling = tightly-knit boilerplate families
+    that single-link dedup would over-merge).
+
+    Scale shape per round: one partial-aggregable degree count + two
+    semi-join-shaped filters keyed on the node — no pair stage beyond
+    the input edge set. Round r's lineage stacks r join layers;
+    production loops to fixpoint with a checkpoint every few rounds
+    (the localCheckpoint lineage law in SCALE.md)."""
+    stats = []
+    cur = edges.select("u", "v")
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("u").alias("x"))
+            .unionByName(cur.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        alive = deg.filter(F.col("d") >= k).select("x")
+        cur = cur.join(
+            alive.withColumnRenamed("x", "u"), on="u"
+        ).join(alive.withColumnRenamed("x", "v"), on="v")
+        stats.append(
+            alive.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+            .crossJoin(
+                cur.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(r).cast("int").alias("round"),
+                "n_nodes",
+                "n_edges",
+            )
+        )
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out

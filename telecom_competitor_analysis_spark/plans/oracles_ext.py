@@ -5768,3 +5768,268 @@ EXT_ORACLES["q_ndcg"] = f"""
     FROM (SELECT query_id FROM exact WHERE exact_rank = 1) q
     LEFT JOIN per_q p USING (query_id)
 """
+
+
+# ---------------------------------------------------------------------------
+# round-10 wave oracles
+# ---------------------------------------------------------------------------
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    band_tuning_grid,
+    chrf_f_expr,
+    edit_sim_expr,
+)
+
+# Edit-distance near-dup verify (queries_ext.q_edit_distance_pairs):
+# LSH candidates joined to texts, length-bound pruned, scored by the
+# shared integer edit-similarity text (edit_sim_expr — '//' here, 'DIV'
+# there). levenshtein() is the unit-cost character edit distance in
+# both engines.
+EXT_ORACLES["q_edit_distance_pairs"] = f"""
+    WITH lsh AS ({EXT_ORACLES["q_minhash_lsh_pairs"]}),
+    tt AS (
+        SELECT doc_id, trim(text) AS t, length(trim(text)) AS ln
+        FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+        SELECT
+            l.id_a, l.id_b,
+            CAST(levenshtein(ta, tb) AS BIGINT) AS dist,
+            CAST({edit_sim_expr("//")} AS BIGINT) AS sim_micro
+        FROM (
+            SELECT lsh.id_a, lsh.id_b,
+                   a.t AS ta, a.ln AS la, b.t AS tb, b.ln AS lb
+            FROM lsh
+            JOIN tt a ON a.doc_id = lsh.id_a
+            JOIN tt b ON b.doc_id = lsh.id_b
+            WHERE 2 * abs(a.ln - b.ln) <= greatest(a.ln, b.ln)
+        ) l
+    )
+    SELECT id_a, id_b, dist, sim_micro
+    FROM scored WHERE sim_micro >= 500000
+"""
+
+# k-core peel (queries_ext.q_kcore): three unrolled rounds of k = 2
+# peeling over the LSH pair graph — same partial peel both engines.
+# Every CTE is MATERIALIZED: DuckDB inlines plain CTEs per reference,
+# and the e2←e1←e0 chain re-evaluates the full LSH-pairs subquery
+# ~3^depth times otherwise (measured: 431 s inlined → 0.16 s
+# materialized at sf0.01).
+EXT_ORACLES["q_kcore"] = f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM ({EXT_ORACLES["q_minhash_lsh_pairs"]})
+    ),
+    d1 AS MATERIALIZED (
+        SELECT x, COUNT(*) AS d FROM (
+            SELECT u AS x FROM e0 UNION ALL SELECT v AS x FROM e0
+        ) GROUP BY x
+    ),
+    a1 AS MATERIALIZED (SELECT x FROM d1 WHERE d >= 2),
+    e1 AS MATERIALIZED (
+        SELECT e0.u, e0.v FROM e0
+        JOIN a1 au ON au.x = e0.u JOIN a1 av ON av.x = e0.v
+    ),
+    d2 AS MATERIALIZED (
+        SELECT x, COUNT(*) AS d FROM (
+            SELECT u AS x FROM e1 UNION ALL SELECT v AS x FROM e1
+        ) GROUP BY x
+    ),
+    a2 AS MATERIALIZED (SELECT x FROM d2 WHERE d >= 2),
+    e2 AS MATERIALIZED (
+        SELECT e1.u, e1.v FROM e1
+        JOIN a2 au ON au.x = e1.u JOIN a2 av ON av.x = e1.v
+    ),
+    d3 AS MATERIALIZED (
+        SELECT x, COUNT(*) AS d FROM (
+            SELECT u AS x FROM e2 UNION ALL SELECT v AS x FROM e2
+        ) GROUP BY x
+    ),
+    a3 AS MATERIALIZED (SELECT x FROM d3 WHERE d >= 2),
+    e3 AS MATERIALIZED (
+        SELECT e2.u, e2.v FROM e2
+        JOIN a3 au ON au.x = e2.u JOIN a3 av ON av.x = e2.v
+    )
+    SELECT CAST(1 AS INT) AS round,
+           CAST((SELECT COUNT(*) FROM a1) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e1) AS BIGINT) AS n_edges
+    UNION ALL
+    SELECT CAST(2 AS INT),
+           CAST((SELECT COUNT(*) FROM a2) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM e2) AS BIGINT)
+    UNION ALL
+    SELECT CAST(3 AS INT),
+           CAST((SELECT COUNT(*) FROM a3) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM e3) AS BIGINT)
+"""
+
+# l-diversity audit (queries_ext.q_l_diversity): QI = (nation,
+# floor(acctbal/1000)), sensitive = mktsegment, l = 3. floor over the
+# same IEEE division in both engines — never CAST(double AS BIGINT),
+# whose rounding rule differs (Spark truncates, DuckDB rounds).
+EXT_ORACLES["q_l_diversity"] = """
+    WITH classes AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(DISTINCT c_mktsegment) AS l_div,
+               COUNT(*) AS n
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_classes,
+        CAST(MIN(l_div) AS BIGINT) AS min_l_diversity,
+        CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_risky_classes,
+        CAST(SUM(CASE WHEN l_div < 3 THEN n ELSE 0 END) AS BIGINT)
+            AS n_risky_rows,
+        CAST(SUM(CASE WHEN l_div < 3 THEN n ELSE 0 END) * 1000000
+             // SUM(n) AS BIGINT) AS risky_micro
+    FROM classes
+"""
+
+# chrF (queries_ext.q_chrf): char 1-/2-gram clipped-count F2 over the
+# q_bleu pairing; P/R in integer micro, per-order F via the shared
+# text chrf_f_expr, final score = sum over orders div 2.
+EXT_ORACLES["q_chrf"] = f"""
+    WITH base AS (
+        SELECT doc_id // 2 AS pair_id,
+               doc_id % 2 = 0 AS is_ref,
+               doc_id,
+               replace(trim(text), ' ', '') AS ns
+        FROM documents
+    ),
+    g1 AS (
+        SELECT pair_id, is_ref, doc_id, 1 AS n, substr(ns, i, 1) AS gram
+        FROM base, unnest(generate_series(1, length(ns))) AS g(i)
+        WHERE length(ns) >= 1
+    ),
+    g2 AS (
+        SELECT pair_id, is_ref, doc_id, 2 AS n, substr(ns, i, 2) AS gram
+        FROM base, unnest(generate_series(1, length(ns) - 1)) AS g(i)
+        WHERE length(ns) >= 2
+    ),
+    grams AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+    ref AS (
+        SELECT pair_id, n, gram, COUNT(*) AS rc
+        FROM grams WHERE is_ref GROUP BY 1, 2, 3
+    ),
+    refden AS (
+        SELECT pair_id, n, CAST(SUM(rc) AS BIGINT) AS den_r
+        FROM ref GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT pair_id, n, gram, COUNT(*) AS cc, MIN(doc_id) AS cand_id
+        FROM grams WHERE NOT is_ref GROUP BY 1, 2, 3
+    ),
+    pern0 AS (
+        SELECT c.pair_id, c.n, MIN(c.cand_id) AS cand_id,
+               CAST(SUM(c.cc) AS BIGINT) AS den_c,
+               CAST(SUM(LEAST(c.cc, COALESCE(r.rc, 0))) AS BIGINT) AS clip
+        FROM cand c
+        LEFT JOIN ref r
+          ON r.pair_id = c.pair_id AND r.n = c.n AND r.gram = c.gram
+        GROUP BY 1, 2
+    ),
+    pern1 AS (
+        SELECT p.pair_id, p.n, p.cand_id,
+               CAST(clip * 1000000 // den_c AS BIGINT) AS p_micro,
+               CAST(clip * 1000000 // den_r AS BIGINT) AS r_micro
+        FROM pern0 p
+        JOIN refden d ON d.pair_id = p.pair_id AND d.n = p.n
+    ),
+    pern AS (
+        SELECT pair_id, n, cand_id,
+               CAST({chrf_f_expr("//")} AS BIGINT) AS f_micro
+        FROM pern1
+    )
+    SELECT pair_id,
+           CAST(MIN(cand_id) AS BIGINT) AS cand_id,
+           CAST(COALESCE(SUM(CASE WHEN n = 1 THEN f_micro END), 0)
+                AS BIGINT) AS f1_micro,
+           CAST(COALESCE(SUM(CASE WHEN n = 2 THEN f_micro END), 0)
+                AS BIGINT) AS f2_micro,
+           CAST(SUM(f_micro) // 2 AS BIGINT) AS chrf_micro
+    FROM pern GROUP BY pair_id
+"""
+
+# LSH band tuning (queries_ext.q_band_tuning): observed Jaccard decile
+# mass × Python-precomputed S-curve literals (band_tuning_grid — the
+# pow never runs in either engine).
+_BAND_GRID_VALUES = ",\n        ".join(
+    f"({b}, {r}, {jbin}, {p})" for b, r, jbin, p in band_tuning_grid()
+)
+EXT_ORACLES["q_band_tuning"] = f"""
+    WITH exact AS (
+        SELECT n_shared, n_a, n_b FROM ({EXT_ORACLES["q_ngram_jaccard"]})
+    ),
+    obs AS (
+        SELECT CAST(n_shared * 10 // (n_a + n_b - n_shared) AS INT)
+                   AS jbin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM exact GROUP BY 1
+    ),
+    grid(bands, rows_per_band, jbin, p_micro) AS (VALUES
+        {_BAND_GRID_VALUES}
+    )
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(SUM(n_pairs * p_micro) // SUM(n_pairs) AS BIGINT)
+               AS expected_recall_micro,
+           CAST(SUM(n_pairs) AS BIGINT) AS n_pairs_total,
+           (CAST(SUM(n_pairs * p_micro) // SUM(n_pairs) AS BIGINT)
+                >= 900000) AS meets_90_target
+    FROM obs JOIN grid USING (jbin)
+    GROUP BY 1, 2
+"""
+
+# Length-bucket batching audit (queries_ext.q_length_buckets): bucket =
+# bit-length of the token count, ceiling = 2^bits − 1; all-integer.
+EXT_ORACLES["q_length_buckets"] = """
+    WITH toks AS (
+        SELECT
+            CAST(length(bin(len(string_split(trim(text), ' '))))
+                 AS INT) AS bucket_bits,
+            CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+                AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT bucket_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST((CAST(1 AS BIGINT) << bucket_bits) - 1 AS BIGINT)
+               AS pad_to,
+           CAST(COUNT(*) * ((CAST(1 AS BIGINT) << bucket_bits) - 1)
+                AS BIGINT) AS capacity,
+           CAST((COUNT(*) * ((CAST(1 AS BIGINT) << bucket_bits) - 1)
+                 - SUM(n_tokens)) * 1000000
+                // (COUNT(*) * ((CAST(1 AS BIGINT) << bucket_bits) - 1))
+                AS BIGINT) AS waste_micro
+    FROM toks GROUP BY bucket_bits
+"""
+
+# Frame-level dedup (queries_ext.q_frame_dedup): the q_frame_sample
+# frame stream (frame count from byte length, sampled every 2nd index),
+# fingerprint = md5 of the 32-char content window at the frame's
+# offset, blank windows screened; digest groups of >= 2.
+EXT_ORACLES["q_frame_dedup"] = """
+    WITH media AS (
+        SELECT doc_id AS media_id, text, strlen(text) AS byte_len
+        FROM documents
+    ),
+    frames AS (
+        SELECT media_id, text, CAST(f AS BIGINT) AS frame_idx
+        FROM media,
+             unnest(generate_series(
+                 0, CAST(1 + byte_len % 8 AS BIGINT) - 1, 2)) AS t(f)
+    ),
+    fp AS (
+        SELECT media_id,
+               md5(substr(text, CAST(frame_idx * 32 + 1 AS INT), 32))
+                   AS fingerprint
+        FROM frames
+        WHERE substr(text, CAST(frame_idx * 32 + 1 AS INT), 32) != ''
+    )
+    SELECT fingerprint,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+           CAST(MIN(media_id) AS BIGINT) AS keeper_media
+    FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2
+"""

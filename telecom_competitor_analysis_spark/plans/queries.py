@@ -1135,80 +1135,35 @@ QUERIES.update(EXT_QUERIES)
 # 7 new r9 wave oracles (each locally driver-sim green at both SFs on
 # declaration), and the 36 oldest parked r5 greens (the 8 displaced r5
 # greens park first below the boundary and lead the r10 window).
+# Round 10's window (2 + 8 + 16 + 24 = 50): q_bleu/q_rouge_n (id
+# aggregates hardened F.first -> F.min, a plan change), the 8 new r10
+# wave oracles, the 16 parked r5 greens (oldest in the repo — the r9
+# VERDICT rotation plan), and the 24 oldest r6 greens; after r10 no
+# oracle's latest green is older than r6, and the remaining 23 r6
+# greens lead the r11 window.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-9 WINDOW (first 50) ============
-    # tier 1 — operator code changed this round: q_containment_pairs
-    # was rebuilt on the containment prefix + positional filter
-    # (operators/setsim.py; r8 VERDICT item 3)
-    "q_containment_pairs",
-    # tier 2 — the six never-driver-green oracles (each judge-green at
-    # both SFs in r7 AND r8; parked at the boundary by the late-r8
-    # waves; r8 VERDICT item 1 says they LEAD this window)
-    "q_gram_incremental",
-    "q_char_entropy",
-    "q_ann_recall_filtered",
-    "q_impute_median",
-    "q_maxsim_index",
-    "q_multiprobe_lsh",
-    # tier 2a — the round-9 wave oracles, never checked (each
-    # locally driver-sim green at sf0.01 AND sf0.1 on declaration)
-    "q_expectations",
-    "q_rouge_n",
-    "q_pass_at_k",
-    "q_winrate_ci",
-    "q_scaling_fit",
-    "q_textrank_keywords",
-    "q_label_propagation",
-    # tier 2b — the round-9 SECOND wave oracles (eval/stats/retrieval/
-    # dedup additions made mid-round), never driver-checked
+    # ============ ROUND-10 WINDOW (first 50) ============
+    # tier 1 — operator code changed this round: q_bleu / q_rouge_n id
+    # aggregates hardened F.first -> F.min (r9 ADVICE; a changed plan
+    # needs a fresh driver green even though values were already safe)
     "q_bleu",
-    "q_bootstrap_ci",
-    "q_mmr_select",
-    "q_cdc_chunks",
-    "q_rank_correlation",
-    "q_silhouette",
-    "q_zipf_fit",
-    "q_ndcg",
-    # tier 3 — fill with the OLDEST greens: 36 of the 43 parked r5
-    # greens (their last driver green is r5)
-    "q_agg_latest_price",
-    "q_cube",
-    "q_semi_join",
-    "q_except",
-    "q_intersect",
-    "q_distinct_agg",
-    "q_explode",
-    "q_grouping_sets",
-    "q_scalar_subquery",
-    "q_outer_join",
-    "q_date_arith",
-    "q_array_funcs",
-    "q_udtf_tokenize",
-    "q_revenue_topk",
-    "q_corpus_curate",
-    "q_train_test_split",
-    "q_ntile",
-    "q_except_all",
-    "q_curate_incremental",
-    "q_dedup_exact",
-    "q_minhash",
-    "q_ngram_jaccard",
-    "q_simhash_pairs",
-    "q_embedding_topk",
-    "q_embedding_dup",
-    "q_resample_daily",
-    "q_moving_avg",
-    "q_simhash64_pairs",
-    # 1 changed + 6 never-green + 15 new r9 oracles (three waves) + 28
-    # oldest r5 greens = 50
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # The remaining 16 parked r5 greens (displaced by the r9 waves;
-    # their last green stays r5) LEAD the r10 window, then the r6
-    # greens, the r7 greens, and the re-parked r8 window (most recent
-    # greens last).
+    "q_rouge_n",
+    # tier 2 — the round-10 wave oracles, never driver-checked (each
+    # locally driver-sim green at sf0.01 AND sf0.1 on declaration)
+    "q_semdedup_scaled",
+    "q_edit_distance_pairs",
+    "q_kcore",
+    "q_l_diversity",
+    "q_chrf",
+    "q_band_tuning",
+    "q_length_buckets",
+    "q_frame_dedup",
+    # tier 3 — the 16 parked r5 greens (displaced by the r9 waves;
+    # their last green is r5 — the oldest in the repo; the r9 VERDICT
+    # item-3 rotation plan says they LEAD this window)
     "q_minhash_jaccard_est",
     "q_mix_rebalance",
     "q_winsorize",
@@ -1225,7 +1180,7 @@ VERIFY_PRIORITY = [
     "q_variant_extract",
     "q_kmv_distinct",
     "q_lateral_topk",
-    # r6 greens on unchanged code (verified round 6)
+    # tier 4 — fill with the next-oldest: the first 24 r6 greens
     "q_convert_speed",
     "q_sentinel_map",
     "q_regex_extract",
@@ -1250,6 +1205,11 @@ VERIFY_PRIORITY = [
     "q_unpivot",
     "q_simhash",
     "q_text_stats",
+    # 2 changed + 8 new r10 oracles + 16 r5 greens + 24 r6 greens = 50
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # Ordered oldest-latest-green first: the remaining 23 r6 greens
+    # (they LEAD the r11 window), then the r7 greens, the r8 greens,
+    # and the r9-window queries (most recent greens park last).
     "q_token_count",
     "q_lang_id",
     "q_fingerprint",
@@ -1273,7 +1233,7 @@ VERIFY_PRIORITY = [
     "q_gopher_rules",
     "q_perplexity_mix",
     "q_star_join",
-    # r7 greens (the former r7 window — most recent, park last)
+    # r7 greens (unchanged code since their green)
     "q_ann_index_probe",
     "q_semantic_neighbors",
     "q_token_budget_fill",
@@ -1324,7 +1284,7 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_key_skew",
-    # r8 greens (the former r8 window — most recent, park last)
+    # r8 greens
     "q_interval_overlap",
     "q_setsim_join",
     "q_heavy_hitters",
@@ -1374,6 +1334,55 @@ VERIFY_PRIORITY = [
     "q_vocab_coverage",
     "q_gram_matrix",
     "q_ivf_bucket_stats",
+    # r9 greens (the former r9 window, minus the two promoted to tier 1)
+    "q_containment_pairs",
+    "q_gram_incremental",
+    "q_char_entropy",
+    "q_ann_recall_filtered",
+    "q_impute_median",
+    "q_maxsim_index",
+    "q_multiprobe_lsh",
+    "q_expectations",
+    "q_pass_at_k",
+    "q_winrate_ci",
+    "q_scaling_fit",
+    "q_textrank_keywords",
+    "q_label_propagation",
+    "q_bootstrap_ci",
+    "q_mmr_select",
+    "q_cdc_chunks",
+    "q_rank_correlation",
+    "q_silhouette",
+    "q_zipf_fit",
+    "q_ndcg",
+    "q_agg_latest_price",
+    "q_cube",
+    "q_semi_join",
+    "q_except",
+    "q_intersect",
+    "q_distinct_agg",
+    "q_explode",
+    "q_grouping_sets",
+    "q_scalar_subquery",
+    "q_outer_join",
+    "q_date_arith",
+    "q_array_funcs",
+    "q_udtf_tokenize",
+    "q_revenue_topk",
+    "q_corpus_curate",
+    "q_train_test_split",
+    "q_ntile",
+    "q_except_all",
+    "q_curate_incremental",
+    "q_dedup_exact",
+    "q_minhash",
+    "q_ngram_jaccard",
+    "q_simhash_pairs",
+    "q_embedding_topk",
+    "q_embedding_dup",
+    "q_resample_daily",
+    "q_moving_avg",
+    "q_simhash64_pairs",
 ]
 
 _ROWS_ONLY_LAST = [

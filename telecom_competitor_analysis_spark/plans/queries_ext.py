@@ -7127,8 +7127,477 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# round-10 wave: edit-distance near-dup verify (the character-level dedup
+# modality), k-core dup-graph health, l-diversity privacy audit, chrF eval
+# metric, data-driven LSH band tuning, length-bucket padding audit, and
+# multimodal frame-level dedup.
+# ---------------------------------------------------------------------------
+
+
+def edit_sim_expr(div: str) -> str:
+    """Normalized edit similarity in integer micro, ONE shared text per
+    engine (`div` = 'DIV' for Spark, '//' for DuckDB — both truncate
+    toward zero): (max_len − levenshtein) · 1e6 div max_len, with the
+    empty-vs-empty pair pinned to 1e6 (identical). Both engines'
+    levenshtein is the unit-cost character edit distance."""
+    return (
+        "CASE WHEN greatest(la, lb) = 0 THEN 1000000"
+        " ELSE (greatest(la, lb) - levenshtein(ta, tb)) * 1000000"
+        f" {div} greatest(la, lb) END"
+    )
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs: the materialized MinHash-LSH
+    candidate graph VERIFIED by normalized Levenshtein similarity — the
+    edit-distance dedup modality (the classic fuzzy-dedup verify for
+    short/templated text, where token-set Jaccard is blind to character
+    noise: 'v1.2.3' vs 'v1.2.4' is one edit but a whole shingle). The
+    eighth consumer of the ONE materialized pair table — candidates are
+    never recomputed, and no all-pairs stage exists anywhere.
+
+    Two lossless prunes run BEFORE the O(len²) distance:
+    (1) both texts non-null (levenshtein(NULL,·) is NULL in both
+    engines); (2) the length bound — levenshtein ≥ |len_a − len_b|, so
+    a pair can reach sim ≥ 0.5 only if 2·|la−lb| ≤ max(la,lb); the
+    filter is a pure column predicate that kills hopeless pairs at
+    join-output speed. Production adds Spark's banded
+    levenshtein(l, r, threshold) (O(d·len) early-exit DP) — not used
+    here because DuckDB has no threshold form and the oracle must run
+    the identical function.
+
+    Returns (id_a, id_b, dist, sim_micro) for sim ≥ 0.5; sim is the
+    shared integer text edit_sim_expr (micro units, exact in both
+    engines)."""
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    t = docs.select(
+        "doc_id",
+        F.trim(F.col("text")).alias("t"),
+        F.length(F.trim(F.col("text"))).cast("long").alias("ln"),
+    )
+    j = (
+        pairs.join(
+            t.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("t").alias("ta"),
+                F.col("ln").alias("la"),
+            ),
+            on="id_a",
+        )
+        .join(
+            t.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("t").alias("tb"),
+                F.col("ln").alias("lb"),
+            ),
+            on="id_b",
+        )
+        .filter(
+            F.expr("2 * abs(la - lb) <= greatest(la, lb)")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("ta"), F.col("tb"))
+            .cast("long")
+            .alias("dist"),
+            F.expr(edit_sim_expr("DIV")).cast("long").alias("sim_micro"),
+        )
+    )
+    return j.filter(F.col("sim_micro") >= 500000)
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peel of the near-dup pair graph (Seidman 1983; k = 2,
+    three unrolled rounds) — the dup-graph health metric q_triangle_count
+    and q_dup_graph_stats don't capture: a large 2-core that SURVIVES
+    peeling is a tightly-knit boilerplate family (template farms, SEO
+    mirrors) that single-link clustering over-merges and pairwise dedup
+    undercounts; the peel-rate across rounds says whether the graph is
+    tree-like chains (healthy near-dup noise, dies fast) or dense cores
+    (systematic duplication, plateaus). Ninth consumer of the ONE
+    materialized LSH pair table.
+
+    Returns (round, n_nodes, n_edges) after each peel round — bounded
+    output (3 rows). Fixed rounds keep the plan static and the partial
+    peel is engine-agnostic even before the fixpoint
+    (operators/graph.py::kcore_peel)."""
+    from telecom_competitor_analysis_spark.operators.graph import kcore_peel
+
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    return kcore_peel(edges, k=2, rounds=3)
+
+
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — the sibling of
+    q_k_anonymity that k-anonymity alone cannot answer: a QI class can
+    be large (k-anonymous) yet expose everyone in it when all members
+    share one sensitive value. QI = (nation, account-balance band of
+    1000), sensitive = market segment; a class with fewer than l = 3
+    DISTINCT segments lets an attacker who locates a target's class
+    infer the segment with high confidence.
+
+    The balance band is floor(c_acctbal / 1000) — floor over the same
+    IEEE division in both engines (never CAST(double AS BIGINT), whose
+    rounding rule differs between Spark-truncate and DuckDB-round).
+
+    Scale shape: one partial-aggregable two-level aggregate (class
+    grouping counts distinct sensitive values, then a 1-row rollup);
+    output is a single summary row."""
+    l_min = 3
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        F.col("c_nationkey"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(
+        F.countDistinct("c_mktsegment").alias("l_div"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("l_div").cast("long").alias("min_l_diversity"),
+        F.sum((F.col("l_div") < l_min).cast("int"))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("l_div") < l_min, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN l_div < {l_min} THEN n ELSE 0 END)"
+            " * 1000000 DIV SUM(n) AS BIGINT)"
+        ).alias("risky_micro"),
+    )
+
+
+def chrf_f_expr(div: str) -> str:
+    """Per-order chrF F-beta (beta = 2) in integer micro, ONE shared
+    text per engine: 5·P·R / (4·P + R) with P, R already micro ints —
+    5e12 max numerator, well inside int64; 0 when both sides are 0."""
+    return (
+        "CASE WHEN 4 * p_micro + r_micro = 0 THEN 0"
+        f" ELSE 5 * p_micro * r_micro {div} (4 * p_micro + r_micro) END"
+    )
+
+
+CHRF_ORDERS = (1, 2)
+
+
+def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (Popović 2015) — the character n-gram F-score that completes
+    the MT/eval-metric family (q_bleu = word-precision, q_rouge_n =
+    word-recall, chrF = character F2, the tokenization-robust member
+    that scores morphology-rich and unsegmented text fairly). Same
+    synthetic pairing as q_bleu: pair_id = doc_id div 2, even doc =
+    reference, odd = candidate. Whitespace is stripped (the chrF
+    convention); orders n ∈ {1, 2} of the standard 1..6 keep the gram
+    stream at 2× corpus characters.
+
+    All-integer: per-order clipped counts → P/R in micro → F2 via the
+    shared text chrf_f_expr (exact int64 arithmetic in both engines);
+    the final score averages the fixed 2 orders (a missing order — a
+    side shorter than n characters — contributes 0, mirrored in the
+    oracle).
+
+    Scale shape: char-gram explode is 2 rows per character (the
+    q_char_entropy cost class); every aggregate partial-aggregates on
+    (pair, order, gram) then (pair, order) then (pair) — no window over
+    a data-scaled partition, no pair-vs-pair stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("doc_id") / 2).cast("long").alias("pair_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_ref"),
+        "doc_id",
+        F.regexp_replace(F.trim(F.col("text")), " ", "").alias("ns"),
+    )
+    gram_parts = []
+    for n in CHRF_ORDERS:
+        gram_parts.append(
+            base.filter(F.length("ns") >= n)
+            .select(
+                "pair_id",
+                "is_ref",
+                "doc_id",
+                F.lit(n).cast("int").alias("n"),
+                F.explode(
+                    F.sequence(F.lit(1), F.length("ns") - n + 1)
+                ).alias("i"),
+                "ns",
+            )
+            .select(
+                "pair_id",
+                "is_ref",
+                "doc_id",
+                "n",
+                F.expr(f"substring(ns, i, {n})").alias("gram"),
+            )
+        )
+    grams = gram_parts[0]
+    for gp in gram_parts[1:]:
+        grams = grams.unionByName(gp)
+    ref = grams.filter("is_ref").groupBy("pair_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    refden = ref.groupBy("pair_id", "n").agg(
+        F.sum("rc").cast("long").alias("den_r")
+    )
+    cand = grams.filter(~F.col("is_ref")).groupBy(
+        "pair_id", "n", "gram"
+    ).agg(
+        F.count(F.lit(1)).alias("cc"),
+        F.min("doc_id").alias("cand_id"),
+    )
+    per_n = (
+        cand.join(ref, ["pair_id", "n", "gram"], "left")
+        .groupBy("pair_id", "n")
+        .agg(
+            F.min("cand_id").alias("cand_id"),
+            F.sum("cc").cast("long").alias("den_c"),
+            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+            .cast("long")
+            .alias("clip"),
+        )
+        .join(refden, ["pair_id", "n"])
+        .select(
+            "pair_id",
+            "n",
+            "cand_id",
+            F.expr("CAST(clip * 1000000 DIV den_c AS BIGINT)").alias(
+                "p_micro"
+            ),
+            F.expr("CAST(clip * 1000000 DIV den_r AS BIGINT)").alias(
+                "r_micro"
+            ),
+        )
+        .select(
+            "pair_id",
+            "n",
+            "cand_id",
+            F.expr(chrf_f_expr("DIV")).cast("long").alias("f_micro"),
+        )
+    )
+    return per_n.groupBy("pair_id").agg(
+        F.min("cand_id").cast("long").alias("cand_id"),
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("n") == nn, F.col("f_micro"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"f{nn}_micro")
+            for nn in CHRF_ORDERS
+        ],
+        F.expr(
+            "CAST(sum(f_micro) DIV 2 AS BIGINT)"
+        ).alias("chrf_micro"),
+    )
+
+
+def band_tuning_grid() -> list[tuple[int, int, int, int]]:
+    """(bands, rows_per_band, jaccard_bin, p_candidate_micro) for every
+    split of H = 16 MinHash components × every decile bin a
+    threshold-0.2 exact pair can land in. P(candidate | s) =
+    1 − (1 − s^r)^b evaluated at the bin's center similarity — computed
+    ONCE here in Python and inlined as literals into BOTH engines (the
+    POISSON1_HEX / IDCG10_MICRO convention: the transcendental pow
+    never runs inside either engine, so there is no FP boundary)."""
+    grid = []
+    for b, r in ((16, 1), (8, 2), (4, 4), (2, 8), (1, 16)):
+        for jbin in range(2, 11):
+            s = min(jbin / 10.0 + 0.05, 1.0)
+            p = 1.0 - (1.0 - s**r) ** b
+            grid.append((b, r, jbin, int(p * 1_000_000 + 0.5)))
+    return grid
+
+
+def q_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven LSH banding knob choice — the S-curve
+    (Leskovec/Rajaraman/Ullman ch.3) evaluated against the corpus's OWN
+    observed similarity mass, completing the statistics-driven-knob
+    family (jobs/sizing.py sizes IVF; q_lsh_recall measures one
+    banding's realized recall; this PICKS the banding before a run):
+    exact threshold-0.2 pairs are binned by integer Jaccard decile
+    (n_shared·10 div union — exact, no FP), and every (bands, rows) split
+    of a 16-component signature is scored by its expected candidate
+    recall Σ n_pairs(bin)·P(candidate|s_bin) / Σ n_pairs, with the
+    S-curve probabilities Python-precomputed and inlined
+    (band_tuning_grid) so neither engine runs pow.
+
+    Returns one row per split: (bands, rows_per_band,
+    expected_recall_micro, n_pairs_total, meets_90_target) — the
+    smallest band count whose expected recall clears 0.9 is the knob a
+    100 TB dedup run would pick; fewer bands = proportionally less
+    signature shuffle volume.
+
+    Scale shape: the exact-pair leg is the bounded df-capped
+    inverted-index operator; the grid is a 45-row broadcast; the rollup
+    has ≤ 5 groups."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = shingle_jaccard_pairs(
+        docs, "doc_id", "text", w=3, threshold=0.2
+    )
+    obs = (
+        exact.select(
+            F.expr(
+                "CAST(n_shared * 10 DIV (n_a + n_b - n_shared) AS INT)"
+            ).alias("jbin")
+        )
+        .groupBy("jbin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    grid = spark.createDataFrame(
+        band_tuning_grid(),
+        "bands INT, rows_per_band INT, jbin INT, p_micro BIGINT",
+    )
+    return (
+        obs.join(F.broadcast(grid), on="jbin")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.expr(
+                "CAST(SUM(n_pairs * p_micro) DIV SUM(n_pairs) AS BIGINT)"
+            ).alias("expected_recall_micro"),
+            F.sum("n_pairs").cast("long").alias("n_pairs_total"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "expected_recall_micro",
+            "n_pairs_total",
+            (F.col("expected_recall_micro") >= 900000).alias(
+                "meets_90_target"
+            ),
+        )
+    )
+
+
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucket batching audit — the padding-waste table a training
+    pipeline reads before choosing bucket boundaries (sequences batched
+    by power-of-2 length bucket pad to the bucket ceiling; waste =
+    padded-but-dead tokens, the q_sequence_pack concern measured from
+    the BUCKETING side). Bucket = bit-length of the whitespace token
+    count (the bin()-length integer-log2 rule q_semdedup_scaled
+    introduced); ceiling = 2^bits − 1, the largest count in the bucket.
+
+    All-integer: per bucket (n_docs, sum_tokens, pad_to, capacity =
+    n_docs·pad_to, waste_micro = (capacity − sum)·1e6 div capacity).
+    One partial-aggregable groupBy over a map-only token count; output
+    is bucket-cardinality (≈ log2 of the longest doc)."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    toks = docs.select(
+        F.expr(
+            "CAST(length(bin(size(split(trim(text), ' ')))) AS INT)"
+        ).alias("bucket_bits"),
+        F.size(F.split(F.trim(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return (
+        toks.groupBy("bucket_bits")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select(
+            "bucket_bits",
+            "n_docs",
+            "sum_tokens",
+            F.expr(
+                "CAST(shiftleft(CAST(1 AS BIGINT), bucket_bits) - 1"
+                " AS BIGINT)"
+            ).alias("pad_to"),
+            F.expr(
+                "CAST(n_docs * (shiftleft(CAST(1 AS BIGINT), bucket_bits)"
+                " - 1) AS BIGINT)"
+            ).alias("capacity"),
+            F.expr(
+                "CAST((n_docs * (shiftleft(CAST(1 AS BIGINT),"
+                " bucket_bits) - 1) - sum_tokens) * 1000000"
+                " DIV (n_docs * (shiftleft(CAST(1 AS BIGINT),"
+                " bucket_bits) - 1)) AS BIGINT)"
+            ).alias("waste_micro"),
+        )
+    )
+
+
+FRAME_WINDOW_CHARS = 32
+
+
+def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level dedup over the sampled frame stream — the multimodal
+    twin of exact text dedup: before any (expensive, stubbed-here)
+    decode/feature pass, frames whose CONTENT fingerprint collides are
+    collapsed so each unique frame is decoded once (the
+    dedup-before-decode economics of video corpora, where near-dup
+    clips dominate). Composes the existing stack: as_media_table →
+    with_frame_count (header-derived frame count, no decode) →
+    frame_sample (every 2nd index) → fingerprint = md5 of the frame's
+    content window (frame i owns the FRAME_WINDOW_CHARS-character
+    window at offset i·W — the fixed-stride layout real containers use
+    for byte ranges, played on the character payload so the oracle is
+    SQL-expressible like q_frame_sample). Blank windows (frame index
+    beyond the payload) are screened out — the blank-frame hygiene
+    filter, and also what keeps the md5('') mega-group from ever
+    existing.
+
+    Returns per shared fingerprint (n ≥ 2): (fingerprint, n_frames,
+    n_media, keeper_media) — keeper = lowest media id, the
+    exact_dedup_groups rule. Scale shape: one explode bounded by 4
+    frames/doc, one join back to the payload keyed on the media id, one
+    partial-aggregable digest groupBy — NO pair stage (the q_cdc_chunks
+    shape at frame granularity)."""
+    from telecom_competitor_analysis_spark.operators.multimodal import (
+        as_media_table,
+        frame_sample,
+        with_frame_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = as_media_table(docs, "doc_id", "text")
+    frames = frame_sample(with_frame_count(media), every_nth=2)
+    w = FRAME_WINDOW_CHARS
+    payload = docs.select(
+        F.col("doc_id").alias("media_id"), F.col("text").alias("__t")
+    )
+    fp = (
+        frames.join(payload, on="media_id")
+        .select(
+            "media_id",
+            F.expr(
+                f"substring(__t, CAST(frame_idx * {w} + 1 AS INT), {w})"
+            ).alias("__win"),
+        )
+        .filter(F.col("__win") != "")
+        .select("media_id", F.md5(F.col("__win")).alias("fingerprint"))
+    )
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("media_id").cast("long").alias("n_media"),
+            F.min("media_id").cast("long").alias("keeper_media"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
+    "q_edit_distance_pairs": q_edit_distance_pairs,
+    "q_kcore": q_kcore,
+    "q_l_diversity": q_l_diversity,
+    "q_chrf": q_chrf,
+    "q_band_tuning": q_band_tuning,
+    "q_length_buckets": q_length_buckets,
+    "q_frame_dedup": q_frame_dedup,
     "q_bleu": q_bleu,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_mmr_select": q_mmr_select,

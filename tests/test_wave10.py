@@ -80,3 +80,90 @@ def test_semdedup_scaled_assign_is_materialized_artifact(spark, sf_dir):
     # consumer plan's scan of the artifact)
     plan = _plan(EXT_QUERIES["q_semdedup_scaled"](spark, sf_dir))
     assert "semdedup_blocker_p16t128" in plan
+
+
+def test_edit_distance_pairs_bounds_and_plan(spark, sf_dir):
+    df = EXT_QUERIES["q_edit_distance_pairs"](spark, sf_dir)
+    plan = _plan(df)
+    # verify runs on the bounded LSH candidate set — no pair stage of
+    # its own, no nested loop; the distance is the built-in JVM
+    # levenshtein, never a Python stage
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+    assert "Python" not in plan
+    for r in df.collect():
+        assert r.id_a < r.id_b
+        assert 500000 <= r.sim_micro <= 1000000
+        assert r.dist >= 0
+
+
+def test_kcore_counts_monotone_nonincreasing(spark, sf_dir):
+    rows = sorted(
+        EXT_QUERIES["q_kcore"](spark, sf_dir).collect(),
+        key=lambda r: r.round,
+    )
+    assert [r.round for r in rows] == [1, 2, 3]
+    for a, b in zip(rows, rows[1:]):
+        # peeling only removes: survivor counts never grow
+        assert b.n_nodes <= a.n_nodes
+        assert b.n_edges <= a.n_edges
+
+
+def test_l_diversity_bounds(spark, sf_dir):
+    r = EXT_QUERIES["q_l_diversity"](spark, sf_dir).collect()[0]
+    assert r.n_classes >= 1
+    assert 1 <= r.min_l_diversity <= 5  # 5 market segments exist
+    assert r.n_risky_classes <= r.n_classes
+    assert 0 <= r.risky_micro <= 1_000_000
+
+
+def test_chrf_scores_in_range(spark, sf_dir):
+    rows = EXT_QUERIES["q_chrf"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.f1_micro <= 1_000_000
+        assert 0 <= r.f2_micro <= 1_000_000
+        assert 0 <= r.chrf_micro <= 1_000_000
+        assert r.chrf_micro == (r.f1_micro + r.f2_micro) // 2
+
+
+def test_band_tuning_grid_monotone_in_rows_per_band(spark, sf_dir):
+    # for fixed H = b*r and fixed s, fewer rows per band (more bands)
+    # is strictly more permissive — the grid must reflect the S-curve
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        band_tuning_grid,
+    )
+
+    grid = {}
+    for b, r, jbin, p in band_tuning_grid():
+        grid.setdefault(jbin, []).append((r, p))
+    for jbin, entries in grid.items():
+        entries.sort()
+        for (r1, p1), (r2, p2) in zip(entries, entries[1:]):
+            assert p1 >= p2, (jbin, r1, r2)
+    # and the declared query orders expected recall the same way
+    rows = {
+        (r.bands, r.rows_per_band): r.expected_recall_micro
+        for r in EXT_QUERIES["q_band_tuning"](spark, sf_dir).collect()
+    }
+    assert rows[(16, 1)] >= rows[(8, 2)] >= rows[(4, 4)] >= rows[(2, 8)]
+
+
+def test_length_buckets_capacity_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_length_buckets"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.capacity == r.n_docs * r.pad_to
+        assert r.sum_tokens <= r.capacity  # every doc fits its bucket
+        assert 0 <= r.waste_micro < 1_000_000
+
+
+def test_frame_dedup_no_pair_stage(spark, sf_dir):
+    df = EXT_QUERIES["q_frame_dedup"](spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "md5" in plan
+    for r in df.collect():
+        assert r.n_frames >= 2
+        assert 1 <= r.n_media <= r.n_frames
