@@ -203,6 +203,11 @@ HEADLINE_EXT = [
     "q_band_tuning",
     "q_length_buckets",
     "q_frame_dedup",
+    "q_candidate_precision",
+    "q_group_kfold",
+    "q_assortativity",
+    "q_nprobe_sweep",
+    "q_mi_lang_source",
 ]
 
 

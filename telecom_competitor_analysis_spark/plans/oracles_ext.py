@@ -6033,3 +6033,222 @@ EXT_ORACLES["q_frame_dedup"] = """
            CAST(MIN(media_id) AS BIGINT) AS keeper_media
     FROM fp GROUP BY fingerprint HAVING COUNT(*) >= 2
 """
+
+
+# ---------------------------------------------------------------------------
+# round-10 second wave oracles
+# ---------------------------------------------------------------------------
+
+# Candidate precision per signature-agreement quartile
+# (queries_ext.q_candidate_precision): candidates = the
+# q_minhash_lsh_pairs set; agreement = count of equal MinHash
+# components (exact — round(est*4) on the Spark side is the same
+# integer); truth = the threshold-0.2 exact pair set. MATERIALIZED:
+# the candidate and signature subqueries are multi-referenced.
+EXT_ORACLES["q_candidate_precision"] = f"""
+    WITH cand AS MATERIALIZED ({EXT_ORACLES["q_minhash_lsh_pairs"]}),
+    t2 AS (
+        SELECT doc_id, string_split(trim(text), ' ') AS arr FROM documents
+    ),
+    sh2 AS (
+        SELECT DISTINCT
+            t2.doc_id,
+            arr[i] || ' ' || arr[i + 1] || ' ' || arr[i + 2] AS word
+        FROM t2, unnest(generate_series(1, len(arr) - 2)) AS g(i)
+    ),
+    sig2 AS MATERIALIZED (
+        SELECT
+            doc_id,
+            MIN(md5(word || '#0')) AS h0,
+            MIN(md5(word || '#1')) AS h1,
+            MIN(md5(word || '#2')) AS h2,
+            MIN(md5(word || '#3')) AS h3
+        FROM sh2 GROUP BY doc_id
+    ),
+    truth AS MATERIALIZED (
+        SELECT id_a, id_b, 1 AS tr FROM ({EXT_ORACLES["q_ngram_jaccard"]})
+    ),
+    est AS (
+        SELECT c.id_a, c.id_b,
+               CAST((a.h0 = b.h0)::INT + (a.h1 = b.h1)::INT
+                    + (a.h2 = b.h2)::INT + (a.h3 = b.h3)::INT AS INT)
+                   AS agree_quarters
+        FROM cand c
+        JOIN sig2 a ON a.doc_id = c.id_a
+        JOIN sig2 b ON b.doc_id = c.id_b
+    )
+    SELECT agree_quarters,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(COALESCE(tr, 0)) AS BIGINT) AS n_true_pairs,
+           CAST(SUM(COALESCE(tr, 0)) * 1000000 // COUNT(*) AS BIGINT)
+               AS precision_micro
+    FROM est LEFT JOIN truth USING (id_a, id_b)
+    GROUP BY agree_quarters
+"""
+
+# Leakage-safe group k-fold (queries_ext.q_group_kfold): connected
+# components (the q_dedup_clusters recursive CTE), fold = component's
+# min doc id mod 5, 5-row balance sheet.
+EXT_ORACLES["q_group_kfold"] = (
+    _NEARDUP_CC_CTES
+    + """,
+    comp AS (
+        SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id
+    )
+    SELECT CAST(cluster_id % 5 AS INT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_components
+    FROM comp GROUP BY 1
+"""
+)
+
+# Degree assortativity (queries_ext.q_assortativity): Pearson over
+# endpoint degrees of the directed edge list; integer moment sums, the
+# shared SPEARMAN_EXPR double combination.
+EXT_ORACLES["q_assortativity"] = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({EXT_ORACLES["q_minhash_lsh_pairs"]})
+    ),
+    bidir AS MATERIALIZED (
+        SELECT id_a AS u, id_b AS v FROM edges
+        UNION ALL
+        SELECT id_b AS u, id_a AS v FROM edges
+    ),
+    deg AS MATERIALIZED (
+        SELECT u AS x0, CAST(COUNT(*) AS BIGINT) AS d
+        FROM bidir GROUP BY u
+    ),
+    xy AS (
+        SELECT du.d AS x, dv.d AS y
+        FROM bidir
+        JOIN deg du ON du.x0 = bidir.u
+        JOIN deg dv ON dv.x0 = bidir.v
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM xy
+    )
+    SELECT n AS n_directed_edges,
+           {SPEARMAN_EXPR} AS assortativity_micro
+    FROM s
+"""
+
+# IVF nprobe response curve (queries_ext.q_nprobe_sweep): the
+# q_ann_index_probe quantization with rn <= nprobe probe legs at
+# 1/2/4, each recall-joined to the brute-force exact top-10.
+# assign/c/exact MATERIALIZED — multi-referenced.
+EXT_ORACLES["q_nprobe_sweep"] = """
+    WITH a AS (
+        SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8
+    ),
+    assign AS MATERIALIZED (
+        SELECT
+            e.vec_id,
+            CAST(e.embedding AS DOUBLE[]) AS v,
+            a.anchor_id,
+            row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_dot_product(
+                             CAST(e.embedding AS DOUBLE[]), a.avec) DESC,
+                         a.anchor_id ASC
+            ) AS rn
+        FROM embeddings e CROSS JOIN a
+    ),
+    c AS MATERIALIZED (
+        SELECT vec_id, v, anchor_id AS bucket FROM assign WHERE rn = 1
+    ),
+    exact AS MATERIALIZED (
+        SELECT
+            q.vec_id AS query_id,
+            cc.vec_id AS neighbor_id
+        FROM embeddings cc
+        CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+        WHERE cc.vec_id != q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(
+                         CAST(cc.embedding AS DOUBLE[]),
+                         CAST(q.embedding AS DOUBLE[])) DESC,
+                     cc.vec_id ASC
+        ) <= 10
+    ),
+    ap1 AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM c
+        JOIN (SELECT vec_id, v, anchor_id AS bucket FROM assign
+              WHERE vec_id < 5 AND rn <= 1) q ON c.bucket = q.bucket
+        WHERE c.vec_id != q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) <= 10
+    ),
+    ap2 AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM c
+        JOIN (SELECT vec_id, v, anchor_id AS bucket FROM assign
+              WHERE vec_id < 5 AND rn <= 2) q ON c.bucket = q.bucket
+        WHERE c.vec_id != q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) <= 10
+    ),
+    ap4 AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM c
+        JOIN (SELECT vec_id, v, anchor_id AS bucket FROM assign
+              WHERE vec_id < 5 AND rn <= 4) q ON c.bucket = q.bucket
+        WHERE c.vec_id != q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) <= 10
+    )
+    SELECT CAST(1 AS INT) AS nprobe, e.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT) AS hits,
+           CAST(COUNT(h.neighbor_id) * 100000 AS BIGINT) AS recall_micro
+    FROM exact e LEFT JOIN ap1 h USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    UNION ALL
+    SELECT CAST(2 AS INT), e.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT),
+           CAST(COUNT(h.neighbor_id) * 100000 AS BIGINT)
+    FROM exact e LEFT JOIN ap2 h USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+    UNION ALL
+    SELECT CAST(4 AS INT), e.query_id,
+           CAST(COUNT(h.neighbor_id) AS BIGINT),
+           CAST(COUNT(h.neighbor_id) * 100000 AS BIGINT)
+    FROM exact e LEFT JOIN ap4 h USING (query_id, neighbor_id)
+    GROUP BY e.query_id
+"""
+
+# Metadata PMI (queries_ext.q_mi_lang_source): cell counts once,
+# marginals as windows over the bounded cell table, one shared ln text
+# micro-rounded once.
+EXT_ORACLES["q_mi_lang_source"] = """
+    WITH cells AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+        FROM documents GROUP BY 1, 2
+    ),
+    e AS (
+        SELECT lang, source, n_xy,
+               CAST(SUM(n_xy) OVER (PARTITION BY lang) AS BIGINT) AS n_x,
+               CAST(SUM(n_xy) OVER (PARTITION BY source) AS BIGINT)
+                   AS n_y,
+               CAST(SUM(n_xy) OVER () AS BIGINT) AS n_total
+        FROM cells
+    )
+    SELECT lang, source, n_xy,
+           CAST(round(ln((CAST(n_xy AS DOUBLE) * n_total)
+                / (CAST(n_x AS DOUBLE) * n_y)) * 1000000, 0) AS BIGINT)
+               AS pmi_micro
+    FROM e
+"""

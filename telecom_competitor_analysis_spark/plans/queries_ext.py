@@ -24,6 +24,7 @@ from telecom_competitor_analysis_spark.functions.text import (
 from telecom_competitor_analysis_spark.operators.dedup import (
     exact_dedup_groups,
     lsh_candidate_pairs,
+    minhash_est_pairs,
     minhash_signature,
     shingle_jaccard_pairs,
     shingle_rows,
@@ -7589,6 +7590,225 @@ def q_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate PRECISION of the banded MinHash-LSH generator — the
+    missing twin of q_lsh_recall (recall says which true pairs the
+    candidates caught; precision says what fraction of candidate volume
+    was worth verifying — the number that prices the verify stage at
+    100 TB, where every wasted candidate is a wasted exact-Jaccard
+    evaluation). Candidates carry their signature-agreement estimate
+    (minhash_est_pairs — est = k/4 agreeing components, computed
+    map-side in the bucket explode, no join-back), so precision is
+    reported PER agreement quartile: the estimator's own S-curve,
+    measured.
+
+    All-integer: the quartile is round(est·4) (est is an exact multiple
+    of 1/4 — k=4 components), truth = membership in the exact
+    threshold-0.2 pair set (the q_lsh_recall convention, df-capped
+    universe pinned by that oracle). Scale shape: both legs are the
+    bounded candidate/inverted-index operators; the truth join keys on
+    the pair; ≤ 5 output rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
+    cand = minhash_est_pairs(sig, "doc_id", n_hashes=4, bands=2).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("est_jaccard") * 4)
+        .cast("int")
+        .alias("agree_quarters"),
+    )
+    exact = shingle_jaccard_pairs(
+        docs, "doc_id", "text", w=3, threshold=0.2
+    ).select("id_a", "id_b", F.lit(1).alias("__true"))
+    return (
+        cand.join(exact, ["id_a", "id_b"], "left")
+        .groupBy("agree_quarters")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("__true"), F.lit(0)))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.expr(
+                "CAST(SUM(COALESCE(__true, 0)) * 1000000"
+                " DIV COUNT(1) AS BIGINT)"
+            ).alias("precision_micro"),
+        )
+    )
+
+
+def q_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe GROUP k-fold assignment — the k-fold generalization
+    of q_leakage_safe_split's train/test hash split: the fold is taken
+    on the near-dup CLUSTER id (connected component of the materialized
+    LSH pair graph), so no fold's eval docs have a near-twin in another
+    fold's train set — the grouped-CV discipline (sklearn GroupKFold)
+    at corpus scale, with the group = the dup component. fold =
+    cluster_id mod 5 (cluster_id is the component's min doc id —
+    deterministic, the dedup_clusters contract).
+
+    Returns the 5-row fold balance sheet (fold, n_docs, n_components)
+    — the skew check run before trusting the folds (a mega-component
+    lands whole in one fold BY DESIGN; this shows the resulting
+    imbalance). Scale shape: component labels from the shared
+    materialized pair graph + pointer-doubling min-label loop; the fold
+    map and rollup are one partial-aggregable pass."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    return (
+        clusters.select(
+            (F.col("cluster_id") % 5).cast("int").alias("fold"),
+            "cluster_id",
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id")
+            .cast("long")
+            .alias("n_components"),
+        )
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup pair graph (Newman 2002):
+    Pearson correlation of endpoint degrees over the directed edge list
+    — the dup-graph topology number k-core/triangles don't give:
+    positive r = hub-hub wiring (boilerplate families referencing each
+    other — one dedup pass collapses whole neighborhoods), negative r =
+    hub-and-spoke (a template with many one-off variants). Tenth
+    consumer of the ONE materialized LSH pair table.
+
+    Exactness: degrees are exact integer counts; the five moment sums
+    are exact int64 aggregates; the Pearson combination is the SHARED
+    double text SPEARMAN_EXPR (Pearson over any integer x/y — the
+    q_rank_correlation discipline), micro-rounded once.
+
+    Scale shape: one degree aggregate (partial map-side), two
+    degree join-backs keyed on the node, one 1-row moment aggregate."""
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    both = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = both.groupBy(F.col("u").alias("x0")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    xy = (
+        both.join(
+            deg.select(F.col("x0").alias("u"), F.col("d").alias("x")),
+            on="u",
+        )
+        .join(
+            deg.select(F.col("x0").alias("v"), F.col("d").alias("y")),
+            on="v",
+        )
+        .select("x", "y")
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.expr(SPEARMAN_EXPR).alias("assortativity_micro"),
+    )
+
+
+def q_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF knob RESPONSE CURVE: recall@10 against the brute-force exact
+    top-k at nprobe ∈ {1, 2, 4} over the same materialized index — the
+    measurement that turns q_ann_index_probe's fixed nprobe=2 into an
+    informed choice (jobs/sizing.py sizes the index's anchor count from
+    statistics; this measures what each query-time probe width BUYS —
+    the two halves of the IVF tuning story). Per (nprobe, query):
+    hits and integer-micro recall — the eval-harness table.
+
+    The exact leg is computed ONCE and localCheckpointed at its
+    5×10-row boundary (the q_mmr_select lineage law: three recall legs
+    would otherwise re-derive the corpus-sized brute-force scan each);
+    each probe leg reads the fingerprint-cached index with dynamic
+    partition pruning on its probed buckets — nprobe=4 scans 4 of 8
+    bucket partitions, never the corpus."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ann_against_index,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized_ivf_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = (
+        cosine_topk(emb, queries, "vec_id", "embedding", k=10)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    legs = []
+    for p in (1, 2, 4):
+        approx = ann_against_index(queries, spark, idx, k=10, nprobe=p)
+        legs.append(
+            _recall_join(exact, approx, k=10, micro=True).select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "query_id",
+                "hits",
+                "recall_micro",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def q_mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata association audit: pointwise mutual information between
+    the lang and source columns — the scraping-bias detector (a source
+    that over-represents one language skews any per-language mix
+    computed from source quotas; q_pmi_pairs measures word collocation,
+    this measures METADATA collocation, same statistic one level up).
+    Per (lang, source) cell: observed count and PMI in integer micro.
+
+    Exactness: cell/marginal/total counts are exact integers computed
+    as WINDOWS OVER THE AGGREGATED CELL TABLE (bounded langs×sources
+    rows — the q_shard_balance pattern: never a second corpus scan per
+    marginal); the single ln runs on one shared expression text and
+    micro-rounds once (the PMI/BM25 round-after-transcendental
+    precedent)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_xy")
+    )
+    w_l = Window.partitionBy("lang")
+    w_s = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    enriched = cells.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.sum("n_xy").over(w_l).cast("long").alias("n_x"),
+        F.sum("n_xy").over(w_s).cast("long").alias("n_y"),
+        F.sum("n_xy").over(w_all).cast("long").alias("n_total"),
+    )
+    return enriched.select(
+        "lang",
+        "source",
+        "n_xy",
+        F.expr(
+            "CAST(round(ln((CAST(n_xy AS DOUBLE) * n_total)"
+            " / (CAST(n_x AS DOUBLE) * n_y)) * 1000000, 0) AS BIGINT)"
+        ).alias("pmi_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -7598,6 +7818,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_band_tuning": q_band_tuning,
     "q_length_buckets": q_length_buckets,
     "q_frame_dedup": q_frame_dedup,
+    "q_candidate_precision": q_candidate_precision,
+    "q_group_kfold": q_group_kfold,
+    "q_assortativity": q_assortativity,
+    "q_nprobe_sweep": q_nprobe_sweep,
+    "q_mi_lang_source": q_mi_lang_source,
     "q_bleu": q_bleu,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_mmr_select": q_mmr_select,

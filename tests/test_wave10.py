@@ -167,3 +167,70 @@ def test_frame_dedup_no_pair_stage(spark, sf_dir):
     for r in df.collect():
         assert r.n_frames >= 2
         assert 1 <= r.n_media <= r.n_frames
+
+
+def test_candidate_precision_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_candidate_precision"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.agree_quarters <= 4
+        assert r.n_true_pairs <= r.n_candidates
+        assert 0 <= r.precision_micro <= 1_000_000
+
+
+def test_group_kfold_no_pair_straddles_folds(spark, sf_dir):
+    # the leakage property itself: every LSH candidate pair lands in
+    # ONE fold (same component -> same cluster_id -> same mod-5 fold)
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+    )
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _materialized_lsh_pairs,
+    )
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table as lt,
+    )
+
+    docs = lt(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    cl = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    fold = {r.id: r.cluster_id % 5 for r in cl.collect()}
+    for p in pairs.collect():
+        assert fold[p.id_a] == fold[p.id_b]
+    # and the declared rollup accounts for every doc exactly once
+    rows = EXT_QUERIES["q_group_kfold"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(0 <= r.fold <= 4 for r in rows)
+
+
+def test_assortativity_in_range(spark, sf_dir):
+    r = EXT_QUERIES["q_assortativity"](spark, sf_dir).collect()[0]
+    assert -1_000_000 <= r.assortativity_micro <= 1_000_000
+    assert r.n_directed_edges % 2 == 0  # both orientations present
+
+
+def test_nprobe_sweep_recall_monotone_per_query(spark, sf_dir):
+    rows = EXT_QUERIES["q_nprobe_sweep"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.nprobe] = r.recall_micro
+    assert len(rows) == 3 * len(by_q)
+    for q, rec in by_q.items():
+        # probing more buckets can only add candidates: recall is
+        # non-decreasing in nprobe
+        assert rec[1] <= rec[2] <= rec[4], (q, rec)
+
+
+def test_mi_lang_source_cells_cover_corpus(spark, sf_dir):
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table as lt,
+    )
+
+    rows = EXT_QUERIES["q_mi_lang_source"](spark, sf_dir).collect()
+    n = lt(spark, sf_dir, "documents").count()
+    assert sum(r.n_xy for r in rows) == n
+    import math
+
+    bound = int(math.log(n) * 1_000_000) + 1
+    for r in rows:
+        assert -bound <= r.pmi_micro <= bound
