@@ -208,6 +208,9 @@ HEADLINE_EXT = [
     "q_assortativity",
     "q_nprobe_sweep",
     "q_mi_lang_source",
+    "q_event_transitions",
+    "q_knn_hubness",
+    "q_cluster_purity",
 ]
 
 

@@ -6252,3 +6252,94 @@ EXT_ORACLES["q_mi_lang_source"] = """
                AS pmi_micro
     FROM e
 """
+
+
+# Event-type Markov transitions (queries_ext.q_event_transitions):
+# per-user lead over (ts, event_id), row-normalized over the bounded
+# (src, dst) rollup.
+EXT_ORACLES["q_event_transitions"] = """
+    WITH trans AS (
+        SELECT src_event, dst_event, CAST(COUNT(*) AS BIGINT)
+                   AS n_transitions
+        FROM (
+            SELECT event_type AS src_event,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS dst_event
+            FROM events
+        )
+        WHERE dst_event IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT src_event, dst_event, n_transitions,
+           CAST(n_transitions * 1000000
+                // SUM(n_transitions) OVER (PARTITION BY src_event)
+                AS BIGINT) AS p_micro
+    FROM trans
+"""
+
+# kNN hubness histogram (queries_ext.q_knn_hubness): every vector's
+# LSH-bucketed top-10 (4-plane buckets — the q_embedding_lsh_topk
+# derivation with ALL vectors as queries), in-degree histogram with
+# the antihub 0 row via a left join from the corpus.
+EXT_ORACLES["q_knn_hubness"] = f"""
+    WITH e AS MATERIALIZED (
+        SELECT
+            vec_id,
+            CAST(embedding AS DOUBLE[]) AS v,
+            {_hyperplane_bucket_sql("embedding", n_planes=4, seed=0)}
+                AS bucket
+        FROM embeddings
+    ),
+    topk AS (
+        SELECT c.vec_id AS neighbor_id
+        FROM e c JOIN e q ON c.bucket = q.bucket
+        WHERE c.vec_id != q.vec_id
+        QUALIFY row_number() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY list_cosine_similarity(c.v, q.v) DESC, c.vec_id ASC
+        ) <= 10
+    ),
+    indeg AS (
+        SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS k_occ
+        FROM topk GROUP BY 1
+    )
+    SELECT k_occurrence, CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM (
+        SELECT COALESCE(i.k_occ, 0) AS k_occurrence
+        FROM embeddings m LEFT JOIN indeg i ON i.neighbor_id = m.vec_id
+    )
+    GROUP BY 1
+"""
+
+# k-means cluster purity (queries_ext.q_cluster_purity): the shared
+# k=8/iters=2 assignment CTEs joined to the label column; majority by
+# (count desc, label asc).
+EXT_ORACLES["q_cluster_purity"] = f"""
+    WITH {_kmeans_cte_sql(k=8, iters=2, dim=64)},
+    counts AS (
+        SELECT m1.cid AS cluster_id, emb.label,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM m1 JOIN embeddings emb ON emb.vec_id = m1.vec_id
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY cnt DESC, label ASC
+        ) AS rn
+        FROM counts
+    ),
+    tot AS (
+        SELECT cluster_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_vectors,
+               CAST(MAX(cnt) AS BIGINT) AS top_count
+        FROM counts GROUP BY 1
+    )
+    SELECT t.cluster_id,
+           t.n_vectors,
+           CAST(r.label AS BIGINT) AS top_label,
+           t.top_count,
+           CAST(t.top_count * 1000000 // t.n_vectors AS BIGINT)
+               AS purity_micro
+    FROM tot t JOIN ranked r ON r.cluster_id = t.cluster_id AND r.rn = 1
+"""

@@ -1135,13 +1135,13 @@ QUERIES.update(EXT_QUERIES)
 # 7 new r9 wave oracles (each locally driver-sim green at both SFs on
 # declaration), and the 36 oldest parked r5 greens (the 8 displaced r5
 # greens park first below the boundary and lead the r10 window).
-# Round 10's window (2 + 13 + 16 + 19 = 50): q_bleu/q_rouge_n (id
-# aggregates hardened F.first -> F.min, a plan change), the 13 new r10
+# Round 10's window (2 + 16 + 16 + 16 = 50): q_bleu/q_rouge_n (id
+# aggregates hardened F.first -> F.min, a plan change), the 16 new r10
 # wave oracles, the 16 parked r5 greens (oldest in the repo — the r9
-# VERDICT rotation plan), and the 19 oldest r6 greens; after r10 no
-# oracle's latest green is older than r6, and the remaining 28 r6
-# greens lead the r11 window (the 5 parked when the second r10 wave
-# displaced them lead those).
+# VERDICT rotation plan), and the 16 oldest r6 greens; after r10 no
+# oracle's latest green is older than r6, and the remaining 31 r6
+# greens lead the r11 window (the 8 parked when the second and third
+# r10 waves displaced them lead those).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
@@ -1167,6 +1167,9 @@ VERIFY_PRIORITY = [
     "q_assortativity",
     "q_nprobe_sweep",
     "q_mi_lang_source",
+    "q_event_transitions",
+    "q_knn_hubness",
+    "q_cluster_purity",
     # tier 3 — the 16 parked r5 greens (displaced by the r9 waves;
     # their last green is r5 — the oldest in the repo; the r9 VERDICT
     # item-3 rotation plan says they LEAD this window)
@@ -1186,7 +1189,7 @@ VERIFY_PRIORITY = [
     "q_variant_extract",
     "q_kmv_distinct",
     "q_lateral_topk",
-    # tier 4 — fill with the next-oldest: the first 19 r6 greens
+    # tier 4 — fill with the next-oldest: the first 16 r6 greens
     "q_convert_speed",
     "q_sentinel_map",
     "q_regex_extract",
@@ -1203,15 +1206,15 @@ VERIFY_PRIORITY = [
     "q_tfidf",
     "q_embedding_outlier",
     "q_stats_agg",
+    # 2 changed + 16 new r10 oracles + 16 r5 greens + 16 r6 greens = 50
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # Ordered oldest-latest-green first: the remaining 31 r6 greens
+    # (the 8 displaced by the second and third r10 waves lead)
+    # (they LEAD the r11 window), then the r7 greens, the r8 greens,
+    # and the r9-window queries (most recent greens park last).
     "q_scd2_history",
     "q_quality_repetition",
     "q_decontaminate",
-    # 2 changed + 13 new r10 oracles + 16 r5 greens + 19 r6 greens = 50
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # Ordered oldest-latest-green first: the remaining 28 r6 greens
-    # (the 5 displaced by the second r10 wave lead)
-    # (they LEAD the r11 window), then the r7 greens, the r8 greens,
-    # and the r9-window queries (most recent greens park last).
     "q_percentile_exact",
     "q_hopping_window",
     "q_unpivot",

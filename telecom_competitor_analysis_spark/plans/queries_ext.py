@@ -7809,6 +7809,184 @@ def q_mi_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over the event stream —
+    per-user event-type bigrams, row-normalized: the behavioral-model
+    input session analytics derives before any sequence model trains
+    (and the events-table sibling of q_bigram_lm's word bigrams). The
+    order within a user is (ts, event_id) — the event_id tie-break
+    makes simultaneous timestamps deterministic, the q_sessionize
+    convention.
+
+    All-integer: transition counts are exact; the row probability is
+    n·1e6 div row-total, with the row total a window over the
+    ALREADY-AGGREGATED (src, dst) table — bounded event-type² rows,
+    never the event stream (the q_shard_balance rule: windows over
+    bounded rollups are free; windows over the corpus are not).
+
+    Scale shape: one shuffle on user_id for the lead window (the same
+    partitioning sessionization uses), then a partial-aggregable
+    (src, dst) count."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.select(
+            F.col("event_type").alias("src_event"),
+            F.lead("event_type").over(w).alias("dst_event"),
+        )
+        .filter(F.col("dst_event").isNotNull())
+        .groupBy("src_event", "dst_event")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+    return trans.select(
+        "src_event",
+        "dst_event",
+        "n_transitions",
+        F.expr(
+            "CAST(n_transitions * 1000000 DIV"
+            " sum(n_transitions) OVER (PARTITION BY src_event)"
+            " AS BIGINT)"
+        ).alias("p_micro"),
+    )
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence hubness histogram of the approximate kNN graph
+    (Radovanović et al. JMLR 2010) — the ANN pathology metric: in high
+    dimensions a few vectors become HUBS that appear in a large
+    fraction of all top-k lists (skewing retrieval diversity and
+    poisoning semantic dedup), while antihubs appear in none. The
+    histogram of in-degrees over every vector's LSH-bucketed top-10 is
+    the standard diagnostic; a heavy right tail says cosine top-k is
+    concentrating before any downstream consumer trusts it.
+
+    EVERY vector is a query here, so the query side must NOT broadcast
+    (lsh_bucketed_topk broadcasts its query batch by design — correct
+    for 5 probes, wrong for the corpus): the kNN graph is a plain
+    bucket equi-self-join (the q_embedding_dup shape — candidate volume
+    Σ bucket², never corpus²) + a per-query top-10 window bounded by
+    the bucket size. The signature table is persisted once and feeds
+    both join sides (the q_embedding_dup persist precedent).
+
+    Returns (k_occurrence, n_vectors) including the 0 row (antihubs),
+    via a left join from the corpus onto the in-degree table."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        dot_product,
+        hyperplane_sign_bucket,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sigs = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        hyperplane_sign_bucket(
+            F.col("embedding"), EMBEDDING_DIM, 4
+        ).alias("bucket"),
+        l2_norm(F.col("embedding")).alias("nrm"),
+    ).persist()
+    a = sigs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        (
+            dot_product(F.col("qv"), F.col("cv"))
+            / (F.col("qn") * F.col("cn"))
+        ).desc(),
+        F.col("neighbor_id").asc(),
+    )
+    topk = (
+        a.join(b, on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 10)
+        .select("neighbor_id")
+    )
+    indeg = topk.groupBy("neighbor_id").agg(
+        F.count(F.lit(1)).cast("long").alias("k_occ")
+    )
+    return (
+        emb.select(F.col("vec_id").alias("neighbor_id"))
+        .join(indeg, on="neighbor_id", how="left")
+        .select(
+            F.coalesce(F.col("k_occ"), F.lit(0))
+            .cast("long")
+            .alias("k_occurrence")
+        )
+        .groupBy("k_occurrence")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+
+
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means cluster purity against the embedding labels — the
+    external-validity twin of q_silhouette's internal score (silhouette
+    asks 'are the clusters tight', purity asks 'do they agree with the
+    labels we happen to hold' — together the clustering-observability
+    pair every curation run reports). Reads the SAME fingerprint-cached
+    k=8 assignment artifact as q_semdedup (cluster once, audit
+    repeatedly); majority label per cluster with the (count desc,
+    label asc) total tie order (the q_label_propagation argmax
+    discipline). purity = majority count · 1e6 div cluster size,
+    all-integer.
+
+    Scale shape: one join of the assignment to the label column keyed
+    on the vector id, one partial-aggregable (cluster, label) count,
+    one argmax per cluster — output is k rows."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _materialized(
+        spark,
+        sf_dir,
+        "kmeans_k8_i2",
+        "embeddings",
+        lambda p: kmeans_assign(
+            emb, "vec_id", "embedding", k=8, iters=2, dim=EMBEDDING_DIM
+        ).write.mode("overwrite").parquet(f"{p}/assign"),
+    )
+    assign = spark.read.parquet(f"{path}/assign").select(
+        "vec_id", "cluster_id"
+    )
+    counts = (
+        assign.join(emb.select("vec_id", "label"), on="vec_id")
+        .groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return (
+        counts.groupBy("cluster_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_vectors"),
+            F.max_by(
+                F.col("label"), F.struct(F.col("cnt"), (-F.col("label")))
+            )
+            .cast("long")
+            .alias("top_label"),
+            F.max("cnt").cast("long").alias("top_count"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            "top_label",
+            "top_count",
+            F.expr(
+                "CAST(top_count * 1000000 DIV n_vectors AS BIGINT)"
+            ).alias("purity_micro"),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -7823,6 +8001,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_assortativity": q_assortativity,
     "q_nprobe_sweep": q_nprobe_sweep,
     "q_mi_lang_source": q_mi_lang_source,
+    "q_event_transitions": q_event_transitions,
+    "q_knn_hubness": q_knn_hubness,
+    "q_cluster_purity": q_cluster_purity,
     "q_bleu": q_bleu,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_mmr_select": q_mmr_select,

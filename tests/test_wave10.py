@@ -234,3 +234,43 @@ def test_mi_lang_source_cells_cover_corpus(spark, sf_dir):
     bound = int(math.log(n) * 1_000_000) + 1
     for r in rows:
         assert -bound <= r.pmi_micro <= bound
+
+
+def test_event_transitions_rows_normalize(spark, sf_dir):
+    rows = EXT_QUERIES["q_event_transitions"](spark, sf_dir).collect()
+    assert rows
+    by_src = {}
+    for r in rows:
+        assert 0 <= r.p_micro <= 1_000_000
+        by_src.setdefault(r.src_event, []).append(r.p_micro)
+    for src, ps in by_src.items():
+        # truncating division: row sums land within |row| of 1e6
+        assert 1_000_000 - len(ps) <= sum(ps) <= 1_000_000, src
+
+
+def test_knn_hubness_accounts_every_vector(spark, sf_dir):
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table as lt,
+    )
+
+    rows = EXT_QUERIES["q_knn_hubness"](spark, sf_dir).collect()
+    n = lt(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert all(r.k_occurrence >= 0 for r in rows)
+
+
+def test_knn_hubness_no_broadcast_of_corpus_queries(spark, sf_dir):
+    # every vector is a query: the self-join must be a shuffle join on
+    # the bucket, never a broadcast of the corpus-sized query side
+    plan = _plan(EXT_QUERIES["q_knn_hubness"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cluster_purity_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_cluster_purity"](spark, sf_dir).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 1 <= r.top_count <= r.n_vectors
+        assert 0 < r.purity_micro <= 1_000_000
+        assert 0 <= r.top_label <= 9
