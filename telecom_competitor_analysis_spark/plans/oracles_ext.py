@@ -5173,6 +5173,7 @@ EXT_ORACLES["q_rouge_n"] = """
 # product is the SAME SQL text both engines parse (identical IEEE op
 # order -> bit-identical), micro-rounded once.
 from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    OLS_SLOPE_MICRO_EXPR,
     PASS_AT_K_EXPR,
     _wilson_sql,
 )
@@ -5228,8 +5229,11 @@ EXT_ORACLES["q_winrate_ci"] = f"""
 """
 
 # Per-source log-log OLS fit (queries_ext.q_scaling_fit): milli-
-# rounded logs -> exact integer sums -> two micro-rounded divisions.
-EXT_ORACLES["q_scaling_fit"] = """
+# rounded logs -> exact integer sums -> the SHARED all-double slope
+# text (OLS_SLOPE_MICRO_EXPR; the previous integer numerator wrapped
+# Spark's int64 at x100 while DuckDB's HUGEINT sums kept going — a
+# silent divergence), then an integer intercept off the rounded slope.
+EXT_ORACLES["q_scaling_fit"] = f"""
     WITH p AS (
         SELECT source,
                CAST(round(ln(len(string_split(trim(text), ' '))) * 1000)
@@ -5238,19 +5242,29 @@ EXT_ORACLES["q_scaling_fit"] = """
         FROM documents
     ),
     s AS (
-        SELECT source, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
-               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
         FROM p GROUP BY 1
+    ),
+    sl AS (
+        SELECT source, n, sx, sy,
+               {{OLS_SLOPE}} AS slope_micro
+        FROM s
     )
     SELECT source,
-           CAST(n AS BIGINT) AS n,
-           CAST((n * sxy - sx * sy) * 1000000
-                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro,
-           CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000
-                                 // (n * sxx - sx * sx)) * sx)
-                // n AS BIGINT) AS intercept_milli_micro
-    FROM s
+           n,
+           slope_micro,
+           CAST((sy * 1000000 - slope_micro * sx) // n AS BIGINT)
+               AS intercept_milli_micro
+    FROM sl
 """
+EXT_ORACLES["q_scaling_fit"] = EXT_ORACLES["q_scaling_fit"].replace(
+    "{OLS_SLOPE}", OLS_SLOPE_MICRO_EXPR
+)
 
 # TextRank keywords (queries_ext.q_textrank_keywords): two unrolled
 # all-integer iterations over the adjacent-word graph.

@@ -6260,6 +6260,24 @@ def q_winrate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# OLS slope over integer moment sums, micro-rounded, ONE shared text
+# (the SPEARMAN_EXPR convention: identical literal text parsed by both
+# engines → identical IEEE op order → bit-identical doubles). All-double
+# because the integer numerator (n·sxy − sx·sy)·1e6 ≈ slope·n²·var(x)·1e6
+# exceeds int64 at the ×100 probe (2.5e20 measured) — Spark wraps
+# silently there while DuckDB's HUGEINT sums do not: the all-integer
+# form was a silent cross-engine divergence waiting at the first scale
+# decade. Degenerate variance (den ≤ 0) → 0.
+OLS_SLOPE_MICRO_EXPR = (
+    "CAST(round(CASE"
+    " WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx <= 0"
+    " THEN 0.0"
+    " ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+    " END * 1000000, 0) AS BIGINT)"
+)
+
+
 def q_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source power-law fit (the scaling-law regression shape,
     Kaplan et al. 2020: fit y = a·x^b by ordinary least squares on
@@ -6271,8 +6289,17 @@ def q_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     immediately, the q_char_entropy convention at e3 scale so the
     second-moment sums stay far inside int64 at the ×100 probe:
     x ≈ 6e3 → Σxx ≈ 2e13 at 500k docs/source, n·Σxy ≈ 3e17); all five
-    sums are exact integer aggregates; the slope/intercept are TWO
-    final micro-rounded divisions.
+    sums are exact integer aggregates. The slope COMBINATION is
+    all-double via ONE shared text (OLS_SLOPE_MICRO_EXPR — the
+    SPEARMAN_EXPR discipline), micro-rounded once: the previous
+    all-integer form computed (n·sxy − sx·sy)·1e6 in int64, which is
+    ≈ slope·n²·var(x)·1e6 ≈ 2.5e20 at the ×100 probe — PAST int64,
+    where Spark wraps silently while DuckDB (HUGEINT sums) keeps
+    going: a silent cross-engine divergence at the first scale decade
+    (measured r10; the r9 ADVICE flagged the same pattern in
+    q_zipf_fit, where the top-1000 cap bounds it instead). The
+    intercept stays integer off the rounded slope column — its terms
+    (sy·1e6, slope_micro·sx) are ≈ 5e15 at ×100, safe past ×10⁴.
 
     Scale shape: one partial-aggregable groupBy(source) — five integer
     sums collapse map-side; output is source-cardinality."""
@@ -6296,15 +6323,18 @@ def q_scaling_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "source",
         "n",
-        F.expr(
-            "CAST((n * sxy - sx * sy) * 1000000"
-            " DIV (n * sxx - sx * sx) AS BIGINT)"
-        ).alias("slope_micro"),
+        "sx",
+        "sy",
+        F.expr(OLS_SLOPE_MICRO_EXPR).alias("slope_micro"),
+    ).select(
+        "source",
+        "n",
+        "slope_micro",
         # intercept in milli-log units, micro-rounded: (sy - b*sx)/n
-        # with b applied in micro → one integer expression
+        # with the rounded micro slope applied — integer-exact (bound
+        # in the docstring)
         F.expr(
-            "CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000"
-            " DIV (n * sxx - sx * sx)) * sx) DIV n AS BIGINT)"
+            "CAST((sy * 1000000 - slope_micro * sx) DIV n AS BIGINT)"
         ).alias("intercept_milli_micro"),
     )
 
