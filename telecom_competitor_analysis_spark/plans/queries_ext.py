@@ -4864,7 +4864,12 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # iteration 1: p0 = 1.0 for everyone, so each term is exactly
     # n·10¹² div 2·10⁶ = n·500000 (no truncation) and the denominator
     # collapses algebraically to n_comp·500000 — no second aggregate
-    # over sym, no join (r8 review finding)
+    # over sym, no join (r8 review finding).
+    # int64 headroom bound (the r10 q_scaling_fit audit rule): W·10¹²
+    # caps wins-per-supplier at 9.2e6 — ×100 grow-dims measures
+    # W ≈ 4.5e6 (within 2×); past that, drop the rating unit to 1e9
+    # (the same MM arithmetic, 3 fewer digits) before the corpus does
+    # it for you by wrapping.
     p1 = wins.select(
         "i",
         F.greatest(
@@ -6622,6 +6627,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "rep",
+            # int64 headroom (the r10 q_scaling_fit audit rule):
+            # sw·1e6 ≈ n·x̄·1e6 with x̄ ≈ 1e4 chars → safe to ~1e8
+            # docs/source; past that, mean in MILLI (·1e3) or the
+            # shared-double-text form — the replicate PERCENTILE rank
+            # is unchanged by the unit.
             F.expr(
                 "CASE WHEN cnt = 0 THEN CAST(0 AS BIGINT)"
                 " ELSE CAST(sw * 1000000 DIV cnt AS BIGINT) END"
