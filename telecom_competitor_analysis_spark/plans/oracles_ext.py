@@ -6293,16 +6293,23 @@ EXT_ORACLES["q_event_transitions"] = """
 """
 
 # kNN hubness histogram (queries_ext.q_knn_hubness): every vector's
-# LSH-bucketed top-10 (4-plane buckets — the q_embedding_lsh_topk
-# derivation with ALL vectors as queries), in-degree histogram with
-# the antihub 0 row via a left join from the corpus.
+# LSH-bucketed top-10 with the SCALED blocker (first p sign bits of the
+# 16-plane pattern, p from the shared integer rule — the
+# q_semdedup_scaled assign CTE; a fixed 4-plane blocker measured 73×
+# at ×10), in-degree histogram with the antihub 0 row via a left join
+# from the corpus.
 EXT_ORACLES["q_knn_hubness"] = f"""
-    WITH e AS MATERIALIZED (
+    WITH cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings),
+    e AS MATERIALIZED (
         SELECT
             vec_id,
             CAST(embedding AS DOUBLE[]) AS v,
-            {_hyperplane_bucket_sql("embedding", n_planes=4, seed=0)}
-                AS bucket
+            substr(
+                {_hyperplane_bucket_sql("embedding", 64, 16)},
+                1,
+                (SELECT CASE WHEN (n - 1) // 128 < 1 THEN 1
+                        ELSE length(bin((n - 1) // 128)) END FROM cnt)
+            ) AS bucket
         FROM embeddings
     ),
     topk AS (

