@@ -211,6 +211,9 @@ HEADLINE_EXT = [
     "q_event_transitions",
     "q_knn_hubness",
     "q_cluster_purity",
+    "q_heaps_fit",
+    "q_js_divergence",
+    "q_gini_concentration",
 ]
 
 

@@ -6364,3 +6364,132 @@ EXT_ORACLES["q_cluster_purity"] = f"""
                AS purity_micro
     FROM tot t JOIN ranked r ON r.cluster_id = t.cluster_id AND r.rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# round-10 fourth wave oracles
+# ---------------------------------------------------------------------------
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    js_term_expr,
+)
+
+# Heaps'-law fit (queries_ext.q_heaps_fit): exponentially spaced
+# cumulative prefixes via bin()-length buckets; cumulative vocab from
+# each word's first-occurrence doc; shared all-double OLS slope text.
+EXT_ORACLES["q_heaps_fit"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, w
+        FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        )
+        WHERE w != ''
+    ),
+    tok_bkt AS (
+        SELECT CAST(length(bin(doc_id + 1)) AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS nt
+        FROM toks GROUP BY 1
+    ),
+    voc_bkt AS (
+        SELECT CAST(length(bin(first_doc + 1)) AS INT) AS k,
+               CAST(COUNT(*) AS BIGINT) AS nv
+        FROM (
+            SELECT w, MIN(doc_id) AS first_doc FROM toks GROUP BY w
+        )
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT k,
+               CAST(SUM(COALESCE(nt, 0)) OVER (
+                   ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_tokens,
+               CAST(SUM(COALESCE(nv, 0)) OVER (
+                   ORDER BY k ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_vocab
+        FROM tok_bkt FULL OUTER JOIN voc_bkt USING (k)
+    ),
+    pts AS (
+        SELECT
+            CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                AS x,
+            CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1000) AS BIGINT)
+                AS y
+        FROM cum WHERE cum_tokens > 0 AND cum_vocab > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM pts
+    ),
+    sl AS (
+        SELECT n, sx, sy, {OLS_SLOPE_MICRO_EXPR} AS beta_micro FROM s
+    )
+    SELECT n AS n_points,
+           beta_micro,
+           CAST((sy * 1000000 - beta_micro * sx) // n AS BIGINT)
+               AS intercept_milli_micro
+    FROM sl
+"""
+
+# Jensen-Shannon divergence (queries_ext.q_js_divergence): per-word
+# micro-rounded terms via the shared js_term_expr text, halves by
+# doc_id parity, normalizers from the vocab rollup.
+EXT_ORACLES["q_js_divergence"] = f"""
+    WITH toks AS (
+        SELECT doc_id % 2 = 0 AS is_p, w
+        FROM (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        )
+        WHERE w != ''
+    ),
+    counts AS MATERIALIZED (
+        SELECT w,
+               CAST(SUM(CASE WHEN is_p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cp,
+               CAST(SUM(CASE WHEN is_p THEN 0 ELSE 1 END) AS BIGINT)
+                   AS cq
+        FROM toks GROUP BY w
+    ),
+    tot AS (
+        SELECT CAST(SUM(cp) AS BIGINT) AS np,
+               CAST(SUM(cq) AS BIGINT) AS nq
+        FROM counts
+    ),
+    terms AS (
+        SELECT {js_term_expr("cp", "cq", "np", "nq")} AS tp,
+               {js_term_expr("cq", "cp", "nq", "np")} AS tq
+        FROM counts CROSS JOIN tot
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vocab,
+           CAST(SUM(tp) AS BIGINT) AS kl_p_micro,
+           CAST(SUM(tq) AS BIGINT) AS kl_q_micro,
+           CAST((SUM(tp) + SUM(tq)) // 2 AS BIGINT) AS js_micro
+    FROM terms
+"""
+
+# Gini concentration (queries_ext.q_gini_concentration): sorted
+# per-source token totals, two truncating divisions mirrored textually.
+EXT_ORACLES["q_gini_concentration"] = """
+    WITH per_src AS (
+        SELECT source,
+               CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                   AS t
+        FROM documents GROUP BY source
+    ),
+    ranked AS (
+        SELECT t,
+               CAST(row_number() OVER (
+                   ORDER BY t ASC, source ASC) AS BIGINT) AS i
+        FROM per_src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(SUM(t) AS BIGINT) AS total_tokens,
+           CAST(2 * SUM(i * t) * 1000000 // (COUNT(*) * SUM(t))
+                - (COUNT(*) + 1) * 1000000 // COUNT(*) AS BIGINT)
+               AS gini_micro
+    FROM ranked
+"""

@@ -1135,13 +1135,13 @@ QUERIES.update(EXT_QUERIES)
 # 7 new r9 wave oracles (each locally driver-sim green at both SFs on
 # declaration), and the 36 oldest parked r5 greens (the 8 displaced r5
 # greens park first below the boundary and lead the r10 window).
-# Round 10's window (2 + 16 + 16 + 16 = 50): q_bleu/q_rouge_n (id
-# aggregates hardened F.first -> F.min, a plan change), the 16 new r10
+# Round 10's window (2 + 19 + 16 + 13 = 50): q_bleu/q_rouge_n (id
+# aggregates hardened F.first -> F.min, a plan change), the 19 new r10
 # wave oracles, the 16 parked r5 greens (oldest in the repo — the r9
-# VERDICT rotation plan), and the 16 oldest r6 greens; after r10 no
-# oracle's latest green is older than r6, and the remaining 31 r6
-# greens lead the r11 window (the 8 parked when the second and third
-# r10 waves displaced them lead those).
+# VERDICT rotation plan), and the 13 oldest r6 greens; after r10 no
+# oracle's latest green is older than r6, and the remaining 34 r6
+# greens lead the r11 window (the 11 parked when the later r10 waves
+# displaced them lead those).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
@@ -1170,6 +1170,9 @@ VERIFY_PRIORITY = [
     "q_event_transitions",
     "q_knn_hubness",
     "q_cluster_purity",
+    "q_heaps_fit",
+    "q_js_divergence",
+    "q_gini_concentration",
     # tier 3 — the 16 parked r5 greens (displaced by the r9 waves;
     # their last green is r5 — the oldest in the repo; the r9 VERDICT
     # item-3 rotation plan says they LEAD this window)
@@ -1189,7 +1192,7 @@ VERIFY_PRIORITY = [
     "q_variant_extract",
     "q_kmv_distinct",
     "q_lateral_topk",
-    # tier 4 — fill with the next-oldest: the first 16 r6 greens
+    # tier 4 — fill with the next-oldest: the first 13 r6 greens
     "q_convert_speed",
     "q_sentinel_map",
     "q_regex_extract",
@@ -1203,18 +1206,18 @@ VERIFY_PRIORITY = [
     "q_asof_join",
     "q_salted_join",
     "q_sessionize",
-    "q_tfidf",
-    "q_embedding_outlier",
-    "q_stats_agg",
-    # 2 changed + 16 new r10 oracles + 16 r5 greens + 16 r6 greens = 50
+    # 2 changed + 19 new r10 oracles + 16 r5 greens + 13 r6 greens = 50
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # Ordered oldest-latest-green first: the remaining 31 r6 greens
-    # (the 8 displaced by the second and third r10 waves lead)
+    # Ordered oldest-latest-green first: the remaining 34 r6 greens
+    # (the 11 displaced by the later r10 waves lead)
     # (they LEAD the r11 window), then the r7 greens, the r8 greens,
     # and the r9-window queries (most recent greens park last).
     "q_scd2_history",
     "q_quality_repetition",
     "q_decontaminate",
+    "q_tfidf",
+    "q_embedding_outlier",
+    "q_stats_agg",
     "q_percentile_exact",
     "q_hopping_window",
     "q_unpivot",

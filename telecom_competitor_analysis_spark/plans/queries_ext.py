@@ -8058,6 +8058,214 @@ def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: OLS of ln(distinct words) on
+    ln(total tokens) across the per-source points — the
+    vocabulary-scaling exponent β (V ≈ K·N^β, β ≈ 0.4-0.6 on natural
+    text: β near 1 flags ID/hash floods inflating the vocab, β near 0
+    flags template spam repeating a tiny vocabulary — the
+    vocabulary-side twin of q_zipf_fit's frequency-side slope).
+
+    Same discipline as q_scaling_fit: milli-rounded logs → exact
+    integer moment sums → the shared all-double slope text
+    (OLS_SLOPE_MICRO_EXPR — SECOND consumer of the r10 overflow-safe
+    form) → integer intercept off the rounded slope.
+
+    The growth CURVE comes from exponentially spaced cumulative
+    prefixes (checkpoint k = docs with id < 2^k, i.e. the bin()-length
+    buckets — the integer-log2 rule again): cumulative tokens per
+    checkpoint from the per-bucket token rollup, cumulative vocabulary
+    from each word's FIRST-occurrence doc (vocab at k = words first
+    seen before 2^k) — cumulative-distinct without ever recounting the
+    corpus per checkpoint. Per-source points would be degenerate (the
+    sources are near-equal sized → no x-spread; measured β = 0.02);
+    prefix checkpoints span the doc-count decades the law is about.
+
+    Scale shape: one token explode → per-bucket partial-aggregable
+    token counts + per-word min-doc (partial min) → two cumulative
+    windows over ≤ 64 checkpoint rows (the bounded-rollup rule) → OLS
+    over the checkpoints."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(words(F.trim(F.col("text")))).alias("w"),
+    ).where(F.col("w") != "")
+    tok_bkt = toks.select(
+        F.expr("CAST(length(bin(doc_id + 1)) AS INT)").alias("k")
+    ).groupBy("k").agg(F.count(F.lit(1)).cast("long").alias("nt"))
+    voc_bkt = (
+        toks.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(
+            F.expr("CAST(length(bin(first_doc + 1)) AS INT)").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    wk = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        tok_bkt.join(voc_bkt, on="k", how="outer")
+        .select(
+            "k",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+            F.coalesce(F.col("nv"), F.lit(0)).alias("nv"),
+        )
+        .select(
+            "k",
+            F.sum("nt").over(wk).cast("long").alias("cum_tokens"),
+            F.sum("nv").over(wk).cast("long").alias("cum_vocab"),
+        )
+        .filter((F.col("cum_tokens") > 0) & (F.col("cum_vocab") > 0))
+    )
+    pts = cum.select(
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1000)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("cum_vocab").cast("double")) * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        F.col("n").alias("n_points"),
+        "sx",
+        "sy",
+        F.expr(OLS_SLOPE_MICRO_EXPR).alias("beta_micro"),
+    ).select(
+        "n_points",
+        "beta_micro",
+        F.expr(
+            "CAST((sy * 1000000 - beta_micro * sx) DIV n_points"
+            " AS BIGINT)"
+        ).alias("intercept_milli_micro"),
+    )
+
+
+# Per-side JS term, ONE shared text per engine: (c_this/n_this) ·
+# ln(2·p_this/(p_this+p_other)) with the probability ratio expanded to
+# the cross-multiplied double form 2·c_this·n_other /
+# (c_this·n_other + c_other·n_this) — every product goes DOUBLE before
+# multiplying (int64 c·N would overflow at ~1e6·1e12), micro-rounded
+# PER TERM so the vocab sum is an exact order-free integer.
+def js_term_expr(c_this: str, c_other: str, n_this: str,
+                 n_other: str) -> str:
+    ct, co, nt, no = c_this, c_other, n_this, n_other
+    return (
+        f"CASE WHEN {ct} = 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE CAST(round((CAST({ct} AS DOUBLE) / {nt})"
+        f" * ln((2.0 * CAST({ct} AS DOUBLE) * {no})"
+        f" / (CAST({ct} AS DOUBLE) * {no}"
+        f" + CAST({co} AS DOUBLE) * {nt}))"
+        " * 1000000, 0) AS BIGINT) END"
+    )
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence between the two corpus halves' word
+    distributions (doc_id parity = the two snapshots — the
+    q_corpus_overlap/q_corpus_drift convention): the bounded, symmetric
+    distribution-drift metric (0 ≤ JS ≤ ln 2) that KS-on-lengths and
+    TVD-on-sources (q_corpus_drift) don't give — content drift at the
+    vocabulary level, the number a crawl pipeline alarms on before a
+    new snapshot poisons the mix.
+
+    JS = ½·KL(P‖M) + ½·KL(Q‖M) with M the midpoint; each per-word term
+    is micro-rounded BEFORE the sum (js_term_expr — the shared text
+    with every product in DOUBLE; the q_ndcg order-free-integer-sum
+    rule), words absent from one side contribute p·ln 2 naturally.
+    The total-count normalizers enter as a 1-row broadcast (the
+    q_pmi_pairs pattern — never a window over the data-scaled vocab).
+
+    Scale shape: one token explode → (word, side) partial-aggregated
+    counts → pivot to (cp, cq) via one more partial-aggregable groupBy
+    → map-side terms → a 1-row sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("is_p"),
+        F.explode(words(F.trim(F.col("text")))).alias("w"),
+    ).where(F.col("w") != "")
+    counts = (
+        toks.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("is_p"), 1).otherwise(0))
+            .cast("long")
+            .alias("cp"),
+            F.sum(F.when(~F.col("is_p"), 1).otherwise(0))
+            .cast("long")
+            .alias("cq"),
+        )
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("cp").cast("long").alias("np"),
+            F.sum("cq").cast("long").alias("nq"),
+        )
+    )
+    terms = counts.crossJoin(totals).select(
+        F.expr(js_term_expr("cp", "cq", "np", "nq")).alias("tp"),
+        F.expr(js_term_expr("cq", "cp", "nq", "np")).alias("tq"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.sum("tp").cast("long").alias("kl_p_micro"),
+        F.sum("tq").cast("long").alias("kl_q_micro"),
+        F.expr(
+            "CAST((SUM(tp) + SUM(tq)) DIV 2 AS BIGINT)"
+        ).alias("js_micro"),
+    )
+
+
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the token mass across sources — the
+    corpus-concentration audit a mix designer reads next to
+    q_temperature_mix/q_domain_cap (G near 0 = balanced mix, G near 1
+    = one source owns the corpus; the single number that says whether
+    capping/temperature reweighting has anything to do). Exact discrete
+    Gini over the SORTED per-source token totals:
+    G = 2·Σ i·t_(i) / (n·T) − (n+1)/n, ranks ascending with the
+    (tokens, source) total tie order.
+
+    All-integer: two truncating divisions mirrored textually in both
+    engines; the rank window runs over the BOUNDED per-source rollup
+    (the q_shard_balance rule). int64 bound: 2·Σ i·t_i·1e6 ≤
+    2·n²·T·1e6 — safe to T ≈ 10¹² tokens at n ≤ 32 sources (the
+    q_scaling_fit audit rule, documented here).
+
+    Scale shape: one partial-aggregable groupBy(source), one window
+    over ≤ |sources| rows, one 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select(
+            "source",
+            F.size(F.split(F.trim(F.col("text")), " "))
+            .cast("long")
+            .alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("t"))
+    )
+    w = Window.orderBy(F.col("t").asc(), F.col("source").asc())
+    ranked = per_src.select(
+        "t", F.row_number().over(w).cast("long").alias("i")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.sum("t").cast("long").alias("total_tokens"),
+        F.expr(
+            "CAST(2 * SUM(i * t) * 1000000 DIV (COUNT(1) * SUM(t))"
+            " - (COUNT(1) + 1) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -8075,6 +8283,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_event_transitions": q_event_transitions,
     "q_knn_hubness": q_knn_hubness,
     "q_cluster_purity": q_cluster_purity,
+    "q_heaps_fit": q_heaps_fit,
+    "q_js_divergence": q_js_divergence,
+    "q_gini_concentration": q_gini_concentration,
     "q_bleu": q_bleu,
     "q_bootstrap_ci": q_bootstrap_ci,
     "q_mmr_select": q_mmr_select,

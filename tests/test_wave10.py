@@ -288,3 +288,28 @@ def test_cluster_purity_bounds(spark, sf_dir):
         assert 1 <= r.top_count <= r.n_vectors
         assert 0 < r.purity_micro <= 1_000_000
         assert 0 <= r.top_label <= 9
+
+
+def test_heaps_fit_checkpoints_and_beta_range(spark, sf_dir):
+    r = EXT_QUERIES["q_heaps_fit"](spark, sf_dir).collect()[0]
+    # checkpoints are bin-length buckets: bounded by log2(max doc id)
+    assert 2 <= r.n_points <= 64
+    # beta in [0, 1]: 0 = saturated vocab (this synthetic corpus is
+    # template-y by construction), 1 = every token new
+    assert 0 <= r.beta_micro <= 1_000_000
+
+
+def test_js_divergence_bounds_and_symmetry_shape(spark, sf_dir):
+    r = EXT_QUERIES["q_js_divergence"](spark, sf_dir).collect()[0]
+    # 0 <= JS <= ln 2 (693147 micro); halves of one corpus sit near 0
+    assert 0 <= r.js_micro <= 693148
+    assert r.js_micro == (r.kl_p_micro + r.kl_q_micro) // 2
+    assert r.n_vocab >= 1
+
+
+def test_gini_bounds(spark, sf_dir):
+    r = EXT_QUERIES["q_gini_concentration"](spark, sf_dir).collect()[0]
+    # discrete Gini with the truncating-division form can dip a hair
+    # under 0 on perfectly balanced data; bound with the 1/n slack
+    assert -1_000_000 // r.n_sources <= r.gini_micro < 1_000_000
+    assert r.total_tokens > 0
