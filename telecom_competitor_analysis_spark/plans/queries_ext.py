@@ -7347,13 +7347,16 @@ def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle).
 
     Scale shape: char-gram explode is 2 rows per character (the
-    q_char_entropy cost class); every aggregate partial-aggregates on
-    (pair, order, gram) then (pair, order) then (pair) — no window over
-    a data-scaled partition, no pair-vs-pair stage. The scan carries
-    the shared ensure_parallelism guard: the whitespace-strip + 3×
-    char-gram explode is compute-bound, and a small parquet's 1-2
-    splits serialize it (×10 probe: 10.2× before the guard — the
-    q_fertility class)."""
+    q_char_entropy cost class) and is traversed exactly ONCE — ref and
+    cand counts come out of a single groupBy(pair, order, gram) with
+    conditional aggregates (the r10 verdict's refden leg re-derived the
+    pipeline a third time; measured 60.8 s at ×100). Every aggregate
+    partial-aggregates on (pair, order, gram) then (pair, order) then
+    (pair) — no window over a data-scaled partition, no pair-vs-pair
+    stage. The scan carries the shared ensure_parallelism guard: the
+    whitespace-strip + char-gram explode is compute-bound, and a small
+    parquet's 1-2 splits serialize it (×10 probe: 10.2× before the
+    guard — the q_fertility class)."""
     from telecom_competitor_analysis_spark.operators.dedup import (
         ensure_parallelism,
     )
@@ -7390,29 +7393,32 @@ def q_chrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = gram_parts[0]
     for gp in gram_parts[1:]:
         grams = grams.unionByName(gp)
-    ref = grams.filter("is_ref").groupBy("pair_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    refden = ref.groupBy("pair_id", "n").agg(
-        F.sum("rc").cast("long").alias("den_r")
-    )
-    cand = grams.filter(~F.col("is_ref")).groupBy(
-        "pair_id", "n", "gram"
-    ).agg(
-        F.count(F.lit(1)).alias("cc"),
-        F.min("doc_id").alias("cand_id"),
+    # One pass over the gram stream: ref and cand counts as conditional
+    # aggregates of the SAME groupBy — the subtree has a single consumer,
+    # so the explode runs once (not once per leg; least() must be guarded
+    # because both engines' least() skips NULLs, which would wrongly
+    # credit ref-only grams).
+    merged = grams.groupBy("pair_id", "n", "gram").agg(
+        F.sum(F.when(F.col("is_ref"), F.lit(1))).alias("rc"),
+        F.sum(F.when(~F.col("is_ref"), F.lit(1))).alias("cc"),
+        F.min(F.when(~F.col("is_ref"), F.col("doc_id"))).alias("cand_id"),
     )
     per_n = (
-        cand.join(ref, ["pair_id", "n", "gram"], "left")
-        .groupBy("pair_id", "n")
+        merged.groupBy("pair_id", "n")
         .agg(
             F.min("cand_id").alias("cand_id"),
             F.sum("cc").cast("long").alias("den_c"),
-            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+            F.sum("rc").cast("long").alias("den_r"),
+            F.sum(
+                F.when(
+                    F.col("cc").isNotNull(),
+                    F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))),
+                )
+            )
             .cast("long")
             .alias("clip"),
         )
-        .join(refden, ["pair_id", "n"])
+        .filter("den_c IS NOT NULL AND den_r IS NOT NULL")
         .select(
             "pair_id",
             "n",
