@@ -4810,36 +4810,63 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     static; production would loop to a tolerance with the same body.
 
     Multiplicity pre-aggregation (the documented r8 lever, probed r10
-    and found MOOT here): grouping identical (part, supplier, price)
+    and found MOOT here, wired behind ``spark.graft.btPreagg`` r11 per
+    VERDICT item 6): grouping identical (part, supplier, price)
     triples to a multiplicity m before the comparison join — with pair
-    weights m_a·m_b — is exact under these semantics and cuts pair
-    volume quadratically in the duplicate rate. Measured on this
-    testdata: 60,000/60,000 (sf0.01) and 600,000/600,000 (sf0.1)
-    triples are DISTINCT → raw-vs-preagg pair volume ratio exactly
-    1.0; the pre-agg would add one corpus-wide exchange for zero pair
-    reduction, so it stays a documented lever, to be enabled when a
-    real preference corpus shows duplicate comparisons (common in
-    RLHF dedup'd-prompt data, absent in price quotes keyed by
-    quantity)."""
+    weights m_a·m_b — is exact under these semantics (the join keys on
+    part + strict supplier order, never row identity, so every raw
+    row-pair between two duplicate triples carries the identical
+    comparison outcome) and cuts pair volume quadratically in the
+    duplicate rate. Measured on this testdata: 60,000/60,000 (sf0.01)
+    and 600,000/600,000 (sf0.1) triples are DISTINCT → raw-vs-preagg
+    pair volume ratio exactly 1.0; the pre-agg would add one
+    corpus-wide exchange for zero pair reduction, so the flag DEFAULTS
+    OFF for this corpus and exists for real preference corpora with
+    duplicate comparisons (common in RLHF dedup'd-prompt data, absent
+    in price quotes keyed by quantity). The weighted-equals-raw
+    equality is pinned on a planted-duplicate fixture in
+    tests/test_wave11.py."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey",
         "l_suppkey",
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
     )
+    preagg = spark.conf.get("spark.graft.btPreagg", "false") == "true"
+    if preagg:
+        li = li.groupBy("l_partkey", "l_suppkey", "pc").agg(
+            F.count(F.lit(1)).cast("long").alias("m")
+        )
     a, b = li.alias("a"), li.alias("b")
     raw = a.join(
         b,
         (F.col("a.l_partkey") == F.col("b.l_partkey"))
         & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
     ).where(F.col("a.pc") != F.col("b.pc"))
-    pairs = raw.groupBy(
-        F.col("a.l_suppkey").alias("sa"), F.col("b.l_suppkey").alias("sb")
-    ).agg(
-        F.sum(
-            F.when(F.col("a.pc") < F.col("b.pc"), 1).otherwise(0)
-        ).alias("w"),
-        F.count(F.lit(1)).alias("n"),
-    )
+    if preagg:
+        pairs = raw.groupBy(
+            F.col("a.l_suppkey").alias("sa"),
+            F.col("b.l_suppkey").alias("sb"),
+        ).agg(
+            F.sum(
+                F.when(
+                    F.col("a.pc") < F.col("b.pc"),
+                    F.col("a.m") * F.col("b.m"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("w"),
+            F.sum(F.col("a.m") * F.col("b.m")).cast("long").alias("n"),
+        )
+    else:
+        pairs = raw.groupBy(
+            F.col("a.l_suppkey").alias("sa"),
+            F.col("b.l_suppkey").alias("sb"),
+        ).agg(
+            F.sum(
+                F.when(F.col("a.pc") < F.col("b.pc"), 1).otherwise(0)
+            ).alias("w"),
+            F.count(F.lit(1)).alias("n"),
+        )
     sym = pairs.select(
         F.col("sa").alias("i"), F.col("sb").alias("j"), "w", "n"
     ).unionByName(
