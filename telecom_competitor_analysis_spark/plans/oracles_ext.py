@@ -6493,3 +6493,179 @@ EXT_ORACLES["q_gini_concentration"] = """
                AS gini_micro
     FROM ranked
 """
+
+# --- round 11 ------------------------------------------------------------
+
+# BPE merge application (queries_ext.q_bpe_apply): mine the top-8 char
+# pairs (the q_bpe_merges text, LIMIT 8), then 8 unrolled merge rounds
+# over the space-delimited char string. Each round's fold body is the
+# SHARED text BPE_MERGE_LAMBDA (queries_ext) — Spark spells the fold
+# aggregate(split(t,' '), '', ...), DuckDB list_reduce(list_prepend('',
+# string_split(t,' ')), ...): same '' init, same element order, same
+# lambda. A missing merge row arrives as NULL a/b = identity round in
+# both engines. All CTEs MATERIALIZED (the 431 s inline-per-reference
+# lesson).
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    BPE_APPLY_TOPM,
+    BPE_APPLY_TOPWORDS,
+    BPE_MERGE_LAMBDA,
+    BLOCKLIST_RULES,
+)
+
+
+def _bpe_apply_oracle() -> str:
+    rounds = []
+    for r in range(1, BPE_APPLY_TOPM + 1):
+        body = BPE_MERGE_LAMBDA.format(a="m.a", b="m.b")
+        rounds.append(f"""
+    r{r} AS MATERIALIZED (
+        SELECT word, freq,
+               list_reduce(list_prepend('', string_split(t, ' ')),
+                           (acc, x) -> {body}) AS t
+        FROM r{r - 1},
+             (SELECT min(substr(pair, 1, 1)) AS a,
+                     min(substr(pair, 2, 1)) AS b
+              FROM merges WHERE rank = {r}) m
+    )""")
+    return f"""
+    WITH tok AS MATERIALIZED (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    vocab AS MATERIALIZED (
+        SELECT word, COUNT(*)::BIGINT AS freq
+        FROM tok WHERE word != '' GROUP BY word
+    ),
+    mine AS MATERIALIZED (
+        SELECT substr(word, i, 2) AS pair, SUM(freq)::BIGINT AS cnt
+        FROM (SELECT word, freq,
+                     UNNEST(generate_series(1, len(word) - 1)) AS i
+              FROM vocab WHERE len(word) >= 2)
+        GROUP BY 1
+    ),
+    merges AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY cnt DESC, pair ASC) AS INT) AS rank,
+               pair
+        FROM mine
+        ORDER BY rank LIMIT {BPE_APPLY_TOPM}
+    ),
+    r0 AS MATERIALIZED (
+        SELECT word, freq,
+               array_to_string(string_split(word, ''), ' ') AS t
+        FROM vocab
+    ),{",".join(rounds)}
+    SELECT rank, word, freq, t AS bpe_tokens,
+           CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens
+    FROM (SELECT *, CAST(row_number() OVER (
+              ORDER BY freq DESC, word ASC) AS INT) AS rank
+          FROM r{BPE_APPLY_TOPM})
+    WHERE rank <= {BPE_APPLY_TOPWORDS}
+    ORDER BY rank
+"""
+
+
+EXT_ORACLES["q_bpe_apply"] = _bpe_apply_oracle()
+
+# Distinct-n diversity per source (queries_ext.q_distinct_ngrams):
+# unigram/bigram distinct ratios in integer micro; bigram slots only
+# for docs with >= 2 words (Spark's sequence(1,0) would DESCEND, so
+# both engines guard the length — DuckDB's generate_series(1,0) is
+# empty, making the guard a no-op here but keeping the texts aligned).
+EXT_ORACLES["q_distinct_ngrams"] = """
+    WITH ws AS MATERIALIZED (
+        SELECT source, string_split(trim(text), ' ') AS ws
+        FROM documents
+    ),
+    uni AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS d1
+        FROM (SELECT source, unnest(ws) AS w FROM ws)
+        GROUP BY source
+    ),
+    big AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT bg) AS BIGINT) AS d2
+        FROM (SELECT source,
+                     unnest(list_transform(
+                         generate_series(1, len(ws) - 1),
+                         i -> concat(ws[i], ' ', ws[i + 1]))) AS bg
+              FROM ws WHERE len(ws) >= 2)
+        GROUP BY source
+    )
+    SELECT u.source, u.n_tokens,
+           CAST(u.d1 * 1000000 // u.n_tokens AS BIGINT)
+               AS distinct1_micro,
+           b.n_bigrams,
+           CAST(b.d2 * 1000000 // b.n_bigrams AS BIGINT)
+               AS distinct2_micro
+    FROM uni u JOIN big b USING (source)
+"""
+
+# Blocklist screen (queries_ext.q_blocklist_screen): the rules VALUES
+# literal is generated from the SAME Python tuple as the Spark
+# createDataFrame, so the two engines can never screen different rules.
+_BLOCKLIST_VALUES = ",\n        ".join(
+    f"({rid}, '{term}', '{action}')"
+    for rid, term, action in BLOCKLIST_RULES
+)
+EXT_ORACLES["q_blocklist_screen"] = f"""
+    WITH rules(rule_id, term, action) AS (
+        VALUES {_BLOCKLIST_VALUES}
+    ),
+    tok AS (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        FROM documents
+    ),
+    hits AS (
+        SELECT r.rule_id,
+               CAST(COUNT(*) AS BIGINT) AS h,
+               CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS d,
+               CAST(MIN(t.doc_id) AS BIGINT) AS fd
+        FROM tok t JOIN rules r ON t.w = r.term
+        GROUP BY r.rule_id
+    )
+    SELECT CAST(r.rule_id AS INT) AS rule_id, r.term, r.action,
+           CAST(COALESCE(h.d, 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+           h.fd AS first_doc
+    FROM rules r LEFT JOIN hits h USING (rule_id)
+"""
+
+# Event run-length audit (queries_ext.q_event_runs): islands by value
+# change per user, order (ts, event_id) — unique tiebreak, and the
+# running sum spells ROWS explicitly so the frame can never differ.
+EXT_ORACLES["q_event_runs"] = """
+    WITH marked AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        = event_type
+                    THEN 0 ELSE 1 END AS new_run
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_type,
+               SUM(new_run)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS run_id
+        FROM marked
+    ),
+    per_run AS (
+        SELECT user_id, run_id, event_type,
+               CAST(COUNT(*) AS BIGINT) AS len
+        FROM flagged GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(len) AS BIGINT) AS n_events,
+           CAST(MAX(len) AS BIGINT) AS max_run_len,
+           CAST(SUM(CASE WHEN len >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_runs,
+           CAST(SUM(CASE WHEN len >= 2 THEN len ELSE 0 END) * 1000000
+                // SUM(len) AS BIGINT) AS repeat_micro
+    FROM per_run GROUP BY event_type
+"""

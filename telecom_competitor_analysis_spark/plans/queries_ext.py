@@ -8299,6 +8299,298 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round 11: tokenizer application, diversity, screens, run audits ----
+
+BPE_APPLY_TOPM = 8  # merges applied, in mined rank order
+BPE_APPLY_TOPWORDS = 20
+
+# One merge round as a left-to-right fold over the space-delimited token
+# string (Sennrich et al. 2016's replace pass): the incoming char x
+# fuses into the accumulator's LAST token iff that token is exactly the
+# merge's left symbol {a} and x is the right symbol {b}. "Last token
+# equals a" is spelled acc = a (single-token acc) OR acc ends with
+# ' '||a — substr, not LIKE, so no pattern-escaping hazard when a is a
+# regex/LIKE metacharacter. SHARED lambda body between Spark
+# (aggregate(..., '', (acc, x) -> BODY)) and DuckDB
+# (list_reduce(list_prepend('', ...), (acc, x) -> BODY)) — both spell
+# the same fold over the same list with the same '' init, so merged
+# tokenizations can never drift. A missing merge row (corpus with fewer
+# than TOPM mined pairs) arrives as NULL a/b: every CASE guard is NULL
+# -> ELSE, an identity round in both engines.
+BPE_MERGE_LAMBDA = (
+    "CASE WHEN acc = '' THEN x "
+    "WHEN (acc = {a} OR substr(acc, length(acc) - 1, 2) = concat(' ', {a}))"
+    " AND x = {b} THEN concat(acc, x) "
+    "ELSE concat(acc, ' ', x) END"
+)
+
+
+def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge APPLICATION (r10 VERDICT item 7) — the tokenization
+    step itself, closing the tokenizer story: q_bpe_merges MINES the
+    candidate pair table; this query APPLIES the top-8 mined merges, in
+    rank order, to every vocabulary word (Sennrich et al. 2016's
+    left-to-right replace pass per merge), and reports the top-20 words
+    by frequency with their merged tokenization and post-merge token
+    count — the table a tokenizer-regression check diffs between
+    corpus snapshots.
+
+    Exactness: the application is pure string folding (no FP anywhere);
+    the per-round fold body is the SHARED text BPE_MERGE_LAMBDA, so the
+    two engines run literally the same merge rule. Overlap semantics
+    match Sennrich's scan ("aaa" + merge (a,a) -> ["aa","a"]): a token
+    produced by a merge can never re-match as the LEFT symbol of the
+    same merge (left symbols are single chars, merged tokens are 2+).
+
+    Scale shape: merges are applied to the DISTINCT VOCABULARY (one
+    groupBy(word) collapses the corpus token stream first — the
+    q_bpe_merges discipline), so the 8 fold rounds touch |vocab| short
+    strings, not corpus tokens. The 8-row merge table is
+    localCheckpointed (bounded state, the MMR/kcore discipline —
+    without it each of the 8 crossJoin references re-derives the
+    corpus-wide mining), and each round enters as a 1-row broadcast
+    aggregate, never a driver collect. The top-20 window is a global
+    sort over |vocab| — vocabulary-bounded, not corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("word") != "")
+    )
+    mine = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    wm = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    merges = (
+        mine.withColumn("rank", F.row_number().over(wm).cast("int"))
+        .filter(F.col("rank") <= BPE_APPLY_TOPM)
+        .select("rank", "pair")
+    ).localCheckpoint()
+    cur = vocab.withColumn(
+        "t", F.concat_ws(" ", F.split(F.col("word"), ""))
+    )
+    for r in range(1, BPE_APPLY_TOPM + 1):
+        m = F.broadcast(
+            merges.filter(F.col("rank") == r).agg(
+                F.min(F.substring("pair", 1, 1)).alias(f"__a{r}"),
+                F.min(F.substring("pair", 2, 1)).alias(f"__b{r}"),
+            )
+        )
+        cur = (
+            cur.crossJoin(m)
+            .withColumn(
+                "t",
+                F.expr(
+                    "aggregate(split(t, ' '), '', (acc, x) -> "
+                    + BPE_MERGE_LAMBDA.format(a=f"__a{r}", b=f"__b{r}")
+                    + ")"
+                ),
+            )
+            .drop(f"__a{r}", f"__b{r}")
+        )
+    wt = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+    return (
+        cur.withColumn("rank", F.row_number().over(wt).cast("int"))
+        .filter(F.col("rank") <= BPE_APPLY_TOPWORDS)
+        .select(
+            "rank",
+            "word",
+            "freq",
+            F.col("t").alias("bpe_tokens"),
+            F.size(F.split(F.col("t"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity per source (Li et al. NAACL 2016's
+    distinct-1/distinct-2, the standard text-diversity readout): the
+    fraction of a source's unigram and bigram slots filled by DISTINCT
+    grams. Complements the repetition family from the other side:
+    q_quality_repetition flags duplication WITHIN a doc,
+    q_ngram_novelty scores a doc against the REST of the corpus — this
+    is the per-SOURCE aggregate a mixing decision reads (a low
+    distinct-2 source is template spam; its tokens buy less training
+    signal than its count suggests).
+
+    Integer-exact: counts and distinct counts are exact aggregates,
+    ratios are single integer micro divisions.
+
+    Scale shape: both legs are partial-aggregable groupBys keyed on
+    (source, gram) then source; the bigram explode is corpus-linear and
+    map-side; no window, no join wider than |sources| rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "source", words(F.trim(F.col("text"))).alias("ws")
+    )
+    uni = (
+        ws.select("source", F.explode("ws").alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.countDistinct("w").cast("long").alias("d1"),
+        )
+    )
+    big = (
+        ws.filter(F.size("ws") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " concat(element_at(ws, i), ' ',"
+                    " element_at(ws, i + 1)))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.countDistinct("bg").cast("long").alias("d2"),
+        )
+    )
+    return uni.join(big, on="source").select(
+        "source",
+        "n_tokens",
+        F.expr("CAST(d1 * 1000000 DIV n_tokens AS BIGINT)").alias(
+            "distinct1_micro"
+        ),
+        "n_bigrams",
+        F.expr("CAST(d2 * 1000000 DIV n_bigrams AS BIGINT)").alias(
+            "distinct2_micro"
+        ),
+    )
+
+
+# (rule_id, term, action) — the inline stand-in for the blocklist TABLE
+# a safety/compliance screen broadcasts; terms chosen so the synthetic
+# corpus exercises both hit and zero-hit rules (zero-hit rules MUST
+# still report, which is why the join below is a LEFT join from rules).
+BLOCKLIST_RULES = (
+    (1, "slow", "flag"),
+    (2, "error", "flag"),
+    (3, "crash", "drop"),
+    (4, "spam", "drop"),
+    (5, "the", "flag"),
+    (6, "hack", "drop"),
+)
+
+
+def q_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist screening with per-rule attribution — the
+    safety/compliance sweep every curation pipeline runs (which rule
+    fired, how often, on how many docs) and the audit table that
+    decides whether a rule is earning its false-positive budget. Exact
+    WORD match against the token stream via a broadcast equi-join —
+    never a per-rule LIKE scan over the corpus (r rules × corpus
+    substring scans; the equi-join is one pass with the rules table as
+    the broadcast build side).
+
+    Zero-hit rules still report (n_docs = n_hits = 0, null first_doc):
+    the final join is LEFT from the rules table.
+
+    Scale shape: token explode is map-side; one partial-aggregated
+    groupBy(rule); the rules side is O(rules) rows broadcast at both
+    join points."""
+    rules = spark.createDataFrame(
+        list(BLOCKLIST_RULES), "rule_id int, term string, action string"
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(words(F.trim(F.col("text")))).alias("w")
+    )
+    hits = (
+        tok.join(F.broadcast(rules), tok["w"] == rules["term"])
+        .groupBy("rule_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("h"),
+            F.countDistinct("doc_id").cast("long").alias("d"),
+            F.min("doc_id").cast("long").alias("fd"),
+        )
+    )
+    return (
+        rules.join(hits, on="rule_id", how="left")
+        .select(
+            "rule_id",
+            "term",
+            "action",
+            F.coalesce(F.col("d"), F.lit(0)).cast("long").alias("n_docs"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("n_hits"),
+            F.col("fd").alias("first_doc"),
+        )
+    )
+
+
+def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length (gaps-and-islands) audit of per-user event streams —
+    the format-validation shape a dialogue/SFT pipeline runs on
+    conversation data ("roles must alternate"; a run of length >= 2 is
+    a violation) and the classic islands idiom the window family was
+    missing: q_sessionize cuts on time GAPS, this cuts on VALUE CHANGE.
+    Per event type: how many maximal same-type runs, the longest run,
+    and what fraction of events sit inside repeat runs.
+
+    Determinism: the per-user order is (ts, event_id) — event_id is
+    unique, so lag and the running sum see one total order in both
+    engines; the running sum is an explicit ROWS frame (DuckDB's
+    default RANGE frame equals ROWS here only because the order key is
+    unique — spelling ROWS pins it).
+
+    Scale shape: one window family partitioned by user_id (bounded
+    per-user rows — the q_event_transitions partition discipline), one
+    groupBy(user, run) with map-side combine, then a final aggregate
+    over event types (bounded output)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w) == F.col("event_type"), 0
+        )
+        .otherwise(1)
+        .alias("new_run"),
+    )
+    runs = flagged.select(
+        "user_id",
+        "event_type",
+        F.sum("new_run")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("run_id"),
+    )
+    per_run = runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("len")
+    )
+    return per_run.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum("len").cast("long").alias("n_events"),
+        F.max("len").cast("long").alias("max_run_len"),
+        F.sum(F.when(F.col("len") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_repeat_runs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN len >= 2 THEN len ELSE 0 END) * 1000000"
+            " DIV SUM(len) AS BIGINT)"
+        ).alias("repeat_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -8482,4 +8774,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_impute_median": q_impute_median,
     "q_maxsim_index": q_maxsim_index,
     "q_multiprobe_lsh": q_multiprobe_lsh,
+    "q_bpe_apply": q_bpe_apply,
+    "q_distinct_ngrams": q_distinct_ngrams,
+    "q_blocklist_screen": q_blocklist_screen,
+    "q_event_runs": q_event_runs,
 }

@@ -113,3 +113,68 @@ def test_bt_default_path_unflagged_matches_sf(spark, sf_dir):
     finally:
         spark.conf.unset("spark.graft.btPreagg")
     assert base == flagged
+
+
+# --- sub-wave A: bpe_apply / distinct_ngrams / blocklist / event_runs ----
+
+
+def test_bpe_apply_tokens_reassemble_and_merge(spark, sf_dir):
+    rows = EXT_QUERIES["q_bpe_apply"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert [r.rank for r in rows] == list(range(1, 21))
+    merged_any = False
+    for r in rows:
+        toks = r.bpe_tokens.split(" ")
+        assert "".join(toks) == r.word  # application is lossless
+        assert r.n_tokens == len(toks)
+        assert r.n_tokens <= len(r.word)
+        merged_any |= any(len(t) >= 2 for t in toks)
+    assert merged_any  # at least one merge actually applied
+
+
+def test_bpe_merge_lambda_overlap_semantics(spark):
+    # Sennrich overlap rule: "aaa" + merge (a,a) -> ["aa", "a"],
+    # never ["a", "aa"] and never a triple merge
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        BPE_MERGE_LAMBDA,
+    )
+
+    body = BPE_MERGE_LAMBDA.format(a="'a'", b="'a'")
+    out = spark.sql(
+        f"SELECT aggregate(split('a a a', ' '), '', (acc, x) -> {body})"
+        " AS t"
+    ).collect()[0].t
+    assert out == "aa a"
+
+
+def test_distinct_ngrams_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_distinct_ngrams"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.distinct1_micro <= 1_000_000
+        assert 0 < r.distinct2_micro <= 1_000_000
+        # bigram slots = token slots - one per multi-word doc
+        assert r.n_bigrams < r.n_tokens
+
+
+def test_blocklist_zero_hit_rules_still_report(spark, sf_dir):
+    rows = {r.rule_id: r for r in
+            EXT_QUERIES["q_blocklist_screen"](spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    assert rows[1].n_hits > 0 and rows[1].first_doc is not None
+    assert rows[4].n_hits == 0 and rows[4].n_docs == 0
+    assert rows[4].first_doc is None
+
+
+def test_event_runs_partition_totals(spark, sf_dir):
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = EXT_QUERIES["q_event_runs"](spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == total
+    for r in rows:
+        assert r.n_runs >= r.n_repeat_runs
+        assert 0 <= r.repeat_micro <= 1_000_000
+        assert r.max_run_len >= 1
