@@ -6669,3 +6669,160 @@ EXT_ORACLES["q_event_runs"] = """
                 // SUM(len) AS BIGINT) AS repeat_micro
     FROM per_run GROUP BY event_type
 """
+
+# RBO@10 (queries_ext.q_rbo): same exact/LSH legs as q_ndcg; each
+# matched doc contributes the inlined integer literal
+# COEF[max(exact_rank, approx_rank)] — RBO_COEF_CASE is the SHARED text
+# (Python precomputes the p-series; pow never runs in either engine).
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    RBO_COEF_CASE,
+    T_CLOSENESS_THRESHOLD_MICRO,
+)
+
+EXT_ORACLES["q_rbo"] = f"""
+    WITH exact0 AS ({EXT_ORACLES["q_embedding_topk"]}),
+    approx0 AS ({EXT_ORACLES["q_embedding_lsh_topk"]}),
+    exact AS (
+        SELECT query_id, neighbor_id, rank AS exact_rank FROM exact0
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id, rank AS approx_rank FROM approx0
+    ),
+    matched AS (
+        SELECT e.query_id, {RBO_COEF_CASE} AS coef
+        FROM approx a
+        JOIN exact e
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    ),
+    per_q AS (
+        SELECT query_id,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(coef) AS BIGINT) AS rbo_micro
+        FROM matched GROUP BY query_id
+    ),
+    universe AS (SELECT DISTINCT query_id FROM exact)
+    SELECT u.query_id,
+           CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+           CAST(COALESCE(p.rbo_micro, 0) AS BIGINT) AS rbo_micro
+    FROM universe u LEFT JOIN per_q p USING (query_id)
+"""
+
+# Two-stage rerank (queries_ext.q_two_stage_rerank): the q_pq_ann CTE
+# chain's ranked table cut at the coarse top-50, re-ranked by the exact
+# squared-L2 that rides along — same tie-breaks ((approx_dist, vec_id)
+# coarse, (exact_dist, vec_id) refine) in both engines.
+EXT_ORACLES["q_two_stage_rerank"] = f"""
+    WITH {_PQ_CTES},
+    coarse AS (
+        SELECT qid AS query_id, vec_id,
+               CAST(rn AS INT) AS approx_rank, approx_dist, exact_dist
+        FROM ranked WHERE rn <= 50
+    ),
+    refined AS (
+        SELECT query_id, vec_id, exact_dist, approx_rank,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY exact_dist, vec_id) AS INT) AS rank
+        FROM coarse
+    )
+    SELECT query_id, rank, vec_id, exact_dist, approx_rank,
+           CAST(approx_rank - rank AS INT) AS moved
+    FROM refined WHERE rank <= 10
+"""
+
+# ECE bins (queries_ext.q_ece): classifier + Gopher oracles composed
+# verbatim (the q_quality_calibration pattern); confidence is min-max
+# normalized score in integer micro with the bounds as a 1-row
+# aggregate; 10 equal-width bins, top edge folded into bin 9.
+EXT_ORACLES["q_ece"] = f"""
+    WITH model AS (
+        SELECT doc_id, score_micro
+        FROM ({EXT_ORACLES["q_quality_classifier"]})
+        WHERE score_micro IS NOT NULL
+    ),
+    gopher AS (
+        SELECT doc_id, passes FROM ({EXT_ORACLES["q_gopher_rules"]})
+    ),
+    j AS (
+        SELECT m.doc_id, m.score_micro, g.passes
+        FROM model m JOIN gopher g USING (doc_id)
+    ),
+    bounds AS (
+        SELECT MIN(score_micro) AS min_s, MAX(score_micro) AS max_s
+        FROM j
+    ),
+    b AS (
+        SELECT j.passes,
+               CASE WHEN bounds.max_s = bounds.min_s
+                    THEN CAST(500000 AS BIGINT)
+                    ELSE CAST((j.score_micro - bounds.min_s) * 1000000
+                         // (bounds.max_s - bounds.min_s) AS BIGINT)
+               END AS conf_micro
+        FROM j, bounds
+    ),
+    binned AS (
+        SELECT passes, conf_micro,
+               CAST(least(9, conf_micro // 100000) AS INT) AS bin
+        FROM b
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(conf_micro) // COUNT(*) AS BIGINT)
+               AS avg_conf_micro,
+           CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS pass_micro,
+           CAST(abs(SUM(conf_micro) // COUNT(*)
+                - SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*)) AS BIGINT) AS gap_micro
+    FROM binned GROUP BY bin
+"""
+
+# t-closeness (queries_ext.q_t_closeness): q_l_diversity's QI classes,
+# TVD between class and global segment distributions; absent cells
+# enter with probability 0 via the class x segment cross join.
+EXT_ORACLES["q_t_closeness"] = f"""
+    WITH base AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               c_mktsegment
+        FROM customer
+    ),
+    cls_seg AS (
+        SELECT c_nationkey, bal_band, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_cs
+        FROM base GROUP BY 1, 2, 3
+    ),
+    cls AS (
+        SELECT c_nationkey, bal_band, CAST(SUM(n_cs) AS BIGINT) AS n_c
+        FROM cls_seg GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tot FROM base),
+    seg AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) * 1000000 // (SELECT n_tot FROM tot)
+                    AS BIGINT) AS p_g_micro
+        FROM base GROUP BY c_mktsegment
+    ),
+    cells AS (
+        SELECT cls.c_nationkey, cls.bal_band, cls.n_c,
+               abs(CAST(COALESCE(cs.n_cs, 0) * 1000000 // cls.n_c
+                        AS BIGINT) - seg.p_g_micro) AS d
+        FROM cls CROSS JOIN seg
+        LEFT JOIN cls_seg cs
+          ON cs.c_nationkey = cls.c_nationkey
+         AND cs.bal_band = cls.bal_band
+         AND cs.c_mktsegment = seg.c_mktsegment
+    ),
+    per_class AS (
+        SELECT c_nationkey, bal_band, n_c,
+               CAST(SUM(d) // 2 AS BIGINT) AS t_micro
+        FROM cells GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MAX(t_micro) AS BIGINT) AS max_t_micro,
+           CAST(SUM(CASE WHEN t_micro > {T_CLOSENESS_THRESHOLD_MICRO}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_classes,
+           CAST(SUM(CASE WHEN t_micro > {T_CLOSENESS_THRESHOLD_MICRO}
+                    THEN n_c ELSE 0 END) AS BIGINT) AS n_risky_rows
+    FROM per_class
+"""

@@ -8591,6 +8591,285 @@ def q_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RBO@10 coefficients (Webber et al. TOIS 2010), p = 0.9: a doc matched
+# in both rankings first becomes visible at depth m = max(exact_rank,
+# approx_rank) and then contributes p^(d-1)/d at every deeper prefix, so
+# its total weight is COEF[m] = Σ_{d=m..10} p^(d-1)/d, normalized by the
+# identical-lists total Σ_{d=1..10} p^(d-1) (A_d = d at every depth).
+# Computed ONCE here in Python and inlined as integer literals into BOTH
+# engines (the band_tuning / IDCG10_MICRO convention: the transcendental
+# pow never runs inside either engine) — per-query RBO is then a plain
+# integer sum.
+RBO_P = 0.9
+RBO_K = 10
+
+
+def _rbo_coef_micro() -> list[int]:
+    norm = sum(RBO_P ** (d - 1) for d in range(1, RBO_K + 1))
+    return [
+        int(
+            round(
+                1_000_000
+                * sum(RBO_P ** (d - 1) / d for d in range(m, RBO_K + 1))
+                / norm
+            )
+        )
+        for m in range(1, RBO_K + 1)
+    ]
+
+
+RBO_COEF_CASE = (
+    "CASE greatest(exact_rank, approx_rank) "
+    + " ".join(
+        f"WHEN {m} THEN {c}"
+        for m, c in enumerate(_rbo_coef_micro(), start=1)
+    )
+    + " ELSE 0 END"
+)
+
+
+def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap @10 (Webber et al. TOIS 2010) between the
+    exact cosine ranking and the hyperplane-LSH ranking — the
+    top-weighted similarity the rank-eval family was missing: recall
+    counts membership, nDCG scores placement against graded relevance,
+    RBO compares the two PREFIX SETS with geometric top-weighting (the
+    metric for "do these two rankers agree where it matters"), and is
+    defined even when the lists are arbitrarily different. Same legs
+    and k as q_ndcg; p = 0.9 (the standard top-heavy choice).
+
+    Exactness: each matched doc contributes the inlined integer literal
+    COEF[max(ranks)] (see RBO_COEF_CASE); per-query RBO is an integer
+    sum — identical lists sum to ~1e6 (±rounding of the 10 literals).
+
+    Scale shape: both legs end in per-query partial top-k
+    (WindowGroupLimit), the metric join sees ≤ 2·k·|queries| rows, and
+    the query universe is the exact leg's ≤ |queries| distinct ids —
+    queries the LSH leg missed entirely surface with rbo 0."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        cosine_topk,
+        lsh_bucketed_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
+    )
+    approx = lsh_bucketed_topk(
+        emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
+    ).select("query_id", "neighbor_id", F.col("rank").alias("approx_rank"))
+    matched = approx.join(exact, ["query_id", "neighbor_id"]).select(
+        "query_id", F.expr(RBO_COEF_CASE).alias("coef")
+    )
+    per_q = matched.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common"),
+        F.sum("coef").cast("long").alias("rbo_micro"),
+    )
+    universe = exact.select("query_id").distinct()
+    return universe.join(per_q, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0))
+        .cast("long")
+        .alias("n_common"),
+        F.coalesce(F.col("rbo_micro"), F.lit(0))
+        .cast("long")
+        .alias("rbo_micro"),
+    )
+
+
+def q_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: PQ/ADC coarse candidates (top-50 by the
+    8-lookup approximate distance) re-ranked by the EXACT squared-L2 to
+    a final top-10 — THE production ANN serving pattern (FAISS
+    IVF-PQ + refine, ScaNN's reorder stage): the compressed index
+    proposes cheaply, full-precision vectors re-score only the
+    shortlist. ``moved`` = coarse-rank minus final-rank shows how much
+    the refine stage corrects the quantization error — all zeros would
+    mean the refine budget is wasted; large moves mean the coarse k is
+    too tight.
+
+    Scale shape: stage 1 is q_pq_ann's scan (codes table, ~32× smaller
+    than vectors) ending in a per-query partial top-50; stage 2 touches
+    exactly 50·|queries| rows — the exact distance RIDES ALONG from the
+    PQ operator (computed in the same pass per candidate), so the
+    refine stage is one WindowGroupLimit over the shortlist with NO
+    join back to the vector table."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = pq_adc_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=50
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("rank").alias("approx_rank"),
+        "approx_dist",
+        "exact_dist",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        coarse.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id",
+            "rank",
+            "vec_id",
+            "exact_dist",
+            "approx_rank",
+            (F.col("approx_rank") - F.col("rank"))
+            .cast("int")
+            .alias("moved"),
+        )
+    )
+
+
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error table (Guo et al. ICML 2017's fixed
+    confidence bins) for the hashed quality classifier against the
+    independent Gopher rule gate — the OTHER calibration readout next
+    to q_quality_calibration: that one buckets by score DECILE (equal
+    mass, monotonicity diagnostic); this one buckets by normalized
+    confidence (equal width, the |confidence − accuracy| gap that ECE
+    averages). A sharp model with honest scores shows small gaps; big
+    gaps in the high-confidence bins are what reliability diagrams
+    exist to catch before a score threshold ships.
+
+    Exactness: confidence = min-max normalized score in integer micro
+    (bounds enter as a 1-row broadcast aggregate); per-bin mean
+    confidence and pass rate are single integer divisions; the gap is
+    an integer |difference|.
+
+    Scale shape: two map-side scoring passes, one 1-row bounds
+    aggregate broadcast back, one 10-group aggregate — no sort, no
+    window, no per-row join."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+        hashed_linear_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    model = hashed_linear_score(docs, "doc_id", "text").select(
+        "doc_id", "score_micro"
+    )
+    gopher = gopher_rules(docs, "doc_id", "text").select("doc_id", "passes")
+    j = model.join(gopher, on="doc_id")
+    bounds = j.agg(
+        F.min("score_micro").alias("min_s"),
+        F.max("score_micro").alias("max_s"),
+    )
+    b = j.crossJoin(F.broadcast(bounds)).select(
+        "passes",
+        F.expr(
+            "CASE WHEN max_s = min_s THEN CAST(500000 AS BIGINT)"
+            " ELSE CAST((score_micro - min_s) * 1000000"
+            " DIV (max_s - min_s) AS BIGINT) END"
+        ).alias("conf_micro"),
+    )
+    binned = b.select(
+        "passes",
+        "conf_micro",
+        F.expr("CAST(least(9, conf_micro DIV 100000) AS INT)").alias(
+            "bin"
+        ),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(SUM(conf_micro) DIV COUNT(1) AS BIGINT)").alias(
+            "avg_conf_micro"
+        ),
+        F.expr(
+            "CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1) AS BIGINT)"
+        ).alias("pass_micro"),
+        F.expr(
+            "CAST(abs(SUM(conf_micro) DIV COUNT(1)"
+            " - SUM(CASE WHEN passes THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(1)) AS BIGINT)"
+        ).alias("gap_micro"),
+    )
+
+
+T_CLOSENESS_THRESHOLD_MICRO = 200_000  # t = 0.2
+
+
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian ICDE 2007) —
+    completing the release-privacy ladder: q_k_anonymity bounds class
+    SIZE, q_l_diversity bounds distinct sensitive VALUES, t-closeness
+    bounds how far a class's sensitive-value DISTRIBUTION may sit from
+    the global one (an l-diverse class that is 98% one segment still
+    leaks; distance does what counting can't). Same QI classes as
+    q_l_diversity (nation × 1000-wide balance band), sensitive =
+    market segment; distance = total variation (the categorical EMD),
+    threshold t = 0.2.
+
+    Exactness: class and global probabilities are micro-rounded ONCE
+    each (integer DIV), TVD is an integer |diff| sum halved — absent
+    (class, segment) cells enter as probability 0 via the class ×
+    segment cross join, which is what makes TVD see one-sided mass.
+
+    Scale shape: one (class, segment) aggregate, one class rollup, the
+    ≤ 5-row segment table broadcast-crossed against |classes| rows, one
+    class-keyed aggregate, one 1-row summary."""
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+        "c_mktsegment",
+    )
+    cls_seg = base.groupBy("c_nationkey", "bal_band", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    cls = cls_seg.groupBy("c_nationkey", "bal_band").agg(
+        F.sum("n_cs").cast("long").alias("n_c")
+    )
+    tot = base.agg(F.count(F.lit(1)).cast("long").alias("n_tot"))
+    seg = (
+        base.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_s"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "c_mktsegment",
+            F.expr("CAST(n_s * 1000000 DIV n_tot AS BIGINT)").alias(
+                "p_g_micro"
+            ),
+        )
+    )
+    grid = cls.crossJoin(F.broadcast(seg))
+    cells = grid.join(
+        cls_seg, ["c_nationkey", "bal_band", "c_mktsegment"], "left"
+    ).select(
+        "c_nationkey",
+        "bal_band",
+        "n_c",
+        F.expr(
+            "abs(CAST(coalesce(n_cs, 0) * 1000000 DIV n_c AS BIGINT)"
+            " - p_g_micro)"
+        ).alias("d"),
+    )
+    per_class = cells.groupBy("c_nationkey", "bal_band", "n_c").agg(
+        F.expr("CAST(SUM(d) DIV 2 AS BIGINT)").alias("t_micro")
+    )
+    thr = T_CLOSENESS_THRESHOLD_MICRO
+    return per_class.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.max("t_micro").cast("long").alias("max_t_micro"),
+        F.sum(F.when(F.col("t_micro") > thr, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("t_micro") > thr, F.col("n_c")).otherwise(0))
+        .cast("long")
+        .alias("n_risky_rows"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -8778,4 +9057,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_distinct_ngrams": q_distinct_ngrams,
     "q_blocklist_screen": q_blocklist_screen,
     "q_event_runs": q_event_runs,
+    "q_rbo": q_rbo,
+    "q_two_stage_rerank": q_two_stage_rerank,
+    "q_ece": q_ece,
+    "q_t_closeness": q_t_closeness,
 }

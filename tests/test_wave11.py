@@ -178,3 +178,62 @@ def test_event_runs_partition_totals(spark, sf_dir):
         assert r.n_runs >= r.n_repeat_runs
         assert 0 <= r.repeat_micro <= 1_000_000
         assert r.max_run_len >= 1
+
+
+# --- sub-wave B: rbo / two_stage_rerank / ece / t_closeness --------------
+
+
+def test_rbo_bounds_and_identity(spark, sf_dir):
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _rbo_coef_micro,
+    )
+
+    coefs = _rbo_coef_micro()
+    assert len(coefs) == 10
+    assert coefs == sorted(coefs, reverse=True)  # earlier match >= later
+    # identical lists sum to ~1.0 (each depth d contributes COEF[d])
+    assert abs(sum(coefs) - 1_000_000) <= 10
+    rows = EXT_QUERIES["q_rbo"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0 <= r.rbo_micro <= 1_000_010
+        if r.n_common == 0:
+            assert r.rbo_micro == 0
+
+
+def test_two_stage_rerank_orders_by_exact(spark, sf_dir):
+    rows = EXT_QUERIES["q_two_stage_rerank"](spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == 5
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r.exact_dist for r in rs]
+        assert dists == sorted(dists)  # refine stage orders by exact
+        assert all(1 <= r.approx_rank <= 50 for r in rs)
+        assert all(r.moved == r.approx_rank - r.rank for r in rs)
+
+
+def test_ece_bins_partition_and_bound(spark, sf_dir):
+    rows = EXT_QUERIES["q_ece"](spark, sf_dir).collect()
+    assert all(0 <= r.bin <= 9 for r in rows)
+    for r in rows:
+        assert 0 <= r.avg_conf_micro <= 1_000_000
+        assert 0 <= r.pass_micro <= 1_000_000
+        assert r.gap_micro == abs(r.avg_conf_micro - r.pass_micro)
+    # bin edges honored: every doc with conf in [b/10, (b+1)/10) lands
+    # in bin b — the min/max normalization guarantees bins 0 and 9 are
+    # non-empty (the extreme docs define the bounds)
+    bins = {r.bin for r in rows}
+    assert 0 in bins and 9 in bins
+
+
+def test_t_closeness_dominates_l_diversity_classes(spark, sf_dir):
+    t = EXT_QUERIES["q_t_closeness"](spark, sf_dir).collect()[0]
+    l = EXT_QUERIES["q_l_diversity"](spark, sf_dir).collect()[0]
+    assert t.n_classes == l.n_classes  # same QI definition
+    assert 0 <= t.max_t_micro <= 1_000_000
+    assert t.n_risky_classes <= t.n_classes
+    assert t.n_risky_rows >= t.n_risky_classes  # every class has >=1 row
