@@ -135,3 +135,64 @@ def frame_sample(decoded: DataFrame, every_nth: int = 2) -> DataFrame:
             )
         ).alias("frame_idx"),
     )
+
+
+# Deterministic container headers for the fake payloads: real magic
+# bytes (JPEG/PNG/RIFF/GIF) stamped by media_id % 5, with class 4 left
+# headerless so the sniffing path exercises its 'unknown' branch. The
+# declared media_type round-robins on % 3, so header and declaration
+# DISAGREE for a deterministic subset — the mismatch class a
+# content-type audit exists to find.
+CONTAINER_HEADER_EXPR = (
+    "CASE media_id % 5"
+    " WHEN 0 THEN X'FFD8FF'"
+    " WHEN 1 THEN X'89504E47'"
+    " WHEN 2 THEN X'52494646'"
+    " WHEN 3 THEN X'47494638'"
+    " ELSE X'' END"
+)
+
+# Magic-byte sniff over the first-4-bytes hex string (8 hex chars; JPEG
+# matches on its 3-byte signature). SHARED text with the DuckDB oracle:
+# {h} is an 8-hex-char prefix column in both engines (Spark slices the
+# BLOB before hexing — hex(substring(payload,1,4)); DuckDB lacks blob
+# substring, so the oracle spells left(hex(payload), 8) — same value,
+# the engine-side slice just keeps the map stage O(1) per row instead
+# of O(payload)).
+SNIFF_CASE = (
+    "CASE WHEN substr({h}, 1, 6) = 'FFD8FF' THEN 'jpeg'"
+    " WHEN {h} = '89504E47' THEN 'png'"
+    " WHEN {h} = '52494646' THEN 'riff'"
+    " WHEN {h} = '47494638' THEN 'gif'"
+    " ELSE 'unknown' END"
+)
+
+SNIFF_FAMILY_CASE = (
+    "CASE WHEN {s} IN ('jpeg', 'png', 'gif') THEN 'image'"
+    " WHEN {s} = 'riff' THEN 'audio'"
+    " ELSE 'unknown' END"
+)
+
+
+def with_container_header(media: DataFrame) -> DataFrame:
+    """Prepend the deterministic magic-byte header to each payload."""
+    return media.withColumn(
+        "payload",
+        F.concat(F.expr(CONTAINER_HEADER_EXPR), F.col("payload")),
+    )
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """Magic-byte format detection: adds ``sniffed`` (container format)
+    and ``sniffed_family`` (image/audio/unknown) from the payload's
+    first 4 bytes — never from the declared media_type."""
+    h = media.withColumn(
+        "__h8", F.hex(F.expr("substring(payload, 1, 4)"))
+    )
+    return h.select(
+        "*",
+        F.expr(SNIFF_CASE.format(h="__h8")).alias("sniffed"),
+    ).withColumn(
+        "sniffed_family",
+        F.expr(SNIFF_FAMILY_CASE.format(s="sniffed")),
+    ).drop("__h8")

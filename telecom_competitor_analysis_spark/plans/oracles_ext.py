@@ -6826,3 +6826,152 @@ EXT_ORACLES["q_t_closeness"] = f"""
                     THEN n_c ELSE 0 END) AS BIGINT) AS n_risky_rows
     FROM per_class
 """
+
+# MAD anomaly screen (queries_ext.q_anomaly_mad): grouped medians via
+# quantile_cont at the dyadic 0.5 (exact on the cents grid), fence =
+# the shared MAD_RULE text, worst-z on the quarter-cent grid.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    FRESHNESS_HALF_LIFE_DAYS,
+    FRESHNESS_MAX_BUCKET,
+    MAD_RULE,
+)
+
+EXT_ORACLES["q_anomaly_mad"] = f"""
+    WITH o AS MATERIALIZED (
+        SELECT o_orderstatus,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS pc
+        FROM orders
+    ),
+    med AS MATERIALIZED (
+        SELECT o_orderstatus, quantile_cont(pc, 0.5) AS med,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM o GROUP BY o_orderstatus
+    ),
+    dev AS MATERIALIZED (
+        SELECT o.o_orderstatus, abs(o.pc - m.med) AS dev
+        FROM o JOIN med m USING (o_orderstatus)
+    ),
+    mad AS MATERIALIZED (
+        SELECT o_orderstatus, quantile_cont(dev, 0.5) AS mad
+        FROM dev GROUP BY o_orderstatus
+    ),
+    agg AS (
+        SELECT d.o_orderstatus,
+               CAST(SUM(CASE WHEN {MAD_RULE} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               CAST(SUM(CASE WHEN {MAD_RULE} THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS outlier_micro,
+               MAX(d.dev) AS max_dev
+        FROM dev d JOIN mad USING (o_orderstatus)
+        GROUP BY d.o_orderstatus
+    )
+    SELECT m.o_orderstatus, m.n_orders,
+           m.med AS median_cents,
+           mad.mad AS mad_cents,
+           a.n_outliers, a.outlier_micro,
+           CAST(CAST(round(a.max_dev * 4, 0) AS BIGINT) * 10000000
+                // (14826 * GREATEST(CAST(round(mad.mad * 4, 0)
+                AS BIGINT), 1)) AS BIGINT) AS worst_z_milli
+    FROM med m
+    JOIN mad USING (o_orderstatus)
+    JOIN agg a USING (o_orderstatus)
+"""
+
+# Freshness decay (queries_ext.q_freshness_decay): dyadic half-life,
+# per-event integer shift-divide; anchor = max event date (UTC session
+# in both engines), DuckDB spells the shift vc // (1::BIGINT << b).
+EXT_ORACLES["q_freshness_decay"] = f"""
+    WITH e AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(round(value * 100, 0) AS BIGINT) AS vc
+        FROM events
+    ),
+    anchor AS (SELECT MAX(d) AS anchor FROM e),
+    b AS (
+        SELECT event_type, vc,
+               least({FRESHNESS_MAX_BUCKET},
+                     date_diff('day', d, (SELECT anchor FROM anchor))
+                     // {FRESHNESS_HALF_LIFE_DAYS}) AS b
+        FROM e
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(vc) AS BIGINT) AS raw_cents,
+           CAST(SUM(vc // (CAST(1 AS BIGINT) << b)) AS BIGINT)
+               AS decayed_cents,
+           CAST(SUM(vc // (CAST(1 AS BIGINT) << b)) * 1000000
+                // SUM(vc) AS BIGINT) AS retention_micro
+    FROM b GROUP BY event_type
+"""
+
+# Feature-hash collision audit (queries_ext.q_feature_hash_collisions):
+# the scorer's own 64-bucket md5 hash (_md5_bucket_sql), bucket-load
+# histogram + the empty-bucket row.
+EXT_ORACLES["q_feature_hash_collisions"] = f"""
+    WITH vocab AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+              FROM documents)
+        WHERE word != '' GROUP BY word
+    ),
+    loads AS MATERIALIZED (
+        SELECT {_md5_bucket_sql("word", 64)} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS load,
+               CAST(SUM(freq) AS BIGINT) AS mass
+        FROM vocab GROUP BY 1
+    ),
+    hist AS (
+        SELECT load,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(mass) AS BIGINT) AS token_mass
+        FROM loads GROUP BY load
+    ),
+    empty AS (
+        SELECT CAST(0 AS BIGINT) AS load,
+               CAST(64 - COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(0 AS BIGINT) AS token_mass
+        FROM loads HAVING 64 - COUNT(*) > 0
+    )
+    SELECT * FROM hist UNION ALL SELECT * FROM empty
+"""
+
+# Media sniff (queries_ext.q_media_sniff): payload = header || utf8
+# bytes rebuilt in SQL; sniff and family are the SHARED case texts over
+# the 8-hex-char prefix (DuckDB hexes then slices — blob substring
+# does not exist here; same value as Spark's slice-then-hex).
+from telecom_competitor_analysis_spark.operators.multimodal import (  # noqa: E402
+    SNIFF_CASE,
+    SNIFF_FAMILY_CASE,
+)
+
+_sniff = SNIFF_CASE.format(h="left(hex(payload), 8)")
+EXT_ORACLES["q_media_sniff"] = f"""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               (CASE doc_id % 5
+                WHEN 0 THEN '\\xFF\\xD8\\xFF'::BLOB
+                WHEN 1 THEN '\\x89\\x50\\x4E\\x47'::BLOB
+                WHEN 2 THEN '\\x52\\x49\\x46\\x46'::BLOB
+                WHEN 3 THEN '\\x47\\x49\\x46\\x38'::BLOB
+                ELSE ''::BLOB END) || encode(text) AS payload,
+               CASE (doc_id % 3) + 1
+                   WHEN 1 THEN 'image' WHEN 2 THEN 'audio'
+                   ELSE 'video' END AS media_type
+        FROM documents
+    ),
+    sniffed AS (
+        SELECT media_type,
+               {_sniff} AS sniffed
+        FROM media
+    ),
+    fam AS (
+        SELECT media_type, sniffed,
+               {SNIFF_FAMILY_CASE.format(s="sniffed")} AS sniffed_family
+        FROM sniffed
+    )
+    SELECT media_type, sniffed,
+           (sniffed_family != 'unknown'
+            AND sniffed_family != media_type) AS is_mismatch,
+           CAST(COUNT(*) AS BIGINT) AS n_files
+    FROM fam GROUP BY media_type, sniffed, sniffed_family
+"""

@@ -8870,6 +8870,229 @@ def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MAD outlier rule in exact arithmetic: |x - med| > 3 * 1.4826 * mad
+# spelled as 10000*dev > 44478*mad — both sides exact doubles on the
+# cents grid (dev <= 5e11, 44478*mad <= 2.3e12, far under 2^53), so
+# the comparison is bit-identical across engines. 1.4826 is the
+# normal-consistency constant (sigma ~= 1.4826*MAD for Gaussian data).
+MAD_RULE = "(10000 * dev > 44478 * mad)"
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation — the
+    anomaly screen that survives the outliers it hunts (mean/stddev
+    z-scores are dragged by the very tail they're meant to flag; the
+    median/MAD pair has a 50% breakdown point). Per order status:
+    median order total, MAD, and how many orders sit beyond the
+    standard 3-sigma-equivalent fence (|x − med| > 3·1.4826·MAD).
+    Completes the robust-stats family: q_winsorize CLAMPS tails,
+    q_impute_median FILLS holes, this one FLAGS anomalies.
+
+    Exactness: totals live in integer cents; both medians are exact
+    type-7 interpolations at the dyadic p = 0.5 (F.percentile ==
+    quantile_cont, the q_percentile_exact precedent — midpoints of
+    cents land on exact .5 doubles, deviations on exact .25 quarters);
+    the fence comparison is the integer-scaled MAD_RULE text.
+
+    Scale shape: two grouped percentile aggregates (3 status groups),
+    each broadcast back to the scan — no global sort, no window over a
+    data-scaled partition."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
+    )
+    med = orders.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("pc"), F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    dev = orders.join(F.broadcast(med), on="o_orderstatus").select(
+        "o_orderstatus",
+        "pc",
+        F.abs(F.col("pc") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("o_orderstatus").agg(
+        F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), on="o_orderstatus").select(
+        "o_orderstatus",
+        F.expr(MAD_RULE).cast("int").alias("is_out"),
+        "dev",
+    )
+    agg = flagged.groupBy("o_orderstatus").agg(
+        F.sum("is_out").cast("long").alias("n_outliers"),
+        F.expr(
+            "CAST(SUM(is_out) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("outlier_micro"),
+        F.max("dev").alias("max_dev"),
+    )
+    # worst robust-z in milli, all on the exact quarter-cent grid:
+    # med sits on the .5 grid so dev does too (4*dev integer), mad on
+    # the .25 grid (4*mad integer); z = dev/(1.4826*mad) spelled as
+    # (4*dev)*1e7 DIV (14826*(4*mad)) — numerator <= 2e15, exact. On
+    # this uniform synthetic corpus max dev ~= 2*MAD, so the worst z
+    # sits near 1.35 and n_outliers is legitimately 0 at every SF —
+    # the z column is what proves the fence arithmetic actually ran.
+    return (
+        med.join(mad, on="o_orderstatus")
+        .join(agg, on="o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_orders",
+            F.col("med").alias("median_cents"),
+            F.col("mad").alias("mad_cents"),
+            "n_outliers",
+            "outlier_micro",
+            F.expr(
+                "CAST(CAST(round(max_dev * 4) AS BIGINT) * 10000000"
+                " DIV (14826 * GREATEST(CAST(round(mad * 4) AS BIGINT),"
+                " 1)) AS BIGINT)"
+            ).alias("worst_z_milli"),
+        )
+    )
+
+
+FRESHNESS_HALF_LIFE_DAYS = 7
+FRESHNESS_MAX_BUCKET = 16
+
+
+def q_freshness_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential freshness weighting with a DYADIC half-life — the
+    recency-weighted aggregate a training-mix or trending-topics stage
+    computes over an event log (yesterday's signal counts double last
+    week's). Weight = 2^-b where b = age-in-half-lives (7-day
+    half-life, capped at 16); because the base is 2 and ages are
+    integer buckets, the per-event decayed value is a plain integer
+    shift-divide (value_cents DIV 2^b) — no transcendental, no float
+    sum, no cross-engine FP boundary anywhere. The floor happens ONCE
+    per event (documented bias, identical in both engines); summed
+    decayed mass is then exact int64 (≤ raw cents sum ≈ 3e9 at sf0.1,
+    ×100 ≈ 3e11 — five orders inside the audit bound).
+
+    The anchor is max(event date) — a 1-row broadcast aggregate, so
+    the query is reproducible on a frozen corpus (production would pin
+    the anchor to the run date).
+
+    Scale shape: one 1-row anchor aggregate broadcast to the scan, one
+    map-side bucket/shift projection, one partial-aggregated
+    groupBy(event_type)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    anchor = ev.agg(F.max("d").alias("anchor"))
+    b = ev.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        "vc",
+        F.expr(
+            f"CAST(least({FRESHNESS_MAX_BUCKET}, datediff(anchor, d)"
+            f" DIV {FRESHNESS_HALF_LIFE_DAYS}) AS INT)"
+        ).alias("b"),
+    )
+    return b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("vc").cast("long").alias("raw_cents"),
+        F.sum(F.expr("vc DIV shiftleft(CAST(1 AS BIGINT), b)"))
+        .cast("long")
+        .alias("decayed_cents"),
+        F.expr(
+            "CAST(SUM(vc DIV shiftleft(CAST(1 AS BIGINT), b)) * 1000000"
+            " DIV SUM(vc) AS BIGINT)"
+        ).alias("retention_micro"),
+    )
+
+
+def q_feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick collision audit of the quality classifier's OWN
+    feature space (operators/quality.py::hashed_linear_score hashes
+    every word into 64 buckets; distinct words sharing a bucket share a
+    weight — feature aliasing): the bucket-load histogram over the
+    distinct vocabulary, with the token mass riding on each load class,
+    plus the empty-bucket row (load 0 — wasted feature slots). The
+    table that says whether 64 buckets is enough before the score
+    threshold ships.
+
+    Same portable bucket function as the scorer (first two hex chars
+    of md5, mod 64 — the _md5_bucket_sql convention), so the audit
+    measures the production hash, not a lookalike.
+
+    Scale shape: one groupBy(word) vocabulary collapse, one 64-group
+    aggregate, one histogram aggregate over ≤ 64 rows, and a 1-row
+    union for the empty-bucket class."""
+    n_buckets = 64
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(
+            F.explode(words(F.trim(F.col("text")))).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    loads = vocab.select(
+        F.pmod(
+            F.conv(F.substring(F.md5("word"), 1, 2), 16, 10).cast("int"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+        "freq",
+    ).groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("load"),
+        F.sum("freq").cast("long").alias("mass"),
+    )
+    hist = loads.groupBy("load").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("mass").cast("long").alias("token_mass"),
+    )
+    empty = loads.agg(
+        F.lit(0).cast("long").alias("load"),
+        (F.lit(n_buckets) - F.count(F.lit(1)))
+        .cast("long")
+        .alias("n_buckets"),
+        F.lit(0).cast("long").alias("token_mass"),
+    ).filter(F.col("n_buckets") > 0)
+    return hist.unionByName(empty)
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type audit over the multimodal binary column
+    — the declared-vs-actual format check every media-ingest pipeline
+    runs before wasting decode budget (a 'video' row whose payload
+    starts FFD8FF is a mislabeled JPEG; q_frame_dedup and the decode
+    stage downstream both key on the declaration being true). Payloads
+    carry real container signatures (JPEG/PNG/RIFF/GIF, stamped
+    deterministically — operators/multimodal.py), sniffing reads ONLY
+    the first 4 payload bytes, and the (declared, sniffed) contingency
+    table with mismatch flags is the audit output.
+
+    Scale shape: entirely map-side until one bounded aggregate (the
+    contingency table is ≤ |types| × |formats| rows); the Spark side
+    hexes a 4-byte SLICE of the blob (O(1) per row), the oracle hexes
+    then slices — same value by construction."""
+    from telecom_competitor_analysis_spark.operators.multimodal import (
+        sniff_media,
+        with_container_header,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = with_container_header(
+        as_media_table(docs, "doc_id", "text")
+    )
+    s = sniff_media(media)
+    return (
+        s.groupBy("media_type", "sniffed", "sniffed_family")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_files"))
+        .select(
+            "media_type",
+            "sniffed",
+            F.expr(
+                "sniffed_family != 'unknown'"
+                " AND sniffed_family != media_type"
+            ).alias("is_mismatch"),
+            "n_files",
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -9061,4 +9284,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_two_stage_rerank": q_two_stage_rerank,
     "q_ece": q_ece,
     "q_t_closeness": q_t_closeness,
+    "q_anomaly_mad": q_anomaly_mad,
+    "q_freshness_decay": q_freshness_decay,
+    "q_feature_hash_collisions": q_feature_hash_collisions,
+    "q_media_sniff": q_media_sniff,
 }

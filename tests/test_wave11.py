@@ -237,3 +237,68 @@ def test_t_closeness_dominates_l_diversity_classes(spark, sf_dir):
     assert 0 <= t.max_t_micro <= 1_000_000
     assert t.n_risky_classes <= t.n_classes
     assert t.n_risky_rows >= t.n_risky_classes  # every class has >=1 row
+
+
+# --- sub-wave C: anomaly_mad / freshness / hash collisions / sniff ------
+
+
+def test_anomaly_mad_fence_arithmetic(spark, sf_dir):
+    rows = EXT_QUERIES["q_anomaly_mad"](spark, sf_dir).collect()
+    assert {r.o_orderstatus for r in rows} == {"F", "O", "P"}
+    for r in rows:
+        assert r.mad_cents > 0
+        # uniform synthetic totals: max dev ~= 2*MAD, fence at
+        # 3*1.4826*MAD is never crossed — z proves the fence ran
+        assert 0 < r.worst_z_milli < 3000
+        assert r.n_outliers == 0
+        # medians land on the half-cent grid exactly
+        assert (r.median_cents * 2) == int(r.median_cents * 2)
+
+
+def test_freshness_decay_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_freshness_decay"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.decayed_cents <= r.raw_cents
+        assert 0 <= r.retention_micro <= 1_000_000
+    # 30-day span with 7-day half-life: meaningful decay happened
+    assert any(r.retention_micro < 900_000 for r in rows)
+
+
+def test_feature_hash_collisions_account_for_all_buckets(spark, sf_dir):
+    rows = EXT_QUERIES["q_feature_hash_collisions"](spark, sf_dir).collect()
+    assert sum(r.n_buckets for r in rows) == 64
+    zero = [r for r in rows if r.load == 0]
+    for r in zero:
+        assert r.token_mass == 0
+    # vocabulary words all land somewhere: sum(load * n_buckets) = |vocab|
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table,
+    )
+    from telecom_competitor_analysis_spark.functions.text import words
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words(F.trim(F.col("text")))).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .count()
+    )
+    assert sum(r.load * r.n_buckets for r in rows) == vocab
+
+
+def test_media_sniff_contingency(spark, sf_dir):
+    rows = EXT_QUERIES["q_media_sniff"](spark, sf_dir).collect()
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table,
+    )
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_files for r in rows) == n_docs
+    sniffs = {r.sniffed for r in rows}
+    assert {"jpeg", "png", "riff", "gif", "unknown"} == sniffs
+    for r in rows:
+        if r.sniffed == "unknown":
+            assert not r.is_mismatch
+        if r.media_type == "image" and r.sniffed in ("jpeg", "png", "gif"):
+            assert not r.is_mismatch
+        if r.media_type == "video" and r.sniffed != "unknown":
+            assert r.is_mismatch  # nothing sniffs as video container
