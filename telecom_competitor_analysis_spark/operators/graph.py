@@ -322,3 +322,61 @@ def kcore_peel(
     for s in stats[1:]:
         out = out.unionByName(s)
     return out
+
+
+def local_clustering(edges: DataFrame, id_a: str = "id_a",
+                     id_b: str = "id_b") -> DataFrame:
+    """Per-node triangle counts + degrees for an undirected canonical
+    edge list (``id_a < id_b``): returns (v, deg, n_tri). Same
+    compact-forward orientation as ``triangle_stats`` (each triangle is
+    enumerated exactly once at its orientation-minimal vertex), but the
+    closure join KEEPS the three endpoints so each triangle can credit
+    all of them — the per-node statistic the global census cannot give.
+    The explode is 3 rows per triangle; everything else is the
+    triangle_stats plan."""
+    e = edges.select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"))
+    deg = (
+        e.select(F.col("id_a").alias("v"))
+        .unionAll(e.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    j = (
+        e.join(deg.withColumnRenamed("v", "id_a"), "id_a")
+        .withColumnRenamed("deg", "da")
+        .join(
+            deg.withColumnRenamed("v", "id_b").withColumnRenamed(
+                "deg", "db"
+            ),
+            "id_b",
+        )
+    )
+    oriented = j.select(
+        F.when(F.col("da") <= F.col("db"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("u"),
+        F.when(F.col("da") <= F.col("db"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("v"),
+    )
+    o2 = oriented.select(F.col("u"), F.col("v").alias("w"))
+    wedges = oriented.join(o2, "u").filter(F.col("v") < F.col("w"))
+    tri = wedges.join(
+        e,
+        (F.least("v", "w") == F.col("id_a"))
+        & (F.greatest("v", "w") == F.col("id_b")),
+    ).select("u", "v", "w")
+    tri_nodes = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias(
+                "v"
+            )
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tri"))
+    )
+    return deg.join(tri_nodes, on="v", how="left").select(
+        "v",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).cast("long").alias("n_tri"),
+    )

@@ -6975,3 +6975,110 @@ EXT_ORACLES["q_media_sniff"] = f"""
            CAST(COUNT(*) AS BIGINT) AS n_files
     FROM fam GROUP BY media_type, sniffed, sniffed_family
 """
+
+# Local clustering coefficient (queries_ext.q_clustering_coeff): the
+# triangle_stats orientation mirrored in SQL over the LSH pair edges,
+# closure keeps (u, v, w), unnest credits the 3 endpoints, degree-1
+# nodes excluded, bin()-length degree buckets. Every multi-referenced
+# CTE MATERIALIZED (the kcore 3^depth lesson).
+EXT_ORACLES["q_clustering_coeff"] = f"""
+    WITH edges AS MATERIALIZED (
+        SELECT id_a, id_b FROM ({EXT_ORACLES["q_minhash_lsh_pairs"]})
+    ),
+    deg AS MATERIALIZED (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM (SELECT id_a AS v FROM edges
+              UNION ALL SELECT id_b AS v FROM edges)
+        GROUP BY v
+    ),
+    oriented AS MATERIALIZED (
+        SELECT CASE WHEN da.deg <= db.deg THEN e.id_a ELSE e.id_b END
+                   AS u,
+               CASE WHEN da.deg <= db.deg THEN e.id_b ELSE e.id_a END
+                   AS v
+        FROM edges e
+        JOIN deg da ON da.v = e.id_a
+        JOIN deg db ON db.v = e.id_b
+    ),
+    tri AS MATERIALIZED (
+        SELECT o1.u, o1.v, o2.v AS w
+        FROM oriented o1
+        JOIN oriented o2 ON o1.u = o2.u AND o1.v < o2.v
+        JOIN edges e
+          ON e.id_a = least(o1.v, o2.v)
+         AND e.id_b = greatest(o1.v, o2.v)
+    ),
+    tri_nodes AS MATERIALIZED (
+        SELECT v0 AS v, CAST(COUNT(*) AS BIGINT) AS n_tri
+        FROM (SELECT unnest([u, v, w]) AS v0 FROM tri)
+        GROUP BY v0
+    ),
+    cc AS (
+        SELECT COALESCE(t.n_tri, 0) AS n_tri, d.deg,
+               CAST(2 * COALESCE(t.n_tri, 0) * 1000000
+                    // (d.deg * (d.deg - 1)) AS BIGINT) AS cc_micro,
+               CAST(length(bin(d.deg)) AS INT) AS deg_bucket
+        FROM deg d LEFT JOIN tri_nodes t USING (v)
+        WHERE d.deg >= 2
+    )
+    SELECT deg_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(n_tri) AS BIGINT) AS sum_triangle_slots,
+           CAST(SUM(cc_micro) // COUNT(*) AS BIGINT) AS avg_cc_micro,
+           CAST(MAX(cc_micro) AS BIGINT) AS max_cc_micro
+    FROM cc GROUP BY deg_bucket
+"""
+
+# Power iteration (queries_ext.q_power_iteration): the q_gram_matrix
+# oracle as the cov CTE, n-independent rescale and every normalization
+# through the SHARED sign-split division text sdiv_expr (Spark DIV
+# truncates, DuckDB // floors — they agree only after the sign split).
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    sdiv_expr,
+)
+
+EXT_ORACLES["q_power_iteration"] = f"""
+    WITH cov AS MATERIALIZED (
+        SELECT i, j, cov_scaled FROM ({EXT_ORACLES["q_gram_matrix"]})
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM embeddings),
+    a AS MATERIALIZED (
+        SELECT i, j,
+               CAST({sdiv_expr("cov_scaled", "nn * nn", "//")} AS BIGINT)
+                   AS a
+        FROM cov, nn
+    ),
+    full_m AS MATERIALIZED (
+        SELECT i, j, a FROM a
+        UNION ALL
+        SELECT j AS i, i AS j, a FROM a WHERE i < j
+    ),
+    v1 AS MATERIALIZED (
+        SELECT j, CAST(SUM(a * 1000) AS BIGINT) AS v
+        FROM full_m GROUP BY j
+    ),
+    m1 AS (SELECT CAST(MAX(abs(v)) AS BIGINT) AS m1 FROM v1),
+    u1 AS MATERIALIZED (
+        SELECT j,
+               CAST({sdiv_expr("v * 1000", "GREATEST(m1, 1)", "//")}
+                    AS BIGINT) AS u1_milli
+        FROM v1, m1
+    ),
+    v2 AS MATERIALIZED (
+        SELECT f.j, CAST(SUM(f.a * u.u1_milli) AS BIGINT) AS v
+        FROM full_m f JOIN u1 u ON f.i = u.j
+        GROUP BY f.j
+    ),
+    m2 AS (SELECT CAST(MAX(abs(v)) AS BIGINT) AS m2 FROM v2),
+    u2 AS (
+        SELECT j,
+               CAST({sdiv_expr("v * 1000", "GREATEST(m2, 1)", "//")}
+                    AS BIGINT) AS u2_milli
+        FROM v2, m2
+    )
+    SELECT CAST(u1.j AS INT) AS dim, u1.u1_milli, u2.u2_milli,
+           CAST((SELECT m2 FROM m2)
+                // GREATEST((SELECT m1 FROM m1) // 1000, 1) AS BIGINT)
+               AS lambda_scaled
+    FROM u1 JOIN u2 USING (j)
+"""

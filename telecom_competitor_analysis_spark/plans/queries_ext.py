@@ -9093,6 +9093,161 @@ def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient of the near-dup pair graph, rolled
+    up by degree bucket — the PER-NODE companion of q_triangle_count's
+    global census: cc(v) = 2·tri(v)/(deg(v)·(deg(v)−1)) says whether a
+    node's neighborhood is a dense template family (cc → 1: safe to
+    collapse) or a star of unrelated one-offs bridged through it
+    (cc → 0 at high degree: the false-positive hub that over-merges
+    components — exactly the node a dedup pipeline wants to QUARANTINE
+    rather than union). Eleventh consumer of the ONE materialized LSH
+    pair table.
+
+    Exactness: triangles and degrees are exact integer counts (the
+    compact-forward orientation enumerates each triangle once); cc is
+    one integer micro division; the degree bucket is the bin()-length
+    integer log2 rule (no float log). Degree-1 nodes have no defined
+    cc and are excluded (documented, mirrored in the oracle).
+
+    Scale shape: operators/graph.py::local_clustering is the
+    triangle_stats plan plus a 3-rows-per-triangle explode and one
+    node-keyed aggregate; the rollup output is ≤ log2(max-degree)
+    rows."""
+    from telecom_competitor_analysis_spark.operators.graph import (
+        local_clustering,
+    )
+
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    lc = local_clustering(pairs)
+    cc = lc.filter(F.col("deg") >= 2).select(
+        "n_tri",
+        "deg",
+        F.expr(
+            "CAST(2 * n_tri * 1000000 DIV (deg * (deg - 1)) AS BIGINT)"
+        ).alias("cc_micro"),
+        F.expr("CAST(length(bin(deg)) AS INT)").alias("deg_bucket"),
+    )
+    return cc.groupBy("deg_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("n_tri").cast("long").alias("sum_triangle_slots"),
+        F.expr("CAST(SUM(cc_micro) DIV COUNT(1) AS BIGINT)").alias(
+            "avg_cc_micro"
+        ),
+        F.max("cc_micro").cast("long").alias("max_cc_micro"),
+    )
+
+
+def sdiv_expr(x: str, m: str, div: str) -> str:
+    """Sign-split integer division — ONE shared text so a NEGATIVE
+    numerator can never diverge between Spark's truncating DIV and
+    DuckDB's flooring //: both engines divide the absolute value (where
+    truncate == floor) and re-apply the sign."""
+    return (
+        f"CASE WHEN {x} < 0 THEN -((-({x})) {div} ({m}))"
+        f" ELSE ({x}) {div} ({m}) END"
+    )
+
+
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled power-iteration steps on the centered Gram matrix —
+    the distributed half of a PCA top-component estimate (q_gram_matrix
+    REDUCES the corpus to the 64×64 statistic; this query runs the
+    eigensolver's inner loop on it, all in exact integers, the
+    kmeans/pagerank/Bradley-Terry unrolled-iteration discipline). The
+    dominant direction of the embedding covariance is the
+    anisotropy/drift readout (q_embedding_drift's 'which way did the
+    space move' companion) and the whitening direction a preprocessing
+    stage would remove first.
+
+    Exactness: the covariance numerator is rescaled n-independently
+    (cov_scaled sign-div n² — entries ≤ x_max²·1e8 regardless of
+    corpus size, the q_scaling_fit audit rule applied at design time),
+    iterate vectors are ∞-norm-normalized to integer MILLI units via
+    the shared sign-split division text (sdiv_expr — Spark DIV
+    truncates, DuckDB // floors; they agree only on non-negatives), so
+    every matvec term is an exact int64 product (≤ 64·3.6e7·10³ ≈
+    2.3e12 worst-case) and both engines walk bit-identical iterates.
+    λ̂ = max|v₂| / (max|v₁|/1000) — the ∞-norm Rayleigh surrogate.
+
+    Scale shape: the corpus-scale work is q_gram_matrix's map-side
+    partials (once — the 2080-row rescaled matrix is localCheckpointed
+    bounded state, so the two matvec consumers and the union-mirror do
+    NOT re-derive the scan); each iteration is a broadcast-size join +
+    64-group aggregate; corpus row count enters as a 1-row broadcast
+    aggregate, never a collect."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
+    sxy, sums = _gram_partials(emb)
+    cov = _gram_finalize(sxy, sums)
+    nn = emb.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    a = (
+        cov.crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            F.expr(sdiv_expr("cov_scaled", "nn * nn", "DIV"))
+            .cast("long")
+            .alias("a"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    full = a.unionByName(
+        a.filter("i < j").select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "a"
+        )
+    )
+    v1 = full.groupBy("j").agg(
+        F.sum(F.expr("a * 1000")).cast("long").alias("v")
+    )
+    m1 = v1.agg(F.max(F.abs(F.col("v"))).cast("long").alias("m1"))
+    u1 = (
+        v1.crossJoin(F.broadcast(m1))
+        .select(
+            "j",
+            F.expr(sdiv_expr("v * 1000", "GREATEST(m1, 1)", "DIV"))
+            .cast("long")
+            .alias("u1_milli"),
+        )
+    )
+    v2 = (
+        full.join(
+            u1.select(F.col("j").alias("i"), F.col("u1_milli").alias("ui")),
+            on="i",
+        )
+        .groupBy("j")
+        .agg(F.sum(F.expr("a * ui")).cast("long").alias("v"))
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v"))).cast("long").alias("m2"))
+    u2 = (
+        v2.crossJoin(F.broadcast(m2))
+        .select(
+            "j",
+            F.expr(sdiv_expr("v * 1000", "GREATEST(m2, 1)", "DIV"))
+            .cast("long")
+            .alias("u2_milli"),
+        )
+    )
+    lam = m2.crossJoin(F.broadcast(m1)).select(
+        F.expr("CAST(m2 DIV GREATEST(m1 DIV 1000, 1) AS BIGINT)").alias(
+            "lambda_scaled"
+        )
+    )
+    return (
+        u1.join(u2, on="j")
+        .crossJoin(F.broadcast(lam))
+        .select(
+            F.col("j").cast("int").alias("dim"),
+            "u1_milli",
+            "u2_milli",
+            "lambda_scaled",
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -9288,4 +9443,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_freshness_decay": q_freshness_decay,
     "q_feature_hash_collisions": q_feature_hash_collisions,
     "q_media_sniff": q_media_sniff,
+    "q_clustering_coeff": q_clustering_coeff,
+    "q_power_iteration": q_power_iteration,
 }

@@ -302,3 +302,51 @@ def test_media_sniff_contingency(spark, sf_dir):
             assert not r.is_mismatch
         if r.media_type == "video" and r.sniffed != "unknown":
             assert r.is_mismatch  # nothing sniffs as video container
+
+
+# --- sub-wave D: clustering_coeff / power_iteration ----------------------
+
+
+def test_local_clustering_on_planted_graph(spark):
+    # K4 plus a pendant: cc(K4 nodes not on the pendant) = 1,
+    # cc(attachment node, deg 4) = 3 triangles / 6 wedges = 0.5
+    from telecom_competitor_analysis_spark.operators.graph import (
+        local_clustering,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "id_a long, id_b long",
+    )
+    lc = {r.v: r for r in local_clustering(edges).collect()}
+    assert lc[1].n_tri == 3 and lc[1].deg == 3
+    assert lc[4].n_tri == 3 and lc[4].deg == 4
+    assert lc[5].n_tri == 0 and lc[5].deg == 1
+    total_tri = sum(r.n_tri for r in lc.values())
+    assert total_tri == 3 * 4  # 4 triangles in K4, each credits 3 nodes
+
+
+def test_clustering_coeff_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_clustering_coeff"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.deg_bucket
+        assert 0 <= r.avg_cc_micro <= r.max_cc_micro <= 1_000_000
+
+
+def test_power_iteration_properties(spark, sf_dir):
+    rows = EXT_QUERIES["q_power_iteration"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    assert {r.dim for r in rows} == set(range(64))
+    u1 = [r.u1_milli for r in rows]
+    u2 = [r.u2_milli for r in rows]
+    # inf-norm normalization: max |u| is exactly 1000 after each step
+    assert max(abs(x) for x in u1) == 1000
+    assert max(abs(x) for x in u2) == 1000
+    lam = {r.lambda_scaled for r in rows}
+    assert len(lam) == 1 and lam.pop() >= 0
+    # iterates converge toward a direction: cosine(u1, u2) should be
+    # decidedly positive once the dominant eigenvalue separates
+    num = sum(a * b for a, b in zip(u1, u2))
+    den = (sum(a * a for a in u1) * sum(b * b for b in u2)) ** 0.5
+    assert num / den > 0.5
