@@ -214,6 +214,21 @@ HEADLINE_EXT = [
     "q_heaps_fit",
     "q_js_divergence",
     "q_gini_concentration",
+    # --- r11 additions (measured from birth) ---
+    "q_bpe_apply",
+    "q_distinct_ngrams",
+    "q_blocklist_screen",
+    "q_event_runs",
+    "q_rbo",
+    "q_two_stage_rerank",
+    "q_ece",
+    "q_t_closeness",
+    "q_anomaly_mad",
+    "q_freshness_decay",
+    "q_feature_hash_collisions",
+    "q_media_sniff",
+    "q_clustering_coeff",
+    "q_power_iteration",
 ]
 
 

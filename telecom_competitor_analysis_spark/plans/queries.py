@@ -1142,76 +1142,41 @@ QUERIES.update(EXT_QUERIES)
 # oracle's latest green is older than r6, and the remaining 34 r6
 # greens lead the r11 window (the 11 parked when the later r10 waves
 # displaced them lead those).
+# Round 11's window (2 + 14 + 11 + 23 = 50): q_chrf (single-pass gram
+# aggregate rebuild) + q_bradley_terry (btPreagg flag plumbing), the
+# 14 new r11 wave oracles, and ALL 34 remaining r6 greens (the 11
+# displaced ones first, per the r10 VERDICT plan); after r11 no
+# oracle's latest driver green is older than r7. The r7 greens lead
+# the r12 window.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-10 WINDOW (first 50) ============
-    # tier 1 — operator code changed this round: q_bleu / q_rouge_n id
-    # aggregates hardened F.first -> F.min (r9 ADVICE; a changed plan
-    # needs a fresh driver green even though values were already safe)
-    "q_bleu",
-    "q_rouge_n",
-    # tier 2 — the round-10 wave oracles, never driver-checked (each
-    # locally driver-sim green at sf0.01 AND sf0.1 on declaration)
-    "q_semdedup_scaled",
-    "q_edit_distance_pairs",
-    "q_kcore",
-    "q_l_diversity",
+    # ============ ROUND-11 WINDOW (first 50) ============
+    # tier 1 — operator code changed this round: q_chrf (refden leg
+    # rebuilt as a single-pass conditional aggregate, r10 VERDICT item
+    # 3) and q_bradley_terry (btPreagg flag plumbing, item 6 — default
+    # path byte-identical but the function changed)
     "q_chrf",
-    "q_band_tuning",
-    "q_length_buckets",
-    "q_frame_dedup",
-    "q_candidate_precision",
-    "q_group_kfold",
-    "q_assortativity",
-    "q_nprobe_sweep",
-    "q_mi_lang_source",
-    "q_event_transitions",
-    "q_knn_hubness",
-    "q_cluster_purity",
-    "q_heaps_fit",
-    "q_js_divergence",
-    "q_gini_concentration",
-    # tier 3 — the 16 parked r5 greens (displaced by the r9 waves;
-    # their last green is r5 — the oldest in the repo; the r9 VERDICT
-    # item-3 rotation plan says they LEAD this window)
-    "q_minhash_jaccard_est",
-    "q_mix_rebalance",
-    "q_winsorize",
-    "q_frame_sample",
-    "q_incremental_topk",
-    "q_bm25_search",
-    "q_bigram_lm",
-    "q_fuzzy_join",
-    "q_weighted_sample",
-    "q_cdc_apply",
-    "q_retention_cohorts",
-    "q_range_window",
-    "q_ann_recall",
-    "q_variant_extract",
-    "q_kmv_distinct",
-    "q_lateral_topk",
-    # tier 4 — fill with the next-oldest: the first 13 r6 greens
-    "q_convert_speed",
-    "q_sentinel_map",
-    "q_regex_extract",
-    "q_digits_only",
-    "q_ascii_strip",
-    "q_string_clean",
-    "q_concat_key",
-    "q_date_stamp",
-    "q_surrogate_key",
-    "q_filter_contains",
-    "q_asof_join",
-    "q_salted_join",
-    "q_sessionize",
-    # 2 changed + 19 new r10 oracles + 16 r5 greens + 13 r6 greens = 50
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # Ordered oldest-latest-green first: the remaining 34 r6 greens
-    # (the 11 displaced by the later r10 waves lead)
-    # (they LEAD the r11 window), then the r7 greens, the r8 greens,
-    # and the r9-window queries (most recent greens park last).
+    "q_bradley_terry",
+    # tier 2 — the 14 new round-11 wave oracles (each locally
+    # driver-sim green at sf0.01 AND sf0.1 on declaration)
+    "q_bpe_apply",
+    "q_distinct_ngrams",
+    "q_blocklist_screen",
+    "q_event_runs",
+    "q_rbo",
+    "q_two_stage_rerank",
+    "q_ece",
+    "q_t_closeness",
+    "q_anomaly_mad",
+    "q_freshness_decay",
+    "q_feature_hash_collisions",
+    "q_media_sniff",
+    "q_clustering_coeff",
+    "q_power_iteration",
+    # tier 3 — the 11 r6 greens parked when the later r10 waves
+    # displaced them (r10 VERDICT item 1 says they LEAD this window)
     "q_scd2_history",
     "q_quality_repetition",
     "q_decontaminate",
@@ -1223,6 +1188,8 @@ VERIFY_PRIORITY = [
     "q_unpivot",
     "q_simhash",
     "q_text_stats",
+    # tier 4 — the remaining 23 r6 greens; after r11 no oracle's
+    # latest driver green is older than r7
     "q_token_count",
     "q_lang_id",
     "q_fingerprint",
@@ -1246,6 +1213,11 @@ VERIFY_PRIORITY = [
     "q_gopher_rules",
     "q_perplexity_mix",
     "q_star_join",
+    # 2 changed + 14 new + 11 + 23 = 50
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # Ordered oldest-latest-green first (they LEAD the r12 window):
+    # the r7 greens, then r8, then r9, then the round-10 window
+    # queries (the repo's newest greens park last).
     # r7 greens (unchanged code since their green)
     "q_ann_index_probe",
     "q_semantic_neighbors",
@@ -1305,7 +1277,6 @@ VERIFY_PRIORITY = [
     "q_kcenter_select",
     "q_minhash_lsh_pairs",
     "q_semantic_decontaminate",
-    "q_bradley_terry",
     "q_lsh_recall",
     "q_sizing_report",
     "q_shard_balance",
@@ -1347,7 +1318,7 @@ VERIFY_PRIORITY = [
     "q_vocab_coverage",
     "q_gram_matrix",
     "q_ivf_bucket_stats",
-    # r9 greens (the former r9 window, minus the two promoted to tier 1)
+    # r9 greens
     "q_containment_pairs",
     "q_gram_incremental",
     "q_char_entropy",
@@ -1396,6 +1367,57 @@ VERIFY_PRIORITY = [
     "q_resample_daily",
     "q_moving_avg",
     "q_simhash64_pairs",
+    # round-10 window queries (newest greens: 2 hardened + r10 wave +
+    # the re-greened r5/r6 parks)
+    "q_bleu",
+    "q_rouge_n",
+    "q_semdedup_scaled",
+    "q_edit_distance_pairs",
+    "q_kcore",
+    "q_l_diversity",
+    "q_band_tuning",
+    "q_length_buckets",
+    "q_frame_dedup",
+    "q_candidate_precision",
+    "q_group_kfold",
+    "q_assortativity",
+    "q_nprobe_sweep",
+    "q_mi_lang_source",
+    "q_event_transitions",
+    "q_knn_hubness",
+    "q_cluster_purity",
+    "q_heaps_fit",
+    "q_js_divergence",
+    "q_gini_concentration",
+    "q_minhash_jaccard_est",
+    "q_mix_rebalance",
+    "q_winsorize",
+    "q_frame_sample",
+    "q_incremental_topk",
+    "q_bm25_search",
+    "q_bigram_lm",
+    "q_fuzzy_join",
+    "q_weighted_sample",
+    "q_cdc_apply",
+    "q_retention_cohorts",
+    "q_range_window",
+    "q_ann_recall",
+    "q_variant_extract",
+    "q_kmv_distinct",
+    "q_lateral_topk",
+    "q_convert_speed",
+    "q_sentinel_map",
+    "q_regex_extract",
+    "q_digits_only",
+    "q_ascii_strip",
+    "q_string_clean",
+    "q_concat_key",
+    "q_date_stamp",
+    "q_surrogate_key",
+    "q_filter_contains",
+    "q_asof_join",
+    "q_salted_join",
+    "q_sessionize",
 ]
 
 _ROWS_ONLY_LAST = [
