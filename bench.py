@@ -229,6 +229,9 @@ HEADLINE_EXT = [
     "q_media_sniff",
     "q_clustering_coeff",
     "q_power_iteration",
+    "q_char_entropy_rate",
+    "q_burstiness",
+    "q_bpe_compression_curve",
 ]
 
 

@@ -7082,3 +7082,166 @@ EXT_ORACLES["q_power_iteration"] = f"""
                AS lambda_scaled
     FROM u1 JOIN u2 USING (j)
 """
+
+# Character entropy rate (queries_ext.q_char_entropy_rate): per-lang
+# H(bigram) - H(unigram), each via the micro-rounded-ln convention
+# (q_char_entropy) — one rounded division per entropy, one rounded
+# subtraction for the rate.
+EXT_ORACLES["q_char_entropy_rate"] = """
+    WITH base AS MATERIALIZED (
+        SELECT lang, trim(text) AS ns FROM documents
+        WHERE len(trim(text)) >= 1
+    ),
+    uni AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, unnest(string_split(ns, '')) AS g FROM base)
+        WHERE g != '' GROUP BY lang, g
+    ),
+    bi AS (
+        SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT lang, substr(ns, i, 2) AS g
+              FROM base,
+                   unnest(generate_series(1, len(ns) - 1)) AS t(i)
+              WHERE len(ns) >= 2)
+        GROUP BY lang, g
+    ),
+    h1 AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_chars,
+               round((CAST(round(ln(SUM(c)) * 1000000, 0) AS BIGINT)
+                      - CAST(SUM(c * CAST(round(ln(c) * 1000000, 0)
+                            AS BIGINT)) AS BIGINT) / SUM(c))
+                     / 1000000.0, 6) AS h_uni
+        FROM uni GROUP BY lang
+    ),
+    h2 AS (
+        SELECT lang, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               round((CAST(round(ln(SUM(c)) * 1000000, 0) AS BIGINT)
+                      - CAST(SUM(c * CAST(round(ln(c) * 1000000, 0)
+                            AS BIGINT)) AS BIGINT) / SUM(c))
+                     / 1000000.0, 6) AS h_bi
+        FROM bi GROUP BY lang
+    )
+    SELECT h1.lang, h1.n_chars, h2.n_bigrams, h1.h_uni, h2.h_bi,
+           round(h2.h_bi - h1.h_uni, 6) AS entropy_rate
+    FROM h1 JOIN h2 USING (lang)
+"""
+
+# Burstiness (queries_ext.q_burstiness): the shared double text
+# BURSTINESS_EXPR over exact integer aggregates; distributed top-20 by
+# (n_occ DESC, word ASC).
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    BPE_CURVE_CHECKPOINTS,
+    BURSTINESS_EXPR,
+)
+
+EXT_ORACLES["q_burstiness"] = f"""
+    WITH per_dw AS MATERIALIZED (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS x
+        FROM (SELECT doc_id,
+                     unnest(string_split(trim(text), ' ')) AS w
+              FROM documents)
+        WHERE w != '' GROUP BY doc_id, w
+    ),
+    per_w AS MATERIALIZED (
+        SELECT w,
+               CAST(SUM(x) AS BIGINT) AS n_occ,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(x * x) AS BIGINT) AS sx2
+        FROM per_dw GROUP BY w
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM documents),
+    top AS (
+        SELECT *, CAST(row_number() OVER (
+                   ORDER BY n_occ DESC, w ASC) AS INT) AS rank
+        FROM per_w ORDER BY n_occ DESC, w ASC LIMIT 20
+    )
+    SELECT rank, w AS word, n_occ, df,
+           {BURSTINESS_EXPR.format(N="(SELECT N FROM nd)")}
+               AS vmr_micro,
+           CAST(n_occ * 1000000 // df AS BIGINT) AS occ_per_doc_micro
+    FROM top
+"""
+
+
+# BPE compression curve (queries_ext.q_bpe_compression_curve): the
+# q_bpe_apply CTE chain (same mined merges, same shared fold lambda),
+# with the curve read off the r0/r2/r4/r8 round CTEs directly — each
+# is MATERIALIZED, so the chain evaluates once.
+def _bpe_curve_oracle() -> str:
+    rounds = []
+    for r in range(1, BPE_APPLY_TOPM + 1):
+        body = BPE_MERGE_LAMBDA.format(a="m.a", b="m.b")
+        rounds.append(f"""
+    r{r} AS MATERIALIZED (
+        SELECT word, freq,
+               list_reduce(list_prepend('', string_split(t, ' ')),
+                           (acc, x) -> {body}) AS t
+        FROM r{r - 1},
+             (SELECT min(substr(pair, 1, 1)) AS a,
+                     min(substr(pair, 2, 1)) AS b
+              FROM merges WHERE rank = {r}) m
+    )""")
+    legs = ",\n".join(
+        f"""
+    p{r} AS (
+        SELECT CAST({r} AS INT) AS n_merges,
+               CAST(SUM(freq * len(string_split(t, ' '))) AS BIGINT)
+                   AS total_tokens
+        FROM r{r}
+    )"""
+        for r in BPE_CURVE_CHECKPOINTS
+    )
+    union = "\n        UNION ALL ".join(
+        [
+            "SELECT CAST(0 AS INT) AS n_merges,"
+            " (SELECT C FROM wc) AS total_tokens"
+        ]
+        + [f"SELECT n_merges, total_tokens FROM p{r}"
+           for r in BPE_CURVE_CHECKPOINTS]
+    )
+    return f"""
+    WITH tok AS MATERIALIZED (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents
+    ),
+    vocab AS MATERIALIZED (
+        SELECT word, COUNT(*)::BIGINT AS freq
+        FROM tok WHERE word != '' GROUP BY word
+    ),
+    mine AS MATERIALIZED (
+        SELECT substr(word, i, 2) AS pair, SUM(freq)::BIGINT AS cnt
+        FROM (SELECT word, freq,
+                     UNNEST(generate_series(1, len(word) - 1)) AS i
+              FROM vocab WHERE len(word) >= 2)
+        GROUP BY 1
+    ),
+    merges AS MATERIALIZED (
+        SELECT CAST(row_number() OVER (
+                   ORDER BY cnt DESC, pair ASC) AS INT) AS rank,
+               pair
+        FROM mine
+        ORDER BY rank LIMIT {BPE_APPLY_TOPM}
+    ),
+    wc AS MATERIALIZED (
+        SELECT CAST(SUM(freq) AS BIGINT) AS W,
+               CAST(SUM(freq * len(word)) AS BIGINT) AS C
+        FROM vocab
+    ),
+    r0 AS MATERIALIZED (
+        SELECT word, freq,
+               array_to_string(string_split(word, ''), ' ') AS t
+        FROM vocab
+    ),{",".join(rounds)},{legs},
+    curve AS (
+        {union}
+    )
+    SELECT n_merges, total_tokens,
+           CAST(total_tokens * 1000000 // (SELECT W FROM wc) AS BIGINT)
+               AS tokens_per_word_micro,
+           CAST(total_tokens * 1000000 // (SELECT C FROM wc) AS BIGINT)
+               AS compression_micro
+    FROM curve
+"""
+
+
+EXT_ORACLES["q_bpe_compression_curve"] = _bpe_curve_oracle()

@@ -1216,8 +1216,14 @@ VERIFY_PRIORITY = [
     # 2 changed + 14 new + 11 + 23 = 50
     # --- window boundary: entries below are OUTSIDE the first 50. ---
     # Ordered oldest-latest-green first (they LEAD the r12 window):
-    # the r7 greens, then r8, then r9, then the round-10 window
-    # queries (the repo's newest greens park last).
+    # FIRST the three late-r11 wave-E oracles that landed after the
+    # window filled (never driver-checked; locally driver-sim green at
+    # BOTH SFs on declaration — the r10 wave-4 precedent), then the r7
+    # greens, then r8, then r9, then the round-10 window queries (the
+    # repo's newest greens park last).
+    "q_char_entropy_rate",
+    "q_burstiness",
+    "q_bpe_compression_curve",
     # r7 greens (unchanged code since their green)
     "q_ann_index_probe",
     "q_semantic_neighbors",

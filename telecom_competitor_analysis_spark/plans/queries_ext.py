@@ -9248,6 +9248,262 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level ENTROPY RATE per language — the conditional
+    bigram entropy H(X₂|X₁) = H(bigrams) − H(unigrams), the
+    predictability statistic that q_char_entropy's per-doc unigram
+    entropy cannot express (two corpora can share a character
+    histogram while one is shuffled noise: same H(X), very different
+    H(X₂|X₁)). Per language because orthography drives the number —
+    the multilingual-pipeline readout for "how compressible is this
+    script" next to q_fertility's tokens-per-word.
+
+    Cross-engine exact via the repo's log convention (q_char_entropy /
+    q_bigram_lm): every ln(count) is micro-rounded to an integer
+    immediately, per-language sums are exact int64, and each entropy
+    is ONE final rounded division; the rate is a single subtraction of
+    two such deterministic doubles, rounded once more.
+
+    Scale shape: both gram explodes are corpus-linear and collapse
+    map-side into (lang, gram) pre-aggregates (alphabet² ≈ bounded
+    cells per language); the scan carries ensure_parallelism (the
+    chrf/char_entropy compute-bound-map class)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
+    base = docs.select("lang", F.trim(F.col("text")).alias("ns")).filter(
+        F.length("ns") >= 1
+    )
+    uni = (
+        base.select(
+            "lang", F.explode(F.split(F.col("ns"), "")).alias("g")
+        )
+        .filter(F.col("g") != "")
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bi = (
+        base.filter(F.length("ns") >= 2)
+        .select(
+            "lang",
+            F.explode(
+                F.sequence(F.lit(1), F.length("ns") - 1)
+            ).alias("i"),
+            "ns",
+        )
+        .select("lang", F.expr("substring(ns, i, 2)").alias("g"))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+    def entropy(per_gram: DataFrame, n_name: str, h_name: str) -> DataFrame:
+        return per_gram.groupBy("lang").agg(
+            F.sum("c").cast("long").alias(n_name),
+            F.round(
+                (
+                    F.round(
+                        F.log(F.sum("c").cast("double")) * 1_000_000
+                    ).cast("long")
+                    - F.sum(
+                        F.col("c")
+                        * F.round(
+                            F.log(F.col("c").cast("double")) * 1_000_000
+                        ).cast("long")
+                    ).cast("long")
+                    / F.sum("c").cast("long")
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias(h_name),
+        )
+
+    h1 = entropy(uni, "n_chars", "h_uni")
+    h2 = entropy(bi, "n_bigrams", "h_bi")
+    return h1.join(h2, on="lang").select(
+        "lang",
+        "n_chars",
+        "n_bigrams",
+        "h_uni",
+        "h_bi",
+        F.round(F.col("h_bi") - F.col("h_uni"), 6).alias("entropy_rate"),
+    )
+
+
+# Variance-to-mean ratio over ALL docs (zeros included), rearranged to
+# integer inputs: VMR = (N·Σx² − n_occ²) / (N·n_occ). ONE shared double
+# text — every operand cast double in the same order, one round, so the
+# scalar expression tree is bit-identical IEEE in both engines (the
+# OLS_SLOPE_MICRO_EXPR discipline). Operand bound: N·Σx² must stay
+# under 2^53 for the double products to be exact — ≈ 2e14 at the ×100
+# probe, safe to ×~3000 corpus growth.
+BURSTINESS_EXPR = (
+    "CAST(round((CAST({N} AS DOUBLE) * CAST(sx2 AS DOUBLE)"
+    " - CAST(n_occ AS DOUBLE) * CAST(n_occ AS DOUBLE)) * 1000000.0"
+    " / (CAST({N} AS DOUBLE) * CAST(n_occ AS DOUBLE)), 0) AS BIGINT)"
+)
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church & Gale 1995): variance-to-mean ratio of
+    per-document counts for the top-20 corpus words — the dispersion
+    statistic completing the corpus-linguistics panel (q_zipf_fit:
+    rank-frequency; q_heaps_fit: vocabulary growth;
+    q_gini_concentration: source concentration; burstiness: does a
+    word spread evenly or clump?). VMR ≈ 1 is Poisson scatter;
+    VMR ≫ 1 means the word clumps into few documents — content words
+    clump, function words don't, and a "function-looking" word with
+    high VMR is template boilerplate the dedup family should see.
+
+    Zeros count: variance is over ALL N docs, rearranged to
+    VMR = (N·Σx² − n_occ²)/(N·n_occ) so only exact integer aggregates
+    enter the ONE shared double text (BURSTINESS_EXPR).
+
+    Scale shape: one (doc, word) pre-aggregate (map-side combine), one
+    per-word rollup, a DISTRIBUTED top-20 sort-limit
+    (TakeOrderedAndProject — never a full-vocab window), the rank
+    window over exactly 20 rows, N as a 1-row broadcast aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    per_dw = (
+        docs.select(
+            "doc_id", F.explode(words(F.trim(F.col("text")))).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    per_w = per_dw.groupBy("w").agg(
+        F.sum("x").cast("long").alias("n_occ"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+    )
+    top = per_w.orderBy(F.col("n_occ").desc(), F.col("w").asc()).limit(20)
+    wr = Window.orderBy(F.col("n_occ").desc(), F.col("w").asc())
+    return (
+        top.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "rank",
+            F.col("w").alias("word"),
+            "n_occ",
+            "df",
+            F.expr(BURSTINESS_EXPR.format(N="N")).alias("vmr_micro"),
+            F.expr("CAST(n_occ * 1000000 DIV df AS BIGINT)").alias(
+                "occ_per_doc_micro"
+            ),
+        )
+    )
+
+
+BPE_CURVE_CHECKPOINTS = (2, 4, 8)
+
+
+def q_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer compression-vs-merges response curve — the BPE knob
+    curve joining the knob-response family (q_nprobe_sweep: IVF probes;
+    q_band_tuning: LSH bands; this: merge-table size): corpus token
+    count after applying 0 / 2 / 4 / 8 mined merges, with
+    tokens-per-word and compression-vs-characters in integer micro.
+    The marginal gain per extra merge is exactly the number a
+    vocab-size decision reads (flat tail ⇒ stop merging).
+
+    Single-pass: the fold chain (same shared BPE_MERGE_LAMBDA rounds
+    as q_bpe_apply) carries a token-count SNAPSHOT column at each
+    checkpoint, so the vocabulary is traversed once and the curve
+    falls out of ONE aggregate exploded into its 4 rows — never one
+    corpus pass per checkpoint.
+
+    Scale shape: identical to q_bpe_apply (vocab-bounded folds, 8-row
+    localCheckpointed merge table, 1-row broadcast merge rounds) plus
+    a single 1-row aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.explode(words(F.trim(F.col("text")))).alias("word")
+    )
+    vocab = (
+        tok.groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .filter(F.col("word") != "")
+    )
+    mine = (
+        vocab.filter(F.length("word") >= 2)
+        .select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substring(word, i, 2))"
+                )
+            ).alias("pair"),
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    wm = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    merges = (
+        mine.withColumn("rank", F.row_number().over(wm).cast("int"))
+        .filter(F.col("rank") <= BPE_APPLY_TOPM)
+        .select("rank", "pair")
+    ).localCheckpoint()
+    cur = vocab.withColumn(
+        "t", F.concat_ws(" ", F.split(F.col("word"), ""))
+    )
+    for r in range(1, BPE_APPLY_TOPM + 1):
+        m = F.broadcast(
+            merges.filter(F.col("rank") == r).agg(
+                F.min(F.substring("pair", 1, 1)).alias(f"__a{r}"),
+                F.min(F.substring("pair", 2, 1)).alias(f"__b{r}"),
+            )
+        )
+        cur = (
+            cur.crossJoin(m)
+            .withColumn(
+                "t",
+                F.expr(
+                    "aggregate(split(t, ' '), '', (acc, x) -> "
+                    + BPE_MERGE_LAMBDA.format(a=f"__a{r}", b=f"__b{r}")
+                    + ")"
+                ),
+            )
+            .drop(f"__a{r}", f"__b{r}")
+        )
+        if r in BPE_CURVE_CHECKPOINTS:
+            cur = cur.withColumn(
+                f"nt{r}", F.size(F.split(F.col("t"), " ")).cast("long")
+            )
+    agg = cur.agg(
+        F.sum("freq").cast("long").alias("W"),
+        F.sum(F.col("freq") * F.length("word")).cast("long").alias("C"),
+        *[
+            F.sum(F.col("freq") * F.col(f"nt{r}"))
+            .cast("long")
+            .alias(f"T{r}")
+            for r in BPE_CURVE_CHECKPOINTS
+        ],
+    )
+    points = ", ".join(
+        ["struct(CAST(0 AS INT) AS m, C AS t)"]
+        + [
+            f"struct(CAST({r} AS INT) AS m, T{r} AS t)"
+            for r in BPE_CURVE_CHECKPOINTS
+        ]
+    )
+    return agg.select(
+        F.expr(f"explode(array({points}))").alias("p"), "W", "C"
+    ).select(
+        F.col("p.m").alias("n_merges"),
+        F.col("p.t").alias("total_tokens"),
+        F.expr("CAST(p.t * 1000000 DIV W AS BIGINT)").alias(
+            "tokens_per_word_micro"
+        ),
+        F.expr("CAST(p.t * 1000000 DIV C AS BIGINT)").alias(
+            "compression_micro"
+        ),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -9445,4 +9701,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_media_sniff": q_media_sniff,
     "q_clustering_coeff": q_clustering_coeff,
     "q_power_iteration": q_power_iteration,
+    "q_char_entropy_rate": q_char_entropy_rate,
+    "q_burstiness": q_burstiness,
+    "q_bpe_compression_curve": q_bpe_compression_curve,
 }

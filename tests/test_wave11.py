@@ -350,3 +350,41 @@ def test_power_iteration_properties(spark, sf_dir):
     num = sum(a * b for a, b in zip(u1, u2))
     den = (sum(a * a for a in u1) * sum(b * b for b in u2)) ** 0.5
     assert num / den > 0.5
+
+
+# --- sub-wave E: entropy rate / burstiness / bpe compression curve ------
+
+
+def test_char_entropy_rate_bounds(spark, sf_dir):
+    rows = EXT_QUERIES["q_char_entropy_rate"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # conditioning can't raise entropy: 0 <= H(X2|X1) <= H(X)
+        # (estimator noise aside, bigram H <= 2*unigram H always)
+        assert 0 < r.entropy_rate <= r.h_uni + 1e-6
+        assert r.h_bi <= 2 * r.h_uni + 1e-6
+        assert r.n_bigrams < r.n_chars
+
+
+def test_burstiness_poisson_floor(spark, sf_dir):
+    rows = EXT_QUERIES["q_burstiness"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # VMR >= the within-doc clumping floor; must be positive and
+        # occ_per_doc >= 1.0 by construction
+        assert r.vmr_micro > 0
+        assert r.occ_per_doc_micro >= 1_000_000
+        assert r.df <= r.n_occ
+
+
+def test_bpe_compression_curve_monotone(spark, sf_dir):
+    rows = sorted(
+        EXT_QUERIES["q_bpe_compression_curve"](spark, sf_dir).collect(),
+        key=lambda r: r.n_merges,
+    )
+    assert [r.n_merges for r in rows] == [0, 2, 4, 8]
+    toks = [r.total_tokens for r in rows]
+    # each extra merge can only shrink the corpus token count
+    assert toks == sorted(toks, reverse=True)
+    assert toks[-1] < toks[0]
+    assert rows[0].compression_micro == 1_000_000  # 0 merges = chars
