@@ -232,6 +232,7 @@ HEADLINE_EXT = [
     "q_char_entropy_rate",
     "q_burstiness",
     "q_bpe_compression_curve",
+    "q_delete_vectors",
 ]
 
 

@@ -7245,3 +7245,37 @@ def _bpe_curve_oracle() -> str:
 
 
 EXT_ORACLES["q_bpe_compression_curve"] = _bpe_curve_oracle()
+
+# Deletion-vector audit (queries_ext.q_delete_vectors): the mask table
+# applied by LEFT join, per-(month, file) mask ratios, 20% rewrite
+# threshold shared via the Python constant.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    DV_COMPACT_THRESHOLD_MICRO,
+)
+
+EXT_ORACLES["q_delete_vectors"] = f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                    AS INT) AS ym,
+               CAST(o_orderkey % 4 AS INT) AS file_id
+        FROM orders
+    ),
+    dv AS (
+        SELECT o_orderkey AS dk FROM orders WHERE o_orderkey % 13 = 0
+    ),
+    masked AS (
+        SELECT o.ym, o.file_id,
+               CASE WHEN dv.dk IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_masked
+        FROM o LEFT JOIN dv ON o.o_orderkey = dv.dk
+    )
+    SELECT ym, file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(is_masked) AS BIGINT) AS n_masked,
+           CAST(SUM(is_masked) * 1000000 // COUNT(*) AS BIGINT)
+               AS mask_micro,
+           SUM(is_masked) * 1000000 // COUNT(*)
+               > {DV_COMPACT_THRESHOLD_MICRO} AS needs_compaction
+    FROM masked GROUP BY ym, file_id
+"""

@@ -1224,6 +1224,7 @@ VERIFY_PRIORITY = [
     "q_char_entropy_rate",
     "q_burstiness",
     "q_bpe_compression_curve",
+    "q_delete_vectors",
     # r7 greens (unchanged code since their green)
     "q_ann_index_probe",
     "q_semantic_neighbors",

@@ -9504,6 +9504,68 @@ def q_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DV_COMPACT_THRESHOLD_MICRO = 200_000  # rewrite a file past 20% masked
+
+
+def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read deletion-vector audit — the lakehouse DELETE path
+    (Delta deletion vectors / Iceberg positional deletes): deletes
+    land as a separate mask table instead of rewriting data files, and
+    every reader applies the mask until a compaction rewrites the
+    file. This query is the maintenance planner's input: per physical
+    file, how many rows the mask hides, and whether the file crossed
+    the rewrite threshold (20% masked — read amplification now costs
+    more than the rewrite). Completes the lakehouse-ops family:
+    q_cdc_apply MERGEs a feed, q_zorder_layout lays files out,
+    q_rollup_incremental maintains aggregates, this one schedules the
+    rewrite debt that merge-on-read accumulates.
+
+    Files are modeled as (order-month × 4-way key split) — the
+    partition-plus-file granularity a real table has; the deletion
+    vector is a real TABLE (every 13th order key) applied by LEFT
+    join, not an inlined predicate, because that is the production
+    plan shape (the mask table is per-snapshot state).
+
+    Scale shape: one equi-join on the order key (the mask apply — at
+    100 TB this is the per-file hash-join every MoR reader pays, which
+    is exactly the cost the audit exists to bound), one
+    partial-aggregated groupBy(file); output is |files| rows. The
+    month key is integer year·100+month — no format strings, no
+    timezone surface (session TZ pinned UTC in load_table)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (
+            F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        )
+        .cast("int")
+        .alias("ym"),
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("file_id"),
+    )
+    dv = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 13 == 0)
+        .select(F.col("o_orderkey").alias("dk"))
+    )
+    masked = orders.join(
+        dv, orders["o_orderkey"] == dv["dk"], "left"
+    ).select(
+        "ym",
+        "file_id",
+        F.col("dk").isNotNull().cast("int").alias("is_masked"),
+    )
+    thr = DV_COMPACT_THRESHOLD_MICRO
+    return masked.groupBy("ym", "file_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("is_masked").cast("long").alias("n_masked"),
+        F.expr(
+            "CAST(SUM(is_masked) * 1000000 DIV COUNT(1) AS BIGINT)"
+        ).alias("mask_micro"),
+        F.expr(
+            f"SUM(is_masked) * 1000000 DIV COUNT(1) > {thr}"
+        ).alias("needs_compaction"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -9704,4 +9766,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_entropy_rate": q_char_entropy_rate,
     "q_burstiness": q_burstiness,
     "q_bpe_compression_curve": q_bpe_compression_curve,
+    "q_delete_vectors": q_delete_vectors,
 }

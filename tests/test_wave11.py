@@ -388,3 +388,20 @@ def test_bpe_compression_curve_monotone(spark, sf_dir):
     assert toks == sorted(toks, reverse=True)
     assert toks[-1] < toks[0]
     assert rows[0].compression_micro == 1_000_000  # 0 merges = chars
+
+
+def test_delete_vectors_mask_accounting(spark, sf_dir):
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    rows = EXT_QUERIES["q_delete_vectors"](spark, sf_dir).collect()
+    orders = load_table(spark, sf_dir, "orders")
+    assert sum(r.n_rows for r in rows) == orders.count()
+    assert sum(r.n_masked for r in rows) == orders.filter(
+        "o_orderkey % 13 = 0"
+    ).count()
+    for r in rows:
+        assert 0 <= r.n_masked <= r.n_rows
+        expected = r.mask_micro > 200_000
+        assert r.needs_compaction == expected
