@@ -233,6 +233,8 @@ HEADLINE_EXT = [
     "q_burstiness",
     "q_bpe_compression_curve",
     "q_delete_vectors",
+    "q_pruning_stats",
+    "q_bloom_fpp_audit",
 ]
 
 

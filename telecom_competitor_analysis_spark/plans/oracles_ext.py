@@ -7279,3 +7279,125 @@ EXT_ORACLES["q_delete_vectors"] = f"""
                > {DV_COMPACT_THRESHOLD_MICRO} AS needs_compaction
     FROM masked GROUP BY ym, file_id
 """
+
+# File-pruning stats (queries_ext.q_pruning_stats): both layouts' file
+# stats + the fractional predicate boxes from the SAME Python tuple as
+# the Spark literal table.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    PRUNING_PREDICATES,
+)
+
+_PRED_VALUES = ",\n        ".join(
+    f"('{n}', {xl}, {xh}, {yl}, {yh})"
+    for n, xl, xh, yl, yh in PRUNING_PREDICATES
+)
+_MORTON = " + ".join(
+    f"((bx // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+    f" + ((by // {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(4)
+)
+EXT_ORACLES["q_pruning_stats"] = f"""
+    WITH b AS (
+        SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+               MIN(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS minp,
+               MAX(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS maxp
+        FROM orders
+    ),
+    q AS MATERIALIZED (
+        SELECT least(15, (o.o_custkey - b.minc) * 16
+                         // (b.maxc - b.minc + 1)) AS bx,
+               least(15, (CAST(round(o.o_totalprice * 100, 0) AS BIGINT)
+                          - b.minp) * 16 // (b.maxp - b.minp + 1)) AS by,
+               CAST(o.o_orderkey % 4 AS INT) AS sub
+        FROM orders o, b
+    ),
+    zfiles AS (
+        SELECT 'zorder' AS layout,
+               ({_MORTON}) // 4 AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(bx) AS min_x, MAX(bx) AS max_x,
+               MIN(by) AS min_y, MAX(by) AS max_y
+        FROM q GROUP BY 2
+    ),
+    lfiles AS (
+        SELECT 'linear' AS layout,
+               bx * 4 + sub AS file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(bx) AS min_x, MAX(bx) AS max_x,
+               MIN(by) AS min_y, MAX(by) AS max_y
+        FROM q GROUP BY 2
+    ),
+    files AS (
+        SELECT * FROM zfiles UNION ALL SELECT * FROM lfiles
+    ),
+    preds(predicate, x_lo, x_hi, y_lo, y_hi) AS (
+        VALUES {_PRED_VALUES}
+    ),
+    hit AS (
+        SELECT f.layout, p.predicate, f.n_rows,
+               CASE WHEN f.max_x >= p.x_lo AND f.min_x < p.x_hi
+                     AND f.max_y >= p.y_lo AND f.min_y < p.y_hi
+                    THEN 1 ELSE 0 END AS kept
+        FROM files f CROSS JOIN preds p
+    )
+    SELECT layout, predicate,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(kept) AS BIGINT) AS files_kept,
+           CAST(SUM(kept * n_rows) AS BIGINT) AS rows_scanned,
+           CAST((COUNT(*) - SUM(kept)) * 1000000 // COUNT(*) AS BIGINT)
+               AS skip_micro
+    FROM hit GROUP BY layout, predicate
+"""
+
+# Bloom FPP audit (queries_ext.q_bloom_fpp_audit): the
+# q_bloom_prefilter_join bit-set construction (2 md5-substring hashes
+# mod 8192) measured over distinct probe keys; prediction from the
+# measured fill, k = 2.
+EXT_ORACLES["q_bloom_fpp_audit"] = """
+    WITH supp3 AS MATERIALIZED (
+        SELECT s_suppkey FROM supplier WHERE s_nationkey = 3
+    ),
+    bits AS MATERIALIZED (
+        SELECT DISTINCT p FROM (
+            SELECT (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)),
+                     1, 8))::BIGINT % 8192) AS p FROM supp3
+            UNION ALL
+            SELECT (('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)),
+                     9, 8))::BIGINT % 8192) AS p FROM supp3
+        )
+    ),
+    probe AS MATERIALIZED (
+        SELECT DISTINCT l_suppkey AS k FROM lineitem
+    ),
+    tested AS (
+        SELECT pr.k,
+               CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+                    THEN 1 ELSE 0 END AS passes,
+               CASE WHEN m.s_suppkey IS NOT NULL THEN 1 ELSE 0 END
+                   AS is_member
+        FROM probe pr
+        LEFT JOIN bits b1
+          ON b1.p = (('0x' || substr(md5(CAST(pr.k AS VARCHAR)),
+                      1, 8))::BIGINT % 8192)
+        LEFT JOIN bits b2
+          ON b2.p = (('0x' || substr(md5(CAST(pr.k AS VARCHAR)),
+                      9, 8))::BIGINT % 8192)
+        LEFT JOIN supp3 m ON m.s_suppkey = pr.k
+    )
+    SELECT CAST(8192 AS BIGINT) AS m_bits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM supp3) AS n_build,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS probe_distinct,
+           CAST(SUM(is_member) AS BIGINT) AS n_members,
+           CAST(SUM(passes) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN passes = 1 AND is_member = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN passes = 1 AND is_member = 0
+                    THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(COUNT(*) - SUM(is_member), 1) AS BIGINT)
+               AS fpp_measured_micro,
+           CAST(((SELECT COUNT(*) FROM bits) * 1000000 // 8192)
+                * ((SELECT COUNT(*) FROM bits) * 1000000 // 8192)
+                // 1000000 AS BIGINT) AS fpp_predicted_micro
+    FROM tested
+"""

@@ -1225,6 +1225,8 @@ VERIFY_PRIORITY = [
     "q_burstiness",
     "q_bpe_compression_curve",
     "q_delete_vectors",
+    "q_pruning_stats",
+    "q_bloom_fpp_audit",
     # r7 greens (unchanged code since their green)
     "q_ann_index_probe",
     "q_semantic_neighbors",

@@ -9566,6 +9566,229 @@ def q_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fractional predicate boxes (lo, hi in 1/16ths of each dimension's
+# global range) — fractions, not literals, so the same three predicates
+# exercise real selectivity at every SF. P1 probes the custkey dim, P2
+# the price dim, P3 both.
+PRUNING_PREDICATES = (
+    ("P1_cust_band", 2, 4, 0, 16),
+    ("P2_price_band", 0, 16, 10, 12),
+    ("P3_both", 2, 4, 10, 12),
+)
+
+
+def q_pruning_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness audit — the number that justifies
+    q_zorder_layout's existence: for three fixed predicate boxes, how
+    many files' [min, max] statistics let the scan skip them, under a
+    LINEAR layout (files = equal-width custkey buckets — the
+    sort-by-one-key-and-chunk shape) vs the Z-ORDER layout (the Morton
+    files q_zorder_layout builds). Linear prunes only the leading
+    dimension: its price-band predicate keeps every file; z-order
+    narrows BOTH min/max ranges per file, so both single-dim bands and
+    the conjunction skip. This is the min/max-statistics pruning every
+    parquet/Iceberg/Delta reader performs — measured, not asserted.
+
+    All-integer: dimensions quantize to 1/16ths of the broadcast
+    global [min, max] (the zorder bucket rule), predicate boxes are
+    sixteenth fractions, the overlap test is integer comparisons on
+    bucket-scaled file stats, and skip ratios are micro divisions.
+
+    Scale shape: two groupBy-file rollups over the scan (64-file
+    bounded outputs), a 4-value global-bounds broadcast, a 3-row
+    predicate literal cross join — after the rollups everything is
+    O(files × predicates)."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "minp"
+        ),
+        F.max(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "maxp"
+        ),
+    )
+    q = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    ).crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.lit(15),
+            F.expr("(o_custkey - minc) * 16 div (maxc - minc + 1)"),
+        )
+        .cast("int")
+        .alias("bx"),
+        F.least(
+            F.lit(15), F.expr("(cents - minp) * 16 div (maxp - minp + 1)")
+        )
+        .cast("int")
+        .alias("by"),
+        # the linear layout's within-bucket chunk split: arbitrary
+        # (key parity), deliberately UNcorrelated with price — a
+        # custkey-sorted file has no price locality, which is exactly
+        # the property the comparison must preserve
+        F.pmod(F.col("o_orderkey"), F.lit(4)).cast("int").alias("sub"),
+    )
+    interleave = " + ".join(
+        f"((bx div {1 << i}) % 2) * {1 << (2 * i + 1)}"
+        f" + ((by div {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(4)
+    )
+    zfiles = (
+        q.withColumn("zv", F.expr(interleave))
+        .groupBy(F.expr("zv div 4").cast("long").alias("file_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("bx").alias("min_x"),
+            F.max("bx").alias("max_x"),
+            F.min("by").alias("min_y"),
+            F.max("by").alias("max_y"),
+        )
+        .withColumn("layout", F.lit("zorder"))
+    )
+    lfiles = (
+        q.groupBy(
+            F.expr("bx * 4 + sub").cast("long").alias("file_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("bx").alias("min_x"),
+            F.max("bx").alias("max_x"),
+            F.min("by").alias("min_y"),
+            F.max("by").alias("max_y"),
+        )
+        .withColumn("layout", F.lit("linear"))
+    )
+    files = zfiles.unionByName(lfiles)
+    preds = spark.createDataFrame(
+        list(PRUNING_PREDICATES),
+        "predicate string, x_lo int, x_hi int, y_lo int, y_hi int",
+    )
+    hit = files.crossJoin(F.broadcast(preds)).withColumn(
+        "kept",
+        (
+            (F.col("max_x") >= F.col("x_lo"))
+            & (F.col("min_x") < F.col("x_hi"))
+            & (F.col("max_y") >= F.col("y_lo"))
+            & (F.col("min_y") < F.col("y_hi"))
+        ).cast("int"),
+    )
+    return hit.groupBy("layout", "predicate").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("kept").cast("long").alias("files_kept"),
+        F.sum(F.col("kept") * F.col("n_rows"))
+        .cast("long")
+        .alias("rows_scanned"),
+        F.expr(
+            "CAST((COUNT(1) - SUM(kept)) * 1000000 DIV COUNT(1)"
+            " AS BIGINT)"
+        ).alias("skip_micro"),
+    )
+
+
+def q_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured vs predicted false-positive rate of the runtime Bloom
+    filter — the observability twin of q_bloom_prefilter_join (which
+    proves the filter ANSWER-transparent; this one measures what the
+    filter COSTS): over the distinct probe-side keys, how many
+    non-members pass the 2-hash/8192-bit set anyway, against the
+    standard load-factor prediction fpp ≈ (bits_set/m)² (for k = 2 —
+    computed from the MEASURED fill, so no transcendental runs in
+    either engine). A measured rate far above prediction means the
+    hash positions correlate; far below means the filter is oversized
+    — both are sizing actions.
+
+    Scale shape: the build side is the same broadcast bit set as the
+    prefilter join; the probe side collapses to DISTINCT keys first
+    (bounded by |suppliers|, not fact rows), so the audit is a
+    bounded-key membership test + one 1-row aggregate."""
+    m = 8192
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").where(
+        F.col("s_nationkey") == 3
+    )
+
+    def h(col, off: int):
+        return F.conv(
+            F.substring(F.md5(col.cast("string")), 1 + off, 8), 16, 10
+        ).cast("long") % m
+
+    bits = (
+        supp.select(
+            F.explode(
+                F.array(h(F.col("s_suppkey"), 0), h(F.col("s_suppkey"), 8))
+            ).alias("p")
+        )
+        .distinct()
+    )
+    n_build = supp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_build")
+    )
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set"))
+    probe = li.select(F.col("l_suppkey").alias("k")).distinct()
+    members = supp.select(F.col("s_suppkey").alias("k")).distinct()
+    p1 = bits.select(F.col("p").alias("p1"))
+    p2 = bits.select(F.col("p").alias("p2"))
+    tested = (
+        probe.withColumn("h1", h(F.col("k"), 0))
+        .withColumn("h2", h(F.col("k"), 8))
+        .join(F.broadcast(p1), F.col("h1") == F.col("p1"), "left")
+        .join(F.broadcast(p2), F.col("h2") == F.col("p2"), "left")
+        .withColumn(
+            "passes",
+            (F.col("p1").isNotNull() & F.col("p2").isNotNull()).cast(
+                "int"
+            ),
+        )
+        .join(
+            members.withColumn("is_member", F.lit(1)),
+            on="k",
+            how="left",
+        )
+        .select(
+            "passes",
+            F.coalesce(F.col("is_member"), F.lit(0)).alias("is_member"),
+        )
+    )
+    agg = tested.agg(
+        F.count(F.lit(1)).cast("long").alias("probe_distinct"),
+        F.sum("is_member").cast("long").alias("n_members"),
+        F.sum("passes").cast("long").alias("n_pass"),
+        F.sum(
+            F.when((F.col("passes") == 1) & (F.col("is_member") == 0), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_build))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(m).cast("long").alias("m_bits"),
+            "n_build",
+            "bits_set",
+            "probe_distinct",
+            "n_members",
+            "n_pass",
+            "n_false_pos",
+            F.expr(
+                "CAST(n_false_pos * 1000000"
+                " DIV GREATEST(probe_distinct - n_members, 1) AS BIGINT)"
+            ).alias("fpp_measured_micro"),
+            F.expr(
+                f"CAST(bits_set * 1000000 DIV {m} AS BIGINT)"
+                f" * CAST(bits_set * 1000000 DIV {m} AS BIGINT)"
+                " DIV 1000000"
+            )
+            .cast("long")
+            .alias("fpp_predicted_micro"),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -9767,4 +9990,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_burstiness": q_burstiness,
     "q_bpe_compression_curve": q_bpe_compression_curve,
     "q_delete_vectors": q_delete_vectors,
+    "q_pruning_stats": q_pruning_stats,
+    "q_bloom_fpp_audit": q_bloom_fpp_audit,
 }

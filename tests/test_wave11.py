@@ -405,3 +405,33 @@ def test_delete_vectors_mask_accounting(spark, sf_dir):
         assert 0 <= r.n_masked <= r.n_rows
         expected = r.mask_micro > 200_000
         assert r.needs_compaction == expected
+
+
+def test_pruning_zorder_beats_linear_on_trailing_dim(spark, sf_dir):
+    rows = {(r.layout, r.predicate): r for r in
+            EXT_QUERIES["q_pruning_stats"](spark, sf_dir).collect()}
+    assert len(rows) == 6
+    # linear layout has no price locality: the price-band predicate
+    # skips (almost) nothing; z-order skips real files on BOTH dims
+    lin_p2 = rows[("linear", "P2_price_band")]
+    z_p2 = rows[("zorder", "P2_price_band")]
+    assert z_p2.skip_micro > lin_p2.skip_micro
+    assert lin_p2.skip_micro < 200_000  # near-zero skip without locality
+    # the conjunction prunes at least as well as either band alone
+    for lay in ("linear", "zorder"):
+        both = rows[(lay, "P3_both")]
+        assert both.files_kept <= min(
+            rows[(lay, "P1_cust_band")].files_kept,
+            rows[(lay, "P2_price_band")].files_kept,
+        )
+
+
+def test_bloom_fpp_audit_consistency(spark, sf_dir):
+    r = EXT_QUERIES["q_bloom_fpp_audit"](spark, sf_dir).collect()[0]
+    # no false negatives: every member passes
+    assert r.n_pass >= r.n_members
+    assert r.n_false_pos == r.n_pass - r.n_members
+    assert r.bits_set <= 2 * r.n_build
+    assert 0 <= r.fpp_measured_micro <= 1_000_000
+    # sparse fill at test SFs: prediction stays tiny
+    assert r.fpp_predicted_micro < 100_000
