@@ -37,3 +37,29 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
     assert parsed["queries_ext"]["q_key_skew"] > 0
     assert parsed["queries_ext"]["q_pivot_dynamic"] > 0
     assert parsed["value_ext"] > 0
+
+
+def test_resolve_artifact_path_guards_idle_artifact(tmp_path):
+    """A contended re-run must not clobber an idle run's artifact
+    (r11 VERDICT item 2): when the existing BENCH_LOCAL started at a
+    lower 1-min loadavg, the new run diverts to .contended.json; when
+    the new run is calmer (or no/invalid artifact exists), it keeps
+    the canonical path."""
+    p = tmp_path / "BENCH_LOCAL_r99.json"
+
+    # no existing artifact -> canonical path
+    assert bench.resolve_artifact_path(str(p), 5.0) == str(p)
+
+    # existing idle artifact (0.2) vs contended run (6.0) -> side file
+    p.write_text(json.dumps({"loadavg_start": [0.2, 1.0, 2.0]}))
+    assert bench.resolve_artifact_path(str(p), 6.0) == str(
+        tmp_path / "BENCH_LOCAL_r99.contended.json"
+    )
+
+    # existing contended artifact (6.0) vs idle run (0.2) -> overwrite
+    p.write_text(json.dumps({"loadavg_start": [6.0, 5.0, 4.0]}))
+    assert bench.resolve_artifact_path(str(p), 0.2) == str(p)
+
+    # corrupt artifact -> fail open to the canonical path
+    p.write_text("not json")
+    assert bench.resolve_artifact_path(str(p), 5.0) == str(p)
