@@ -6607,8 +6607,13 @@ EXT_ORACLES["q_distinct_ngrams"] = """
 # Blocklist screen (queries_ext.q_blocklist_screen): the rules VALUES
 # literal is generated from the SAME Python tuple as the Spark
 # createDataFrame, so the two engines can never screen different rules.
+# SQL-escape by doubling single quotes (r12 ADVICE): safe today's
+# hardcoded terms, and a future rule containing an apostrophe becomes a
+# correct literal instead of a broken (or injectable) VALUES clause.
 _BLOCKLIST_VALUES = ",\n        ".join(
-    f"({rid}, '{term}', '{action}')"
+    "({}, '{}', '{}')".format(
+        rid, term.replace("'", "''"), action.replace("'", "''")
+    )
     for rid, term, action in BLOCKLIST_RULES
 )
 EXT_ORACLES["q_blocklist_screen"] = f"""
@@ -6834,6 +6839,7 @@ from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
     FRESHNESS_HALF_LIFE_DAYS,
     FRESHNESS_MAX_BUCKET,
     MAD_RULE,
+    sdiv_expr,
 )
 
 EXT_ORACLES["q_anomaly_mad"] = f"""
@@ -6879,7 +6885,11 @@ EXT_ORACLES["q_anomaly_mad"] = f"""
 
 # Freshness decay (queries_ext.q_freshness_decay): dyadic half-life,
 # per-event integer shift-divide; anchor = max event date (UTC session
-# in both engines), DuckDB spells the shift vc // (1::BIGINT << b).
+# in both engines). Every division rides the shared sign-split text
+# sdiv_expr (r12 ADVICE: vc can go negative — refunds — and Spark DIV
+# truncates while DuckDB // floors; they agree only on non-negatives).
+_FRESH_DEC = sdiv_expr("vc", "(CAST(1 AS BIGINT) << b)", "//")
+_FRESH_RATIO = sdiv_expr(f"SUM({_FRESH_DEC}) * 1000000", "SUM(vc)", "//")
 EXT_ORACLES["q_freshness_decay"] = f"""
     WITH e AS (
         SELECT event_type, CAST(ts AS DATE) AS d,
@@ -6897,10 +6907,8 @@ EXT_ORACLES["q_freshness_decay"] = f"""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(vc) AS BIGINT) AS raw_cents,
-           CAST(SUM(vc // (CAST(1 AS BIGINT) << b)) AS BIGINT)
-               AS decayed_cents,
-           CAST(SUM(vc // (CAST(1 AS BIGINT) << b)) * 1000000
-                // SUM(vc) AS BIGINT) AS retention_micro
+           CAST(SUM({_FRESH_DEC}) AS BIGINT) AS decayed_cents,
+           CAST({_FRESH_RATIO} AS BIGINT) AS retention_micro
     FROM b GROUP BY event_type
 """
 

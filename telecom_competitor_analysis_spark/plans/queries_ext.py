@@ -8349,8 +8349,10 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed (bounded state, the MMR/kcore discipline —
     without it each of the 8 crossJoin references re-derives the
     corpus-wide mining), and each round enters as a 1-row broadcast
-    aggregate, never a driver collect. The top-20 window is a global
-    sort over |vocab| — vocabulary-bounded, not corpus-bounded."""
+    aggregate, never a driver collect. The top-20 report rows are
+    selected BEFORE the fold via orderBy().limit() (distributed
+    TakeOrderedAndProject — r12 ADVICE), so the fold rounds and the
+    final ranking window touch 20 rows, not |vocab|."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         F.explode(words(F.trim(F.col("text")))).alias("word")
@@ -8380,8 +8382,17 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= BPE_APPLY_TOPM)
         .select("rank", "pair")
     ).localCheckpoint()
-    cur = vocab.withColumn(
-        "t", F.concat_ws(" ", F.split(F.col("word"), ""))
+    # Take the top-20 report rows FIRST (orderBy().limit() plans as a
+    # distributed TakeOrderedAndProject — the q_burstiness idiom; r12
+    # ADVICE flagged the old shape, which ranked AFTER the fold via an
+    # unpartitioned row_number over the full post-merge vocabulary,
+    # forcing a single-partition global sort of |vocab| rows). The fold
+    # is per-row and rank depends only on (freq, word), so folding just
+    # the 20 survivors is semantics-identical and strictly cheaper.
+    cur = (
+        vocab.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(BPE_APPLY_TOPWORDS)
+        .withColumn("t", F.concat_ws(" ", F.split(F.col("word"), "")))
     )
     for r in range(1, BPE_APPLY_TOPM + 1):
         m = F.broadcast(
@@ -8402,17 +8413,17 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .drop(f"__a{r}", f"__b{r}")
         )
+    # The unpartitioned row_number now ranks the 20 pre-limited
+    # survivors, not the full vocabulary.
     wt = Window.orderBy(F.col("freq").desc(), F.col("word").asc())
-    return (
-        cur.withColumn("rank", F.row_number().over(wt).cast("int"))
-        .filter(F.col("rank") <= BPE_APPLY_TOPWORDS)
-        .select(
-            "rank",
-            "word",
-            "freq",
-            F.col("t").alias("bpe_tokens"),
-            F.size(F.split(F.col("t"), " ")).cast("long").alias("n_tokens"),
-        )
+    return cur.withColumn(
+        "rank", F.row_number().over(wt).cast("int")
+    ).select(
+        "rank",
+        "word",
+        "freq",
+        F.col("t").alias("bpe_tokens"),
+        F.size(F.split(F.col("t"), " ")).cast("long").alias("n_tokens"),
     )
 
 
@@ -8989,16 +9000,20 @@ def q_freshness_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV {FRESHNESS_HALF_LIFE_DAYS}) AS INT)"
         ).alias("b"),
     )
+    # Signed-division hazard (r12 ADVICE): value_cents can go negative
+    # (refunds), and Spark's DIV truncates while DuckDB's // floors —
+    # they agree only on non-negatives. Every division here rides the
+    # shared sign-split text sdiv_expr so a negative vc (or a negative
+    # decayed/raw sum in the ratio) can never diverge cross-engine.
+    dec = sdiv_expr("vc", "shiftleft(CAST(1 AS BIGINT), b)", "DIV")
+    ratio = sdiv_expr(
+        f"SUM({dec}) * 1000000", "SUM(vc)", "DIV"
+    )
     return b.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.sum("vc").cast("long").alias("raw_cents"),
-        F.sum(F.expr("vc DIV shiftleft(CAST(1 AS BIGINT), b)"))
-        .cast("long")
-        .alias("decayed_cents"),
-        F.expr(
-            "CAST(SUM(vc DIV shiftleft(CAST(1 AS BIGINT), b)) * 1000000"
-            " DIV SUM(vc) AS BIGINT)"
-        ).alias("retention_micro"),
+        F.sum(F.expr(dec)).cast("long").alias("decayed_cents"),
+        F.expr(f"CAST({ratio} AS BIGINT)").alias("retention_micro"),
     )
 
 
