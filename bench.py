@@ -235,6 +235,9 @@ HEADLINE_EXT = [
     "q_delete_vectors",
     "q_pruning_stats",
     "q_bloom_fpp_audit",
+    # r12 additions (measured from birth)
+    "q_ivfpq_ann",
+    "q_ivfpq_recall",
 ]
 
 

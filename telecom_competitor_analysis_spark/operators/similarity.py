@@ -1220,3 +1220,194 @@ def pq_adc_topk(
             "exact_dist",
         )
     )
+
+
+# --- IVF + PQ composition (FAISS IVFPQ) ----------------------------------
+#
+# build_ivf_index prunes WHICH vectors a probe scans (bucket-partitioned
+# parquet + dynamic partition pruning); pq_encode compresses HOW each
+# vector is scored (ADC table lookups). The composition below is what a
+# production 100 TB vector store actually runs (Jégou et al. TPAMI 2011
+# §IV "IVFADC"; FAISS IndexIVFPQ + refine): prune first, ADC-score only
+# the probed buckets' CODES, exact-refine only the coarse shortlist.
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_anchors: int = 16,
+    max_bucket_size: int | None = None,
+    carry_cols: tuple[str, ...] = (),
+) -> None:
+    """Materialize the IVFPQ index: ``build_ivf_index``'s layout
+    (anchors / bucket-partitioned assignments / sub-split meta) with
+    each row additionally carrying its m=8 PQ codes as an inline
+    ``codes`` array (the ``carry_cols`` mechanism — the codes ARE
+    filterable metadata, stored next to the vector they quantize), plus
+    the frozen per-subspace codebook at ``{path}/pq_codebook``. The
+    codebook is written WITH the index because codes are meaningless
+    without the codebook that minted them — a probe must never score
+    stored codes against a recomputed codebook from a different corpus
+    snapshot.
+
+    At 100 TB the coarse stage reads only (bucket, neighbor_id, codes)
+    — parquet column pruning keeps the fat vector column on disk, the
+    on-disk analog of FAISS keeping codes in RAM and vectors on SSD."""
+    cb = pq_codebook(corpus, id_col, vec_col)
+    cb.write.mode("overwrite").parquet(f"{path}/pq_codebook")
+    codes = (
+        pq_encode(pq_subvectors(corpus, id_col, vec_col), cb)
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "code"))),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+    )
+    enriched = corpus.join(
+        codes, corpus[id_col] == codes["id"]
+    ).drop("id")
+    build_ivf_index(
+        enriched,
+        path,
+        id_col,
+        vec_col,
+        n_anchors,
+        max_bucket_size,
+        carry_cols=tuple(carry_cols) + ("codes",),
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    spark,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    coarse_k: int = 50,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVFPQ search with exact refine — the three-stage production ANN
+    serving plan over a ``build_ivfpq_index`` artifact:
+
+    1. PRUNE: each query probes its ``nprobe`` nearest anchor buckets
+       (``ivf_probe``); the broadcast probe join on the partition
+       column triggers dynamic partition pruning — unprobed buckets
+       are never read.
+    2. ADC COARSE: each query's 8×4 lookup table (built against the
+       STORED codebook) is folded into a broadcast int->int map; every
+       candidate's approximate distance is m=8 map lookups over its
+       inline ``codes`` array — per-row, zero shuffle, and the scan
+       reads ONLY (bucket, neighbor_id, codes): column pruning keeps
+       the 64-dim vector column on disk. Coarse top-``coarse_k`` per
+       query via WindowGroupLimit (map-side partial top-k — shuffle
+       volume is bounded by coarse_k·|queries| per map task, never the
+       candidate count).
+    3. EXACT REFINE: the ≤ coarse_k·|queries| survivors broadcast-join
+       back to the index on (bucket, neighbor_id) — partition pruning
+       again — to fetch full vectors for the shortlist ONLY, and the
+       final top-``k`` ranks by exact integer squared-L2.
+
+    Returns (query_id, rank, neighbor_id, approx_dist, exact_dist,
+    coarse_rank, moved) — ``moved`` = coarse_rank − rank is the
+    refine-stage correction readout (the q_two_stage_rerank column).
+    All scoring arithmetic is micro-int; only the probe-selection dot
+    product runs in doubles (the established IVF probe convention)."""
+    anchors = spark.read.parquet(f"{index_path}/anchors")
+    cb = spark.read.parquet(f"{index_path}/pq_codebook")
+    m, kc = PQ_SUBSPACES, PQ_CODES
+
+    qsub = pq_subvectors(queries, id_col, vec_col).withColumnRenamed(
+        "id", "qid"
+    )
+    adc = qsub.join(
+        F.broadcast(cb.withColumnRenamed("sub", "csub")), "j"
+    ).select(
+        "qid", "j", "c", l2sq_micro(F.col("sub"), F.col("csub")).alias("d")
+    )
+    adc_map = adc.groupBy("qid").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("j") * kc + F.col("c")).alias("key"),
+                    F.col("d").alias("value"),
+                )
+            )
+        ).alias("__adc")
+    )
+    probes = ivf_probe(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ),
+        anchors,
+        nprobe,
+        "query_id",
+    ).join(adc_map, F.col("query_id") == F.col("qid")).drop("qid", "q_vec")
+
+    cand = spark.read.parquet(f"{index_path}/assignments").select(
+        "bucket", "neighbor_id", "codes"
+    )
+    scored = (
+        cand.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "bucket",
+            "neighbor_id",
+            F.expr(
+                f"aggregate(sequence(0, {m - 1}), CAST(0 AS BIGINT),"
+                f" (acc, j) -> acc + element_at(__adc,"
+                f" j * {kc} + element_at(codes, j + 1)))"
+            ).alias("approx_dist"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    surv = (
+        scored.withColumn("coarse_rank", F.row_number().over(wc).cast("int"))
+        .filter(F.col("coarse_rank") <= coarse_k)
+        .withColumnRenamed("bucket", "pbucket")
+    )
+
+    fat = spark.read.parquet(f"{index_path}/assignments").select(
+        "bucket", F.col("neighbor_id").alias("fid"), "c_vec"
+    )
+    qm = queries.select(
+        F.col(id_col).alias("qid2"), micro_vec(F.col(vec_col)).alias("qmv")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        fat.join(
+            F.broadcast(surv),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("fid") == F.col("neighbor_id")),
+        )
+        .join(F.broadcast(qm), F.col("query_id") == F.col("qid2"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_dist",
+            "coarse_rank",
+            l2sq_micro(micro_vec(F.col("c_vec")), F.col("qmv")).alias(
+                "exact_dist"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "approx_dist",
+            "exact_dist",
+            "coarse_rank",
+            (F.col("coarse_rank") - F.col("rank")).cast("int").alias("moved"),
+        )
+    )

@@ -7409,3 +7409,94 @@ EXT_ORACLES["q_bloom_fpp_audit"] = """
                 // 1000000 AS BIGINT) AS fpp_predicted_micro
     FROM tested
 """
+
+
+# --- round-12 wave A -----------------------------------------------------
+
+# q_ivfpq_ann (queries_ext.q_ivfpq_ann) — IVFPQ with exact refine:
+# composes the q_ann_index_probe probe chain (8 lowest-id anchors,
+# double dot-product ranking, nprobe=2) with the _PQ_CTES code/ADC
+# chain. Candidates = probed buckets only; coarse top-50 by the
+# integer ADC sum; exact integer-L2 refine to the final top-10. A
+# corpus vector lives in exactly one bucket and a query's two probe
+# legs hit distinct anchors, so the candidate set is duplicate-free
+# and both row_numbers are plain top-ks.
+_IVFPQ_CTES = """
+    ivfa AS (
+        SELECT vec_id AS anchor_id, v AS avec
+        FROM e ORDER BY vec_id ASC LIMIT 8
+    ),
+    ivfassign AS MATERIALIZED (
+        SELECT e.vec_id, a.anchor_id,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_dot_product(e.v, a.avec) DESC,
+                            a.anchor_id ASC
+               ) AS arn
+        FROM e CROSS JOIN ivfa a
+    ),
+    cbucket AS (
+        SELECT vec_id, anchor_id AS bucket FROM ivfassign WHERE arn = 1
+    ),
+    pbucket AS (
+        SELECT vec_id AS qid, anchor_id AS bucket
+        FROM ivfassign WHERE vec_id < 5 AND arn <= 2
+    ),
+    ivfapprox AS (
+        SELECT p.qid, cv.vec_id,
+               CAST(SUM(a.d) AS BIGINT) AS approx_dist
+        FROM cbucket cv
+        JOIN pbucket p ON cv.bucket = p.bucket
+        JOIN codes k ON k.vec_id = cv.vec_id
+        JOIN adc a ON a.qid = p.qid AND a.j = k.j AND a.c = k.c
+        WHERE cv.vec_id != p.qid
+        GROUP BY 1, 2
+    ),
+    ivfcoarse AS (
+        SELECT qid, vec_id, approx_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY approx_dist, vec_id) AS crn
+        FROM ivfapprox
+    ),
+    ivffine AS (
+        SELECT s.qid, s.vec_id, s.approx_dist, s.crn, x.exact_dist,
+               row_number() OVER (PARTITION BY s.qid
+                                  ORDER BY x.exact_dist, s.vec_id) AS rn
+        FROM (SELECT * FROM ivfcoarse WHERE crn <= 50) s
+        JOIN exact x ON x.qid = s.qid AND x.vec_id = s.vec_id
+    )
+"""
+
+EXT_ORACLES["q_ivfpq_ann"] = f"""
+    WITH {_PQ_CTES},
+    {_IVFPQ_CTES}
+    SELECT qid AS query_id, CAST(rn AS INT) AS rank,
+           vec_id AS neighbor_id, approx_dist, exact_dist,
+           CAST(crn AS INT) AS coarse_rank,
+           CAST(crn - rn AS INT) AS moved
+    FROM ivffine WHERE rn <= 10
+"""
+
+# q_ivfpq_recall (queries_ext.q_ivfpq_recall) — recall@10 of the
+# refined IVFPQ top-10 against the exact integer-L2 top-10 over the
+# FULL corpus (the q_pq_recall convention; both legs size-10 per
+# query, so the count is |intersection| regardless of orientation).
+EXT_ORACLES["q_ivfpq_recall"] = f"""
+    WITH {_PQ_CTES},
+    {_IVFPQ_CTES},
+    ann10 AS (SELECT qid, vec_id FROM ivffine WHERE rn <= 10),
+    iex10 AS (
+        SELECT qid, vec_id FROM (
+            SELECT qid, vec_id,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY exact_dist, vec_id) AS ern
+            FROM exact WHERE vec_id != qid
+        ) WHERE ern <= 10
+    )
+    SELECT ann10.qid AS query_id,
+           CAST(COUNT(iex10.vec_id) AS BIGINT) AS hits,
+           CAST(COUNT(iex10.vec_id) * 100000 AS BIGINT) AS recall_micro
+    FROM ann10 LEFT JOIN iex10
+      ON ann10.qid = iex10.qid AND ann10.vec_id = iex10.vec_id
+    GROUP BY 1
+"""

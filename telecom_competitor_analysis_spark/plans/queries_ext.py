@@ -9804,6 +9804,119 @@ def q_bloom_fpp_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _materialized_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """The embeddings IVFPQ index (operators/similarity.py::
+    build_ivfpq_index) as a materialized artifact — the IVF layout
+    (8 anchors, skew cap 50) with inline PQ codes and the frozen
+    codebook, shared by q_ivfpq_ann / q_ivfpq_recall. Separate tag
+    from the plain IVF index: the two artifacts have different row
+    schemas and must never alias."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _materialized(
+        spark,
+        sf_dir,
+        "ivfpq_idx_a8_cap50",
+        "embeddings",
+        lambda p: build_ivfpq_index(
+            emb, p, n_anchors=8, max_bucket_size=50
+        ),
+    )
+
+
+def q_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ ANN with exact refine (Jégou et al. TPAMI 2011 §IV
+    "IVFADC"; the FAISS IndexIVFPQ + refine composition) — the r11
+    VERDICT item 3: q_ann_index_probe prunes WHICH buckets are scanned
+    (dynamic partition pruning over the materialized IVF layout) and
+    q_pq_ann compresses HOW vectors are scored (ADC lookup tables);
+    this query composes them into what a production 100 TB vector
+    store actually runs. Each of the 5 queries probes its nprobe=2
+    nearest anchor buckets; candidates in probed buckets are scored by
+    m=8 integer map lookups over their INLINE PQ codes (the scan reads
+    only bucket/neighbor_id/codes — column pruning keeps the 64-dim
+    vector column on disk, FAISS's codes-in-RAM/vectors-on-SSD split);
+    the coarse top-50 per query (WindowGroupLimit partial top-k)
+    broadcast-joins back to the index — partition-pruned again — to
+    fetch full vectors for the shortlist only, and the final top-10
+    ranks by exact integer squared-L2. ``moved`` = coarse_rank − rank
+    is the refine-correction readout (q_two_stage_rerank's column).
+
+    Exactness: codes, ADC tables, and both distances are micro-int
+    (bit-identical in DuckDB); only the probe-selection dot product
+    runs in doubles (the established q_ann_index_probe convention).
+
+    Scale shape: probe selection is a broadcast-anchors cross join
+    (8 rows); coarse scoring is per-row map lookups with ZERO shuffle
+    before the WindowGroupLimit partial top-50; refine touches
+    ≤ 50·|queries| index rows via a broadcast join on the partition
+    column. No stage is corpus-shuffle-bound.
+    operators/similarity.py::ivfpq_topk."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized_ivfpq_index(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivfpq_topk(queries, spark, idx, k=10, coarse_k=50, nprobe=2)
+
+
+def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN observability for the IVFPQ path — recall@10 of
+    q_ivfpq_ann's refined top-10 against the EXACT integer-L2 top-10
+    over the FULL corpus (self excluded, vec_id tie-break): the
+    q_ann_recall / q_pq_recall twin for the composed index, and the
+    number that separates the two loss sources — bucket pruning
+    (a true neighbor in an unprobed bucket can never be found) vs
+    quantization (ADC misranks the coarse shortlist; the exact refine
+    repairs this one, which is why IVFPQ+refine recall ≥ raw-ADC
+    recall at equal nprobe). Both legs end in per-query partial top-k;
+    the recall join touches ≤ 2·k·|queries| rows at any corpus size
+    (the shared ``_recall_join`` convention)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ivfpq_topk,
+        l2sq_micro,
+        micro_vec,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _materialized_ivfpq_index(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 5)
+    ann10 = ivfpq_topk(
+        queries, spark, idx, k=10, coarse_k=50, nprobe=2
+    ).select("query_id", "neighbor_id")
+
+    corpus = ensure_parallelism(
+        emb.select("vec_id", micro_vec(F.col("embedding")).alias("mv"))
+    )
+    qv = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            micro_vec(F.col("embedding")).alias("qmv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_dist", "vec_id")
+    ex10 = (
+        corpus.join(qv, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            l2sq_micro(F.col("mv"), F.col("qmv")).alias("exact_dist"),
+        )
+        .withColumn("ern", F.row_number().over(w))
+        .where(F.col("ern") <= 10)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return _recall_join(ex10, ann10, k=10, micro=True)
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -10007,4 +10120,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_delete_vectors": q_delete_vectors,
     "q_pruning_stats": q_pruning_stats,
     "q_bloom_fpp_audit": q_bloom_fpp_audit,
+    "q_ivfpq_ann": q_ivfpq_ann,
+    "q_ivfpq_recall": q_ivfpq_recall,
 }

@@ -1,0 +1,173 @@
+"""Round-12 wave tests.
+
+Covers the IVFPQ composition (r11 VERDICT item 3: IVF bucket pruning
+composed with PQ/ADC scoring + exact refine) and the other new r12
+operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from telecom_competitor_analysis_spark.plans.queries_ext import (
+    EXT_QUERIES,
+)
+from telecom_competitor_analysis_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def _exact_l2_topk(spark, emb, k=10):
+    """Brute-force exact integer-L2 top-k for the first-5 query batch —
+    the ground truth every IVFPQ assertion compares against."""
+    from pyspark.sql import Window
+
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        l2sq_micro,
+        micro_vec,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.select("vec_id", micro_vec(F.col("embedding")).alias("mv"))
+    qv = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            micro_vec(F.col("embedding")).alias("qmv"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("exact_dist", "vec_id")
+    return (
+        corpus.join(qv, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            l2sq_micro(F.col("mv"), F.col("qmv")).alias("exact_dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+@pytest.fixture(scope="module")
+def ivfpq_idx(spark, emb, tmp_path_factory):
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        build_ivfpq_index,
+    )
+
+    path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(emb, path, n_anchors=8, max_bucket_size=50)
+    return path
+
+
+def test_ivfpq_full_probe_full_coarse_equals_exact(spark, emb, ivfpq_idx):
+    """Degradation pin: nprobe = n_anchors probes every bucket and a
+    corpus-sized coarse_k keeps every candidate, so the exact-refine
+    top-10 must EQUAL brute-force exact integer-L2 top-10 — the
+    composition loses exactly what bucket pruning + the coarse cut
+    discard, nothing else."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    n = emb.count()
+    queries = emb.where(F.col("vec_id") < 5)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.exact_dist)
+        for r in ivfpq_topk(
+            queries, spark, ivfpq_idx, k=10, coarse_k=n, nprobe=8
+        ).collect()
+    }
+    want = {
+        (r.query_id, r.rn): (r.vec_id, r.exact_dist)
+        for r in _exact_l2_topk(spark, emb, k=10).collect()
+    }
+    assert got == want
+
+
+def test_ivfpq_refine_beats_or_matches_coarse(spark, emb, ivfpq_idx):
+    """The refine stage re-ranks the SAME coarse-50 shortlist by exact
+    distance, so refined-top-10 recall vs exact ground truth must be >=
+    the recall of the raw ADC top-10 (quantization misranking inside
+    the shortlist is exactly what refine repairs). Also pins the moved
+    column arithmetic and per-query rank completeness."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5)
+    rows = ivfpq_topk(
+        queries, spark, ivfpq_idx, k=50, coarse_k=50, nprobe=2
+    ).collect()
+    exact = {}
+    for r in _exact_l2_topk(spark, emb, k=10).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+
+    refined10, adc10 = {}, {}
+    for r in rows:
+        assert r.moved == r.coarse_rank - r.rank
+        if r.rank <= 10:
+            refined10.setdefault(r.query_id, set()).add(r.neighbor_id)
+        if r.coarse_rank <= 10:
+            adc10.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for q, truth in exact.items():
+        assert len(refined10[q]) == 10
+        assert len(refined10[q] & truth) >= len(adc10[q] & truth)
+
+
+def test_ivfpq_plan_prunes_partitions_and_columns(spark, emb, ivfpq_idx):
+    """The 100 TB contract of the composition: (a) both index scans are
+    dynamically partition-pruned by the broadcast probe/survivor join
+    (DPP in the executed plan), and (b) the COARSE scan reads only
+    (bucket, neighbor_id, codes) — the fat c_vec column stays on disk
+    (column pruning), the on-disk analog of FAISS's codes-in-RAM /
+    vectors-on-SSD split. Exactly one scan leg (the refine join-back)
+    reads c_vec."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 5)
+    df = ivfpq_topk(queries, spark, ivfpq_idx, k=10, coarse_k=50, nprobe=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one FileScan line per split segment; a scan subtree can appear
+    # more than once in the text (broadcast build side + the DPP
+    # subquery copy), so assert over the SET of distinct scan shapes
+    scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("FileScan parquet")[1:]
+        if "assignments" in seg.split("ReadSchema")[0]
+    ]
+    assert scans, "no assignments scan found in plan"
+    assert all("dynamicpruningexpression" in s for s in scans)
+    schemas = {s.split("ReadSchema:")[1] for s in scans}
+    assert len(schemas) == 2
+    coarse = next(s for s in schemas if "c_vec" not in s)
+    refine = next(s for s in schemas if "c_vec" in s)
+    assert "codes" in coarse and "codes" not in refine
+
+
+def test_ivfpq_declared_queries_shape(spark, sf_dir):
+    """q_ivfpq_ann / q_ivfpq_recall behavioral pins at the declared
+    parameters (nprobe=2, coarse 50, k=10): full rank sets, exact_dist
+    nondecreasing in rank, and the recall twin's integer convention."""
+    ann = EXT_QUERIES["q_ivfpq_ann"](spark, sf_dir).collect()
+    by_q = {}
+    for r in ann:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 11))
+        dists = [r.exact_dist for r in rs]
+        assert dists == sorted(dists)
+        assert all(r.neighbor_id != q for r in rs)
+
+    rec = EXT_QUERIES["q_ivfpq_recall"](spark, sf_dir).collect()
+    assert {r.query_id for r in rec} == {0, 1, 2, 3, 4}
+    for r in rec:
+        assert 0 <= r.hits <= 10
+        assert r.recall_micro == r.hits * 100_000
