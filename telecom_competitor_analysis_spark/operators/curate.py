@@ -461,3 +461,144 @@ def hash_split(
     return F.when(h < F.lit(train_hex_bound), F.lit("train")).otherwise(
         F.lit("test")
     )
+
+
+def _ffd_assign(ns, seq_len):
+    """First-fit-decreasing inner loop over a DESC-sorted length array:
+    returns (seq_id per doc, open-bin loads). numpy-vectorized per doc
+    (argmax over open-bin remainders); a production implementation at
+    extreme per-shard counts would swap the linear fit scan for a
+    capacity-bucketed free list without changing any semantics."""
+    import numpy as np
+
+    rem = np.empty(len(ns), dtype=np.int64)
+    seq = np.empty(len(ns), dtype=np.int64)
+    nb = 0
+    for i, n in enumerate(ns):
+        j = int(np.argmax(rem[:nb] >= n)) if nb else 0
+        if nb == 0 or rem[j] < n:
+            j = nb
+            rem[j] = seq_len
+            nb += 1
+        rem[j] -= n
+        seq[i] = j
+    return seq, seq_len - rem[:nb]
+
+
+def ffd_pack(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    shard_col: str,
+    seq_len: int = 512,
+) -> DataFrame:
+    """First-fit-decreasing sequence packing WITHIN hash shards — the
+    no-split packing production training pipelines run when document
+    fragments across sequence boundaries are unacceptable: per shard,
+    docs are taken in (token_count desc, id) order and each is placed
+    whole into the FIRST sequence with room, opening a new sequence
+    only when none fits (Johnson's FFD, the classic 11/9·OPT+1 bin
+    packer). Docs longer than ``seq_len`` are truncated to ``seq_len``
+    first (the only token loss this packer has).
+
+    FFD is inherently sequential per bin-set, so the shard IS the
+    parallelism unit (one applyInPandas group per shard — the
+    hash-bucketed-shards discipline): state per task is one int array
+    of open-bin capacities, lengths-only columns ever shuffle (the
+    text never moves), and scaling the shard count is the 100 TB knob
+    exactly as for the shingle/IVF builds.
+
+    Returns (id, shard, n_kept, seq_id) — seq_id is the 0-based bin
+    index within the shard; deterministic for a given (shard ×
+    ordering), pinned by the DuckDB recursive-CTE oracle."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, {shard_col} int, n_kept long, seq_id long"
+    )
+    L = int(seq_len)
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [token_count_col, id_col], ascending=[False, True],
+            kind="mergesort",
+        )
+        ns = np.minimum(pdf[token_count_col].to_numpy(np.int64), L)
+        seq, _loads = _ffd_assign(ns, L)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(np.int64),
+                shard_col: pdf[shard_col].to_numpy(),
+                "n_kept": ns,
+                "seq_id": seq,
+            }
+        )
+
+    return df.select(id_col, shard_col, token_count_col).groupBy(
+        shard_col
+    ).applyInPandas(_pack, out_schema)
+
+
+def pack_efficiency_stats(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    shard_col: str,
+    seq_len: int = 512,
+) -> DataFrame:
+    """Per-shard packing-strategy comparison in ONE pass: for each hash
+    shard, compute BOTH the concat-truncate layout (docs in id order by
+    running cumsum, boundary overhang dropped) and the
+    first-fit-decreasing layout (``_ffd_assign`` — docs placed whole,
+    length-sorted greedy first-fit) inside a single applyInPandas
+    group, emitting one stats row per (strategy, shard).
+
+    One shuffle on the shard key total — computing the two legs as
+    separate DataFrame branches would re-derive the tokenized input
+    once per consumer (the multi-referenced-subtree recompute hazard)
+    and pay a second exchange for the window; fusing them into the
+    per-shard pass deletes both, and the concat cumsum is a two-line
+    numpy fold anyway. Docs longer than ``seq_len`` are truncated to
+    ``seq_len`` in BOTH strategies first.
+
+    Returns (strategy, shard, n_docs, total_tokens, n_seqs,
+    used_tokens) — total_tokens counts RAW (uncapped) tokens so
+    truncation-to-seq_len shows up as strategy-independent loss."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = (
+        f"strategy string, {shard_col} int, n_docs long, "
+        "total_tokens long, n_seqs long, used_tokens long"
+    )
+    L = int(seq_len)
+
+    def _stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        shard = pdf[shard_col].iloc[0]
+        raw = pdf[token_count_col].to_numpy(np.int64)
+        n_docs, total = len(raw), int(raw.sum())
+
+        byid = pdf.sort_values(id_col, kind="mergesort")
+        ns = np.minimum(byid[token_count_col].to_numpy(np.int64), L)
+        start = np.cumsum(ns) - ns
+        kept = np.minimum(ns, L - start % L)
+        c_seqs = int((ns.sum() + L - 1) // L)
+
+        desc = np.sort(ns)[::-1]
+        _seq, loads = _ffd_assign(desc, L)
+
+        return pd.DataFrame(
+            {
+                "strategy": ["concat_trunc", "ffd_sorted"],
+                shard_col: [shard, shard],
+                "n_docs": [n_docs, n_docs],
+                "total_tokens": [total, total],
+                "n_seqs": [c_seqs, len(loads)],
+                "used_tokens": [int(kept.sum()), int(loads.sum())],
+            }
+        )
+
+    return df.select(id_col, shard_col, token_count_col).groupBy(
+        shard_col
+    ).applyInPandas(_stats, out_schema)

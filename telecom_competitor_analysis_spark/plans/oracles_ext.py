@@ -7500,3 +7500,94 @@ EXT_ORACLES["q_ivfpq_recall"] = f"""
       ON ann10.qid = iex10.qid AND ann10.vec_id = iex10.vec_id
     GROUP BY 1
 """
+
+
+# q_pack_efficiency (queries_ext.q_pack_efficiency): two packing
+# strategies over the SAME portable md5 doc_id shards (32), L=512.
+# The concat leg is one window cumsum; the FFD leg replays
+# first-fit-decreasing EXACTLY via a recursive CTE whose state is each
+# shard's open-bin load list — one doc per shard per iteration in
+# (n desc, doc_id) order, first-fit index found by a correlated
+# unnest-with-ordinality subquery (a correlated LAMBDA inside a
+# recursive term sends DuckDB's planner into a rewrite blowup — the
+# unnest form is the workaround; input CTEs MATERIALIZED so the
+# recursion never re-derives the tokenization).
+_PACK_SHARD = _md5_bucket_sql("CAST(doc_id AS VARCHAR)", 32)
+EXT_ORACLES["q_pack_efficiency"] = f"""
+    WITH RECURSIVE t AS MATERIALIZED (
+        SELECT doc_id,
+               len(string_split(trim(text), ' '))::BIGINT AS n_raw,
+               LEAST(len(string_split(trim(text), ' '))::BIGINT, 512)
+                   AS n,
+               {_PACK_SHARD} AS shard
+        FROM documents
+    ),
+    c AS (
+        SELECT shard, n, n_raw,
+               SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n AS start
+        FROM t
+    ),
+    cagg AS (
+        SELECT shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_raw) AS BIGINT) AS total_tokens,
+               CAST((SUM(n) + 511) // 512 AS BIGINT) AS n_seqs,
+               CAST(SUM(LEAST(n, 512 - (start % 512))) AS BIGINT)
+                   AS used_tokens
+        FROM c GROUP BY shard
+    ),
+    d AS MATERIALIZED (
+        SELECT shard, n, doc_id,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY n DESC, doc_id) AS rk
+        FROM t
+    ),
+    pack AS (
+        SELECT shard, 0::BIGINT AS rk, CAST([] AS BIGINT[]) AS bins
+        FROM (SELECT DISTINCT shard FROM d)
+        UNION ALL
+        SELECT sub.shard, sub.rk,
+               CASE WHEN sub.p IS NULL THEN list_append(sub.bins, sub.n)
+                    ELSE sub.bins[1:sub.p - 1]
+                         || [sub.bins[sub.p] + sub.n]
+                         || sub.bins[sub.p + 1:]
+               END
+        FROM (
+            SELECT d.shard, d.rk, d.n, pack.bins,
+                   (SELECT MIN(u.ord) FROM (
+                        SELECT unnest(pack.bins) AS b,
+                               generate_subscripts(pack.bins, 1) AS ord
+                    ) u WHERE u.b + d.n <= 512) AS p
+            FROM pack JOIN d
+              ON d.shard = pack.shard AND d.rk = pack.rk + 1
+        ) sub
+    ),
+    fbins AS (
+        SELECT p.shard, p.bins
+        FROM pack p
+        JOIN (SELECT shard, MAX(rk) AS mrk FROM pack GROUP BY shard) m
+          ON p.shard = m.shard AND p.rk = m.mrk
+    ),
+    fagg AS (
+        SELECT f.shard,
+               tt.n_docs, tt.total_tokens,
+               CAST(len(f.bins) AS BIGINT) AS n_seqs,
+               CAST(list_sum(f.bins) AS BIGINT) AS used_tokens
+        FROM fbins f
+        JOIN (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_raw) AS BIGINT) AS total_tokens
+              FROM t GROUP BY shard) tt USING (shard)
+    ),
+    lab AS (
+        SELECT 'concat_trunc' AS strategy, * FROM cagg
+        UNION ALL
+        SELECT 'ffd_sorted' AS strategy, * FROM fagg
+    )
+    SELECT strategy, CAST(shard AS INT) AS shard, n_docs, total_tokens,
+           n_seqs, used_tokens,
+           CAST(total_tokens - used_tokens AS BIGINT) AS trunc_tokens,
+           CAST(used_tokens * 1000000 // (n_seqs * 512) AS BIGINT)
+               AS fill_micro
+    FROM lab
+"""

@@ -9917,6 +9917,96 @@ def q_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_join(ex10, ann10, k=10, micro=True)
 
 
+PACK_SEQ_LEN = 512
+PACK_SHARDS = 32
+
+
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing strategy comparison (r11 VERDICT item 4) — the
+    production packing decision as a measured table: q_sequence_pack
+    ships concat-and-chunk and q_length_buckets measures padding waste,
+    but what a training pipeline actually decides is WHICH packing
+    discipline to run. Two strategies over the same 32 hash shards
+    (portable md5 bucket of doc_id — the feature-hash convention, so
+    the oracle shards identically), L=512, docs longer than L truncated
+    to L in both:
+
+    - ``concat_trunc``: docs laid out in (shard, doc_id) arrival order
+      by running cumsum; a doc straddling a sequence boundary keeps
+      only the tokens up to the boundary (the no-split discipline's
+      naive form — boundary overhang is dropped). n_seqs =
+      ceil(tokens/L); loss is the size-biased boundary overhang.
+    - ``ffd_sorted``: first-fit-decreasing WITHIN each shard
+      (operators/curate.py::ffd_pack — length-sorted greedy first-fit,
+      Johnson's 11/9·OPT+1 packer): docs placed whole, a new sequence
+      opens only when none of the open ones has room. Zero boundary
+      loss; the cost is per-sequence slack, which FFD minimizes by
+      letting short docs fill long docs' gaps.
+
+    Per (strategy, shard): doc/token counts, sequences formed, used
+    tokens, truncated tokens, and fill_micro = used·1e6 div (n_seqs·L)
+    — the readout a pipeline compares before committing a packing job
+    (on this corpus FFD fills ~96% vs concat-trunc's ~91% at sf0.1,
+    pinned directionally by test).
+
+    Exactness: all-integer (counts, cumsums, capped keeps, one micro
+    division). The FFD leg is deterministic ((n desc, doc_id) order,
+    first-fit index), and the DuckDB oracle replays it EXACTLY via a
+    recursive CTE carrying each shard's open-bin load list — the
+    sequential-per-shard algorithm is the same algorithm in both
+    engines, just spelled as recursion there and as a per-group loop
+    here.
+
+    Scale shape: lengths-only columns shuffle (the text never moves);
+    ONE exchange on the shard key total — both strategies are computed
+    inside a single applyInPandas group per shard
+    (operators/curate.py::pack_efficiency_stats; separate DataFrame
+    branches would re-derive the tokenized input per consumer and pay
+    a second window exchange). FFD is sequential per shard by nature,
+    so the shard count is the parallelism knob — the 100 TB scale
+    unit, exactly like the shingle/IVF build shards."""
+    from telecom_competitor_analysis_spark.operators.curate import (
+        pack_efficiency_stats,
+    )
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
+
+    L = PACK_SEQ_LEN
+    docs = load_table(spark, sf_dir, "documents")
+    t = ensure_parallelism(
+        docs.select(
+            "doc_id",
+            n_words(F.trim(F.col("text"))).alias("n_raw"),
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("doc_id").cast("string")), 1, 2
+                    ),
+                    16,
+                    10,
+                ).cast("int"),
+                F.lit(PACK_SHARDS),
+            ).alias("shard"),
+        )
+    )
+    stats = pack_efficiency_stats(t, "doc_id", "n_raw", "shard", seq_len=L)
+    return stats.select(
+        "strategy",
+        F.col("shard").cast("int"),
+        "n_docs",
+        "total_tokens",
+        "n_seqs",
+        "used_tokens",
+        (F.col("total_tokens") - F.col("used_tokens"))
+        .cast("long")
+        .alias("trunc_tokens"),
+        F.expr(
+            f"CAST(used_tokens * 1000000 DIV (n_seqs * {L}) AS BIGINT)"
+        ).alias("fill_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -10122,4 +10212,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_bloom_fpp_audit": q_bloom_fpp_audit,
     "q_ivfpq_ann": q_ivfpq_ann,
     "q_ivfpq_recall": q_ivfpq_recall,
+    "q_pack_efficiency": q_pack_efficiency,
 }
