@@ -238,6 +238,8 @@ HEADLINE_EXT = [
     # r12 additions (measured from birth)
     "q_ivfpq_ann",
     "q_ivfpq_recall",
+    "q_pack_efficiency",
+    "q_dp_histogram",
 ]
 
 

@@ -7591,3 +7591,49 @@ EXT_ORACLES["q_pack_efficiency"] = f"""
                AS fill_micro
     FROM lab
 """
+
+
+# q_dp_histogram (queries_ext.q_dp_histogram): Laplace-mechanism
+# release over the (mktsegment, nation) QI classes. Same md5-hex
+# uniform (first 2 hex digits -> one of 64 levels) and the SAME
+# integer-micro quantized inverse-CDF noise table inlined from
+# _laplace_micro_table — the ln ran once in Python; neither engine
+# executes a transcendental.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    DP_EPSILON_MICRO,
+    DP_NOISE_LEVELS,
+    _laplace_micro_table,
+)
+
+_DP_TABLE = "[" + ", ".join(
+    f"CAST({v} AS BIGINT)" for v in _laplace_micro_table()
+) + "]"
+EXT_ORACLES["q_dp_histogram"] = f"""
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS true_n
+        FROM customer GROUP BY 1, 2
+    ),
+    noised AS (
+        SELECT *,
+               (((strpos('0123456789abcdef',
+                         substr(md5(c_mktsegment || ':' ||
+                                    CAST(c_nationkey AS VARCHAR)), 1, 1))
+                  - 1) * 16
+                 + strpos('0123456789abcdef',
+                          substr(md5(c_mktsegment || ':' ||
+                                     CAST(c_nationkey AS VARCHAR)), 2, 1))
+                 - 1) // {256 // DP_NOISE_LEVELS}) AS bucket
+        FROM classes
+    )
+    SELECT c_mktsegment,
+           CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           true_n,
+           ({_DP_TABLE})[bucket + 1] AS noise_micro,
+           GREATEST(CAST(0 AS BIGINT),
+                    true_n * 1000000 + ({_DP_TABLE})[bucket + 1])
+               AS released_micro,
+           CAST({DP_EPSILON_MICRO} AS BIGINT) AS epsilon_micro,
+           CAST(1 AS BIGINT) AS sensitivity
+    FROM noised
+"""

@@ -10007,6 +10007,92 @@ def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_EPSILON_MICRO = 500_000
+DP_NOISE_LEVELS = 64
+
+
+def _laplace_micro_table(
+    eps_micro: int = DP_EPSILON_MICRO,
+    levels: int = DP_NOISE_LEVELS,
+    sensitivity: int = 1,
+) -> list[int]:
+    """Quantized Laplace(Δ/ε) noise table in integer micro: entry k is
+    the inverse CDF at the midpoint quantile (k+0.5)/levels. The ln
+    runs HERE, in Python, once — both engines consume the same integer
+    literals (the q_rbo / band-tuning convention), so no transcendental
+    executes in either engine and the release is bit-identical."""
+    import math
+
+    b = sensitivity * 1_000_000 / eps_micro  # Laplace scale Δ/ε
+    out = []
+    for k in range(levels):
+        q = (k + 0.5) / levels - 0.5
+        x = -b * math.copysign(1.0, q) * math.log(1.0 - 2.0 * abs(q))
+        out.append(round(x * 1_000_000))
+    return out
+
+
+def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram RELEASE (Dwork et al. 2006's
+    Laplace mechanism) over the customer quasi-identifier classes —
+    the step the privacy family audits toward but never took: k-anon /
+    l-div / t-closeness MEASURE re-identification risk of the
+    (mktsegment, nation) classes; this query RELEASES their counts
+    with calibrated noise. Counting-query sensitivity Δ=1, ε=0.5;
+    classes are disjoint, so the whole histogram costs ε=0.5 by
+    parallel composition (the accounting columns carry it).
+
+    Deterministic noise — the rare DP form an oracle can check: the
+    per-class uniform is the first 8 md5 hex digits of the class key
+    (the q_bootstrap_ci convention), mapped to one of 64 quantized
+    Laplace inverse-CDF levels whose integer-micro values are inlined
+    from ONE Python source (_laplace_micro_table) in BOTH engines.
+    Quantized inverse-CDF noise is the standard reproducible-DP
+    mechanism shape (seeded noise for auditable releases); the 64-level
+    quantization truncates the tails at the ±(1/128) quantiles —
+    documented mechanism property, identical in both engines. Released
+    counts clamp at 0 (post-processing — DP is preserved).
+
+    This is the engine's AUDIT view: true_n rides along so tests and
+    the oracle can verify the mechanism arithmetic; a production
+    release projects only the released columns.
+
+    Scale shape: one partial-aggregated groupBy over the table, then
+    map-side hash + table lookup on the ≤ |classes| result — no second
+    shuffle, no window, no per-row noise draw over data rows."""
+    eps = DP_EPSILON_MICRO
+    levels = DP_NOISE_LEVELS
+    table = _laplace_micro_table(eps, levels, 1)
+    arr = "array(" + ", ".join(f"CAST({v} AS BIGINT)" for v in table) + ")"
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("true_n")
+    )
+    noised = classes.withColumn(
+        "__bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat(c_mktsegment, ':',"
+            " CAST(c_nationkey AS STRING))), 1, 2), 16, 10) AS INT)"
+            f" DIV {256 // levels}"
+        ),
+    ).withColumn(
+        "noise_micro",
+        F.expr(f"element_at({arr}, CAST(__bucket + 1 AS INT))"),
+    )
+    return noised.select(
+        "c_mktsegment",
+        F.col("c_nationkey").cast("long"),
+        "true_n",
+        "noise_micro",
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.col("true_n") * 1_000_000 + F.col("noise_micro"),
+        ).alias("released_micro"),
+        F.lit(eps).cast("long").alias("epsilon_micro"),
+        F.lit(1).cast("long").alias("sensitivity"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -10213,4 +10299,5 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivfpq_ann": q_ivfpq_ann,
     "q_ivfpq_recall": q_ivfpq_recall,
     "q_pack_efficiency": q_pack_efficiency,
+    "q_dp_histogram": q_dp_histogram,
 }

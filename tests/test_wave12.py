@@ -231,3 +231,46 @@ def test_pack_efficiency_ffd_fills_at_least_concat(spark, sf_dir):
     fill_c = c["used"] / (c["seqs"] * 512)
     fill_f = f["used"] / (f["seqs"] * 512)
     assert fill_f >= fill_c
+
+
+def test_laplace_table_scales_inversely_with_epsilon():
+    """The mechanism's calibration pin: the quantized noise table at
+    eps is exactly (up to rounding) 2x the table at 2*eps — Laplace
+    scale b = sensitivity/eps, so halving the privacy budget doubles
+    every noise level. Also pins antisymmetry and monotonicity."""
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _laplace_micro_table,
+    )
+
+    t_half = _laplace_micro_table(eps_micro=500_000)
+    t_one = _laplace_micro_table(eps_micro=1_000_000)
+    assert len(t_half) == 64
+    for a, b in zip(t_half, t_one):
+        assert abs(a - 2 * b) <= 1  # integer rounding only
+    # antisymmetric around the center, strictly increasing
+    for k in range(64):
+        assert abs(t_half[k] + t_half[63 - k]) <= 1
+    assert t_half == sorted(t_half) and t_half[0] < 0 < t_half[-1]
+
+
+def test_dp_histogram_mechanism_arithmetic(spark, sf_dir):
+    """Release-table invariants at the declared eps=0.5: noise values
+    come from the 64-level table, released = max(0, true*1e6 + noise),
+    epsilon/sensitivity accounting constant, and the noise is actually
+    exercised in both directions on the fixture."""
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _laplace_micro_table,
+    )
+
+    table = set(_laplace_micro_table())
+    rows = EXT_QUERIES["q_dp_histogram"](spark, sf_dir).collect()
+    assert rows
+    assert any(r.noise_micro < 0 for r in rows)
+    assert any(r.noise_micro > 0 for r in rows)
+    for r in rows:
+        assert r.noise_micro in table
+        assert r.released_micro == max(
+            0, r.true_n * 1_000_000 + r.noise_micro
+        )
+        assert r.epsilon_micro == 500_000
+        assert r.sensitivity == 1
