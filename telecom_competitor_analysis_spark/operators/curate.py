@@ -514,8 +514,12 @@ def ffd_pack(
     import numpy as np
     import pandas as pd
 
+    shard_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[shard_col]
     out_schema = (
-        f"{id_col} long, {shard_col} int, n_kept long, seq_id long"
+        f"{id_col} long, {shard_col} {shard_type}, n_kept long, "
+        "seq_id long"
     )
     L = int(seq_len)
 
@@ -568,8 +572,11 @@ def pack_efficiency_stats(
     import numpy as np
     import pandas as pd
 
+    shard_type = dict(
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    )[shard_col]
     out_schema = (
-        f"strategy string, {shard_col} int, n_docs long, "
+        f"strategy string, {shard_col} {shard_type}, n_docs long, "
         "total_tokens long, n_seqs long, used_tokens long"
     )
     L = int(seq_len)

@@ -7637,3 +7637,202 @@ EXT_ORACLES["q_dp_histogram"] = f"""
            CAST(1 AS BIGINT) AS sensitivity
     FROM noised
 """
+
+
+# q_countmin_audit (queries_ext.q_countmin_audit): d=4 x w=256
+# Count-Min over the vocabulary-collapsed token stream; bucket =
+# first-2-hex-md5('word:j') (256 buckets = the full 2-hex space);
+# point estimate = min over the 4 rows; audited against the exact
+# top-20. Integer throughout.
+EXT_ORACLES["q_countmin_audit"] = """
+    WITH vocab AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+              FROM documents)
+        WHERE word != '' GROUP BY word
+    ),
+    total AS (SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens FROM vocab),
+    hashed AS (
+        SELECT v.word, v.freq, j.j,
+               (((strpos('0123456789abcdef',
+                         substr(md5(v.word || ':' ||
+                                    CAST(j.j AS VARCHAR)), 1, 1)) - 1)
+                 * 16
+                 + strpos('0123456789abcdef',
+                          substr(md5(v.word || ':' ||
+                                     CAST(j.j AS VARCHAR)), 2, 1)) - 1))
+                   AS bucket
+        FROM vocab v, (SELECT UNNEST(range(4)) AS j) j
+    ),
+    sketch AS MATERIALIZED (
+        SELECT j, bucket, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM hashed GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT word, freq AS true_freq FROM vocab
+        ORDER BY freq DESC, word ASC LIMIT 20
+    ),
+    est AS (
+        SELECT h.word, t.true_freq,
+               CAST(MIN(s.cnt) AS BIGINT) AS cm_est
+        FROM top t
+        JOIN hashed h ON h.word = t.word
+        JOIN sketch s ON s.j = h.j AND s.bucket = h.bucket
+        GROUP BY 1, 2
+    )
+    SELECT word, true_freq, cm_est,
+           CAST(cm_est - true_freq AS BIGINT) AS overestimate,
+           CAST(2 * (SELECT n_tokens FROM total) // 256 AS BIGINT)
+               AS bound,
+           cm_est - true_freq
+               <= 2 * (SELECT n_tokens FROM total) // 256
+               AS within_bound
+    FROM est
+"""
+
+# q_ams_f2 (queries_ext.q_ams_f2): 8-row AMS +/-1 sketch of the word
+# frequency second moment vs the exact self-join size; sign = parity
+# of the first md5 hex digit of 'word:r'; estimator = lower median
+# (rank 4 of 8).
+EXT_ORACLES["q_ams_f2"] = """
+    WITH vocab AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest(string_split(trim(text), ' ')) AS word
+              FROM documents)
+        WHERE word != '' GROUP BY word
+    ),
+    tf2 AS (SELECT CAST(SUM(freq * freq) AS BIGINT) AS true_f2
+            FROM vocab),
+    z AS (
+        SELECT r.r,
+               CAST(SUM(CASE WHEN
+                    ((strpos('0123456789abcdef',
+                             substr(md5(v.word || ':' ||
+                                        CAST(r.r AS VARCHAR)), 1, 1))
+                      - 1) % 2) = 0
+                    THEN v.freq ELSE -v.freq END) AS BIGINT) AS z
+        FROM vocab v, (SELECT UNNEST(range(8)) AS r) r
+        GROUP BY 1
+    ),
+    est AS (
+        SELECT r, z, CAST(z * z AS BIGINT) AS est,
+               row_number() OVER (ORDER BY z * z ASC, r ASC) AS rn
+        FROM z
+    ),
+    med AS (
+        SELECT
+            CAST(MAX(CASE WHEN rn = 4 THEN est END) AS BIGINT)
+                AS median_est,
+            CAST(MIN(est) AS BIGINT) AS min_est,
+            CAST(MAX(est) AS BIGINT) AS max_est
+        FROM est
+    )
+    SELECT t.true_f2, m.median_est, m.min_est, m.max_est,
+           CAST(abs(m.median_est - t.true_f2) * 1000000 // t.true_f2
+                AS BIGINT) AS err_micro
+    FROM med m, tf2 t
+"""
+
+# q_readability (queries_ext.q_readability): Flesch-Kincaid per
+# source; syllables = [aeiouy]+ runs in the lowered text, sentences =
+# [.!?]+ runs floored at 1; FK in integer milli with per-term
+# truncating division (all ratios positive -> DIV == //).
+EXT_ORACLES["q_readability"] = """
+    WITH d AS (
+        SELECT source,
+               len(string_split(trim(text), ' '))::BIGINT AS w,
+               GREATEST(CAST(1 AS BIGINT),
+                        len(regexp_extract_all(text, '[.!?]+'))::BIGINT)
+                   AS s,
+               len(regexp_extract_all(lower(text), '[aeiouy]+'))::BIGINT
+                   AS y
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS n_words,
+           CAST(SUM(s) AS BIGINT) AS n_sentences,
+           CAST(SUM(y) AS BIGINT) AS n_syllables,
+           CAST(SUM(w) * 1000 // SUM(s) AS BIGINT)
+               AS words_per_sentence_milli,
+           CAST(SUM(y) * 1000 // SUM(w) AS BIGINT)
+               AS syllables_per_word_milli,
+           CAST(SUM(w) * 390 // SUM(s)
+                + SUM(y) * 11800 // SUM(w) - 15590 AS BIGINT)
+               AS fk_grade_milli
+    FROM d GROUP BY source
+"""
+
+# q_compact_plan (queries_ext.q_compact_plan): per-(event_type, day)
+# file inventory; files >= 4096 rows pass through, smaller files are
+# FFD-packed per event_type — the recursive-CTE FFD replay (the
+# q_pack_efficiency machinery) over the BOUNDED inventory.
+EXT_ORACLES["q_compact_plan"] = """
+    WITH RECURSIVE files AS MATERIALIZED (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS file_id
+        FROM events GROUP BY 1, 2
+    ),
+    small AS MATERIALIZED (
+        SELECT event_type, file_id, n_rows,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY n_rows DESC, file_id) AS rk
+        FROM files WHERE n_rows < 4096
+    ),
+    pack AS (
+        SELECT event_type, 0::BIGINT AS rk,
+               CAST([] AS BIGINT[]) AS bins
+        FROM (SELECT DISTINCT event_type FROM small)
+        UNION ALL
+        SELECT sub.event_type, sub.rk,
+               CASE WHEN sub.p IS NULL
+                    THEN list_append(sub.bins, sub.n_rows)
+                    ELSE sub.bins[1:sub.p - 1]
+                         || [sub.bins[sub.p] + sub.n_rows]
+                         || sub.bins[sub.p + 1:]
+               END
+        FROM (
+            SELECT s.event_type, s.rk, s.n_rows, pack.bins,
+                   (SELECT MIN(u.ord) FROM (
+                        SELECT unnest(pack.bins) AS b,
+                               generate_subscripts(pack.bins, 1) AS ord
+                    ) u WHERE u.b + s.n_rows <= 4096) AS p
+            FROM pack JOIN small s
+              ON s.event_type = pack.event_type AND s.rk = pack.rk + 1
+        ) sub
+    ),
+    packed AS (
+        SELECT p.event_type,
+               CAST(len(p.bins) AS BIGINT) AS n_packed_groups,
+               CAST(list_sum(p.bins) AS BIGINT) AS rows_rewritten
+        FROM pack p
+        JOIN (SELECT event_type, MAX(rk) AS mrk FROM pack
+              GROUP BY event_type) m
+          ON p.event_type = m.event_type AND p.rk = m.mrk
+    ),
+    inv AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(CASE WHEN n_rows >= 4096 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_large,
+               CAST(SUM(n_rows) AS BIGINT) AS total_rows
+        FROM files GROUP BY event_type
+    )
+    SELECT i.event_type, i.n_files,
+           CAST(i.n_files - i.n_large AS BIGINT) AS n_small,
+           i.n_large, i.total_rows,
+           CAST(COALESCE(p.n_packed_groups, 0) AS BIGINT)
+               AS n_packed_groups,
+           CAST(i.n_large + COALESCE(p.n_packed_groups, 0) AS BIGINT)
+               AS n_files_after,
+           CAST(COALESCE(p.rows_rewritten, 0) AS BIGINT)
+               AS rows_rewritten,
+           CASE WHEN p.n_packed_groups IS NULL OR p.n_packed_groups = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST(p.rows_rewritten * 1000000
+                          // (p.n_packed_groups * 4096) AS BIGINT)
+           END AS packed_fill_micro
+    FROM inv i LEFT JOIN packed p USING (event_type)
+"""

@@ -10093,6 +10093,308 @@ def q_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def q_countmin_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency audit (Cormode & Muthukrishnan 2005)
+    — the FREQUENCY member completing the sketch-accuracy family:
+    q_bloom_fpp_audit audits membership, q_kmv_distinct distinctness,
+    q_heavy_hitters top-k; this builds the d=4 × w=256 Count-Min over
+    the corpus token stream and audits its point estimates against the
+    exact counts of the top-20 words. The one-sided error is the
+    mechanism's signature — CM can only OVERestimate (every counter a
+    word hashes to holds its true count plus colliding mass; the min
+    over 4 rows picks the least-polluted one), pinned by test. The
+    ``bound`` column carries the standard 2N/w Markov budget; the
+    per-word flag shows which estimates beat it (a probabilistic
+    guarantee, reported not asserted).
+
+    Portable hashing: row j's bucket = first-2-hex-md5('word:j') —
+    256 buckets exactly spans the 2-hex space, so both engines derive
+    identical sketches from the raw table.
+
+    Scale shape: ONE groupBy(word) collapses the token stream (the
+    q_bpe_merges discipline); the ×4 row-explode runs over |vocab|
+    aggregated rows, not corpus tokens; the sketch is a 1024-row
+    aggregate, broadcast back to the top-20 probe words. Nothing after
+    the vocabulary collapse scales with the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(words(F.trim(F.col("text")))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    ).localCheckpoint()
+    total = vocab.agg(F.sum("freq").cast("long").alias("n_tokens"))
+    hashed = vocab.select(
+        "word",
+        "freq",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat(word, ':',"
+            " CAST(j AS STRING))), 1, 2), 16, 10) AS INT)"
+        ),
+    )
+    sketch = hashed.groupBy("j", "bucket").agg(
+        F.sum("freq").cast("long").alias("cnt")
+    )
+    top = (
+        vocab.orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(20)
+        .select("word", F.col("freq").alias("true_freq"))
+    )
+    probes = top.select(
+        "word",
+        "true_freq",
+        F.explode(F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))).alias("j"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat(word, ':',"
+            " CAST(j AS STRING))), 1, 2), 16, 10) AS INT)"
+        ),
+    )
+    est = (
+        probes.join(F.broadcast(sketch), on=["j", "bucket"])
+        .groupBy("word", "true_freq")
+        .agg(F.min("cnt").cast("long").alias("cm_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "word",
+        "true_freq",
+        "cm_est",
+        (F.col("cm_est") - F.col("true_freq"))
+        .cast("long")
+        .alias("overestimate"),
+        F.expr(f"CAST(2 * n_tokens DIV {CM_WIDTH} AS BIGINT)").alias(
+            "bound"
+        ),
+        F.expr(
+            f"cm_est - true_freq <= 2 * n_tokens DIV {CM_WIDTH}"
+        ).alias("within_bound"),
+    )
+
+
+AMS_ROWS = 8
+
+
+def q_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS second-moment sketch audit (Alon, Matias & Szegedy 1996 —
+    the Gödel-prize F2 estimator): estimate Σ f_w² of the corpus word
+    distribution from 8 one-pass ±1-sign sums, against the exact
+    self-join size. F2 IS the exact-dup self-join's pair volume (each
+    word group contributes f² join rows), so this sketch is the
+    planner's shuffle-volume forecast BEFORE running a dedup join —
+    the sizing-report move with sublinear state.
+
+    Deterministic signs: word's sign in row r = parity of the first
+    md5 hex digit of 'word:r' (the portable-hash convention). Each
+    row's Z_r = Σ sign·f_w is an exact int64 (|Z| ≤ N ≈ 2.7e5 at
+    sf0.1, ×100 ≈ 2.7e7 → Z² ≤ 7.3e14, inside int64 to ~×1000; past
+    that the micro unit drops per the audit rule); est_r = Z_r², and
+    the estimator is the LOWER MEDIAN (rank 4 of 8) — integer, no
+    mean-of-medians float.
+
+    Scale shape: one groupBy(word) vocabulary collapse, a ×8
+    map-side sign fanout over |vocab| rows, an 8-row aggregate, and
+    order statistics over exactly 8 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(words(F.trim(F.col("text")))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    ).localCheckpoint()
+    true_f2 = vocab.agg(
+        F.sum(F.col("freq") * F.col("freq")).cast("long").alias("true_f2")
+    )
+    z = (
+        vocab.select(
+            "word",
+            "freq",
+            F.explode(F.sequence(F.lit(0), F.lit(AMS_ROWS - 1))).alias(
+                "r"
+            ),
+        )
+        .withColumn(
+            "sign",
+            F.expr(
+                "CASE WHEN CAST(conv(substring(md5(concat(word, ':',"
+                " CAST(r AS STRING))), 1, 1), 16, 10) AS INT) % 2 = 0"
+                " THEN 1 ELSE -1 END"
+            ),
+        )
+        .groupBy("r")
+        .agg(F.sum(F.col("sign") * F.col("freq")).cast("long").alias("z"))
+        .withColumn("est", (F.col("z") * F.col("z")).cast("long"))
+    )
+    wr = Window.orderBy(F.col("est").asc(), F.col("r").asc())
+    med = (
+        z.withColumn("rn", F.row_number().over(wr))
+        .agg(
+            F.max(F.when(F.col("rn") == AMS_ROWS // 2, F.col("est")))
+            .cast("long")
+            .alias("median_est"),
+            F.min("est").cast("long").alias("min_est"),
+            F.max("est").cast("long").alias("max_est"),
+        )
+    )
+    return med.crossJoin(F.broadcast(true_f2)).select(
+        "true_f2",
+        "median_est",
+        "min_est",
+        "max_est",
+        F.expr(
+            "CAST(abs(median_est - true_f2) * 1000000 DIV true_f2"
+            " AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid readability per source — the classic text-quality
+    screen next to the Gopher rules and C4 line filter (readability
+    gates are standard curation signals: too-low grade = fragment spam,
+    too-high = OCR garbage / legalese). Syllables via the vowel-group
+    approximation (runs of [aeiouy] in the lowered text — the standard
+    cheap estimator; consonant-only tokens count zero, documented
+    bias identical in both engines), sentences via terminal-punctuation
+    runs with a floor of 1.
+
+    FK grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59, carried in integer
+    MILLI with per-term truncating division (both ratios positive, so
+    Spark DIV == DuckDB //). Aggregates are per-source sums — exact
+    integers; the three divisions happen once per source.
+
+    Scale shape: one map-side regexp pass per doc, one
+    partial-aggregated groupBy(source); no window, no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        n_words(F.trim(F.col("text"))).alias("w"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.size(
+                F.expr("regexp_extract_all(text, '[.!?]+', 0)")
+            ).cast("long"),
+        ).alias("s"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("s").cast("long").alias("n_sentences"),
+        F.sum("y").cast("long").alias("n_syllables"),
+        F.expr("CAST(SUM(w) * 1000 DIV SUM(s) AS BIGINT)").alias(
+            "words_per_sentence_milli"
+        ),
+        F.expr("CAST(SUM(y) * 1000 DIV SUM(w) AS BIGINT)").alias(
+            "syllables_per_word_milli"
+        ),
+        F.expr(
+            "CAST(SUM(w) * 390 DIV SUM(s)"
+            " + SUM(y) * 11800 DIV SUM(w) - 15590 AS BIGINT)"
+        ).alias("fk_grade_milli"),
+    )
+
+
+COMPACT_TARGET_ROWS = 4096
+
+
+def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNING — the lakehouse OPTIMIZE
+    bin-packing step (Delta/Iceberg compaction groups small files into
+    target-size outputs), completing the ops family around
+    q_delete_vectors (when to rewrite) and q_pruning_stats (what layout
+    buys): the file inventory is the per-(event_type, day) ingest
+    pattern (one file per partition per day — the canonical streaming
+    small-file problem), sizes proxied by row counts. Files at or above
+    the 4096-row target are already compact and pass through as
+    singleton outputs; smaller files are packed per event_type with
+    first-fit-decreasing (operators/curate.py::ffd_pack — compaction
+    never merges across table partitions, so the partition is the FFD
+    shard, which is also why the planner parallelizes). Per partition:
+    file counts before/after, the packed fill rate, and the write
+    amplification the plan would pay (rows rewritten = packed rows).
+
+    All-integer; the FFD leg is replayed exactly by the oracle's
+    recursive CTE (the q_pack_efficiency machinery, tiny depth — the
+    inventory is a bounded aggregate, not the event stream).
+
+    Scale shape: one partial-aggregated groupBy builds the inventory
+    (bounded by |partitions × days|, localCheckpointed — three
+    consumers would otherwise re-derive it from the event scan); FFD
+    runs per partition over that bounded table; everything downstream
+    is O(files)."""
+    from telecom_competitor_analysis_spark.operators.curate import ffd_pack
+
+    T = COMPACT_TARGET_ROWS
+    events = load_table(spark, sf_dir, "events")
+    files = (
+        events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn(
+            "file_id", F.datediff(F.col("day"), F.lit("1970-01-01")).cast("long")
+        )
+    ).localCheckpoint()
+    small = files.filter(F.col("n_rows") < T)
+    packed = (
+        ffd_pack(small, "file_id", "n_rows", "event_type", seq_len=T)
+        .groupBy("event_type")
+        .agg(
+            (F.max("seq_id") + 1).cast("long").alias("n_packed_groups"),
+            F.sum("n_kept").cast("long").alias("rows_rewritten"),
+        )
+    )
+    inv = files.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum((F.col("n_rows") >= T).cast("int"))
+        .cast("long")
+        .alias("n_large"),
+        F.sum("n_rows").cast("long").alias("total_rows"),
+    )
+    return (
+        inv.join(packed, on="event_type", how="left")
+        .select(
+            "event_type",
+            "n_files",
+            (F.col("n_files") - F.col("n_large"))
+            .cast("long")
+            .alias("n_small"),
+            "n_large",
+            "total_rows",
+            F.coalesce(F.col("n_packed_groups"), F.lit(0))
+            .cast("long")
+            .alias("n_packed_groups"),
+            (
+                F.col("n_large")
+                + F.coalesce(F.col("n_packed_groups"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_files_after"),
+            F.coalesce(F.col("rows_rewritten"), F.lit(0))
+            .cast("long")
+            .alias("rows_rewritten"),
+            F.expr(
+                "CASE WHEN n_packed_groups IS NULL OR n_packed_groups = 0"
+                " THEN CAST(0 AS BIGINT)"
+                f" ELSE CAST(rows_rewritten * 1000000"
+                f" DIV (n_packed_groups * {T}) AS BIGINT) END"
+            ).alias("packed_fill_micro"),
+        )
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -10300,4 +10602,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ivfpq_recall": q_ivfpq_recall,
     "q_pack_efficiency": q_pack_efficiency,
     "q_dp_histogram": q_dp_histogram,
+    "q_countmin_audit": q_countmin_audit,
+    "q_ams_f2": q_ams_f2,
+    "q_readability": q_readability,
+    "q_compact_plan": q_compact_plan,
 }
