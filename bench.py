@@ -244,6 +244,10 @@ HEADLINE_EXT = [
     "q_ams_f2",
     "q_readability",
     "q_compact_plan",
+    "q_graph_modularity",
+    "q_hll_audit",
+    "q_conformal_coverage",
+    "q_temporal_split",
 ]
 
 

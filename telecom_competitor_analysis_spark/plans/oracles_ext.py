@@ -5318,9 +5318,9 @@ EXT_ORACLES["q_textrank_keywords"] = """
 # two unrolled synchronous rounds over the SAME banded-minhash pair
 # graph as the other five consumers; argmax = max count then min label
 # (zero-padded composite key — this DuckDB's arg_max takes no struct).
-EXT_ORACLES["q_label_propagation"] = (
-    _NEARDUP_CC_CTES
-    + """
+# The 2-round LP chain is shared text: q_graph_modularity scores the
+# SAME communities this oracle releases.
+_LP_CTES = """
     , n0 AS (
         SELECT doc_id AS node, CAST(doc_id AS BIGINT) AS label
         FROM documents
@@ -5362,6 +5362,12 @@ EXT_ORACLES["q_label_propagation"] = (
                CAST(COALESCE(w2.new_label, n1.label) AS BIGINT) AS label
         FROM n1 LEFT JOIN w2 USING (node)
     )
+"""
+
+EXT_ORACLES["q_label_propagation"] = (
+    _NEARDUP_CC_CTES
+    + _LP_CTES
+    + """
     SELECT label,
            CAST(COUNT(*) AS BIGINT) AS community_size,
            CAST(MIN(node) AS BIGINT) AS min_node,
@@ -7835,4 +7841,218 @@ EXT_ORACLES["q_compact_plan"] = """
                           // (p.n_packed_groups * 4096) AS BIGINT)
            END AS packed_fill_micro
     FROM inv i LEFT JOIN packed p USING (event_type)
+"""
+
+
+# q_graph_modularity (queries_ext.q_graph_modularity): Newman Q of the
+# SAME 2-round LP communities (shared _LP_CTES text) over the shared
+# pair graph; per-community contribution (4·m·e_c − d_c²)·1e6 over
+# 4m² routed through sdiv_expr — a worse-than-chance community is
+# NEGATIVE, where Spark DIV truncates and DuckDB // floors.
+_MOD_CONTRIB = sdiv_expr(
+    "(4 * mm.m * intra_edges - degree_sum * degree_sum) * 1000000",
+    "4 * mm.m * mm.m",
+    "//",
+)
+EXT_ORACLES["q_graph_modularity"] = (
+    _NEARDUP_CC_CTES
+    + _LP_CTES
+    + f"""
+    , mtot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+    bi2 AS (
+        SELECT id_a AS u FROM pairs
+        UNION ALL SELECT id_b FROM pairs
+    ),
+    deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM bi2 GROUP BY u),
+    nstat AS (
+        SELECT n2.node, n2.label, COALESCE(deg.deg, 0) AS deg
+        FROM n2 LEFT JOIN deg ON n2.node = deg.u
+    ),
+    comm AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(deg) AS BIGINT) AS degree_sum
+        FROM nstat GROUP BY label
+    ),
+    intra AS (
+        SELECT la.label, CAST(COUNT(*) AS BIGINT) AS intra_edges
+        FROM pairs p
+        JOIN n2 la ON p.id_a = la.node
+        JOIN n2 lb ON p.id_b = lb.node
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    )
+    SELECT c.label, c.n_nodes,
+           CAST(c.intra_edges AS BIGINT) AS intra_edges,
+           c.degree_sum,
+           CAST({_MOD_CONTRIB} AS BIGINT) AS contrib_micro
+    FROM (
+        SELECT comm.label, comm.n_nodes, comm.degree_sum,
+               COALESCE(i.intra_edges, 0) AS intra_edges
+        FROM comm LEFT JOIN intra i USING (label)
+        WHERE comm.degree_sum > 0
+    ) c, mtot mm
+"""
+)
+
+# q_hll_audit (queries_ext.q_hll_audit): identical md5 32-bit hash,
+# top-6-bit register pick, CASE-ladder leading-zero rank (shared
+# generated text), dyadic-scaled harmonic sum, staged integer
+# divisions in the SAME order, linear-counting table inlined from the
+# one Python source.
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    HLL_ALPHA_MICRO,
+    HLL_REGISTERS,
+    _hll_lc_table,
+    _hll_rho_sql,
+)
+
+_HLL_LC = "[" + ", ".join(
+    f"CAST({v} AS BIGINT)" for v in _hll_lc_table()
+) + "]"
+EXT_ORACLES["q_hll_audit"] = f"""
+    WITH users AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+        FROM users
+    ),
+    split AS (
+        SELECT event_type,
+               CAST(h // {1 << 26} AS INT) AS j,
+               h % {1 << 26} AS w
+        FROM hashed
+    ),
+    regs AS (
+        SELECT event_type, j,
+               CAST(MAX({_hll_rho_sql("w")}) AS INT) AS mj
+        FROM split GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_present,
+               CAST(SUM(CAST(1 AS BIGINT) << (27 - mj)) AS BIGINT)
+                   AS s_present
+        FROM regs GROUP BY 1
+    ),
+    est0 AS (
+        SELECT event_type,
+               CAST({HLL_REGISTERS} - n_present AS BIGINT) AS n_zero,
+               s_present + ({HLL_REGISTERS} - n_present)
+                   * (CAST(1 AS BIGINT) << 27) AS s_total
+        FROM sums
+    ),
+    est1 AS (
+        SELECT event_type, n_zero,
+               CAST({HLL_ALPHA_MICRO}
+                    * (CAST({HLL_REGISTERS * HLL_REGISTERS} AS BIGINT)
+                       * (CAST(1 AS BIGINT) << 27) // s_total)
+                    // 1000000 AS BIGINT) AS est_raw
+        FROM est0
+    ),
+    est2 AS (
+        SELECT event_type, n_zero, est_raw,
+               CAST(CASE WHEN n_zero > 0
+                         AND est_raw * 2 < {5 * HLL_REGISTERS}
+                    THEN ({_HLL_LC})[CAST(n_zero AS INT)]
+                    ELSE est_raw END AS BIGINT) AS est
+        FROM est1
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                   AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type, x.exact_distinct, e.n_zero, e.est_raw, e.est,
+           CAST(abs(e.est - x.exact_distinct) * 1000000
+                // x.exact_distinct AS BIGINT) AS err_micro
+    FROM est2 e JOIN exact x USING (event_type)
+"""
+
+# q_conformal_coverage (queries_ext.q_conformal_coverage): the q_ece
+# composition (classifier + gopher oracles as subqueries), md5-parity
+# calibration split, exact conformal order statistic, coverage and
+# rejection on the test half.
+EXT_ORACLES["q_conformal_coverage"] = f"""
+    WITH model AS (
+        SELECT doc_id, score_micro
+        FROM ({EXT_ORACLES["q_quality_classifier"]})
+        WHERE score_micro IS NOT NULL
+    ),
+    gopher AS (
+        SELECT doc_id, passes FROM ({EXT_ORACLES["q_gopher_rules"]})
+    ),
+    scored AS MATERIALIZED (
+        SELECT m.doc_id, m.score_micro, g.passes,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(m.doc_id AS VARCHAR)), 1, 1))
+                 - 1) % 2) = 0 AS is_cal
+        FROM model m JOIN gopher g USING (doc_id)
+    ),
+    cal_good AS (
+        SELECT score_micro, doc_id,
+               row_number() OVER (ORDER BY score_micro ASC, doc_id ASC)
+                   AS rn
+        FROM scored WHERE is_cal AND passes
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal_good),
+    thr AS (
+        SELECT cg.score_micro AS threshold_micro, nc.n_cal
+        FROM cal_good cg, nc
+        WHERE cg.rn = (1000000 - 900000) * (nc.n_cal + 1) // 1000000
+    )
+    SELECT t.threshold_micro, t.n_cal,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN s.passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test_good,
+           CAST(SUM(CASE WHEN s.passes AND s.score_micro >=
+                    t.threshold_micro THEN 1 ELSE 0 END) * 1000000
+                // SUM(CASE WHEN s.passes THEN 1 ELSE 0 END) AS BIGINT)
+               AS coverage_micro,
+           CAST(SUM(CASE WHEN NOT s.passes AND s.score_micro <
+                    t.threshold_micro THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN NOT s.passes THEN 1 ELSE 0
+                    END), 1) AS BIGINT) AS rejection_micro,
+           CAST(900000 AS BIGINT) AS target_micro
+    FROM scored s, thr t
+    WHERE NOT s.is_cal
+    GROUP BY t.threshold_micro, t.n_cal
+"""
+
+# q_temporal_split (queries_ext.q_temporal_split): 80%-of-day-range
+# cut, per-(type, user) side collapse, spanning-user leakage rate.
+EXT_ORACLES["q_temporal_split"] = """
+    WITH e AS (
+        SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    bounds AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+    sided AS (
+        SELECT event_type, user_id,
+               e.d < b.d0 + CAST(date_diff('day', b.d0, b.d1) * 4 // 5
+                                 AS INT) AS is_train
+        FROM e, bounds b
+    ),
+    per_user AS (
+        SELECT event_type, user_id,
+               MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+               MAX(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test,
+               CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_train_rows,
+               CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END)
+                    AS BIGINT) AS n_test_rows
+        FROM sided GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(SUM(n_train_rows) AS BIGINT) AS train_rows,
+           CAST(SUM(n_test_rows) AS BIGINT) AS test_rows,
+           CAST(SUM(in_train) AS BIGINT) AS train_users,
+           CAST(SUM(in_test) AS BIGINT) AS test_users,
+           CAST(SUM(in_train * in_test) AS BIGINT) AS spanning_users,
+           CAST(SUM(in_train * in_test) * 1000000
+                // GREATEST(SUM(in_test), 1) AS BIGINT) AS leak_micro
+    FROM per_user GROUP BY event_type
 """

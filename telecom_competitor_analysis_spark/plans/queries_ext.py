@@ -10395,6 +10395,363 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities over the
+    near-dup pair graph — the quality score for the partition the graph
+    family produces but never grades: q_label_propagation RELEASES
+    communities, this query answers "are they better than chance?"
+    (Newman & Girvan 2004). Q = Σ_c [e_c/m − (d_c/2m)²]; per-community
+    contribution reported as (4·m·e_c − d_c²)·10⁶ div 4m² — ONE
+    signed integer division at the end, routed through the shared
+    sign-split sdiv_expr because a worse-than-chance community has a
+    NEGATIVE contribution (Spark DIV truncates, DuckDB // floors; they
+    agree only on non-negatives). Same 2-round LP labels as
+    q_label_propagation (the oracle reuses that query's exact CTE
+    chain), same materialized LSH pair graph. Zero-degree singleton
+    communities contribute exactly 0 and are filtered — the table
+    reads as the real community decision list.
+
+    Scale shape: LP's per-round joins key on node; degrees are one
+    partial-aggregated groupBy over the doubled edge list; intra-edge
+    counts join the bounded label table to the pair list twice (hash
+    joins on id); m enters as a 1-row broadcast aggregate."""
+    from telecom_competitor_analysis_spark.operators.graph import (
+        label_propagation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    edges = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    )
+    nodes = docs.select(
+        F.col("doc_id").alias("node"),
+        F.col("doc_id").cast("long").alias("label"),
+    )
+    labels = label_propagation(nodes, edges, rounds=2)
+
+    m_df = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = both.groupBy("u").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    node_stats = labels.join(
+        deg, labels["node"] == deg["u"], "left"
+    ).select(
+        "node", "label", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    )
+    comm = node_stats.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum("deg").cast("long").alias("degree_sum"),
+    )
+    la = labels.select(
+        F.col("node").alias("id_a"), F.col("label").alias("label_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("id_b"), F.col("label").alias("label_b")
+    )
+    intra = (
+        pairs.select("id_a", "id_b")
+        .join(la, on="id_a")
+        .join(lb, on="id_b")
+        .filter(F.col("label_a") == F.col("label_b"))
+        .groupBy(F.col("label_a").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("intra_edges"))
+    )
+    contrib = sdiv_expr(
+        "(4 * m * intra_edges - degree_sum * degree_sum) * 1000000",
+        "4 * m * m",
+        "DIV",
+    )
+    return (
+        comm.join(intra, on="label", how="left")
+        .withColumn(
+            "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)).cast("long")
+        )
+        .filter(F.col("degree_sum") > 0)
+        .crossJoin(F.broadcast(m_df))
+        .select(
+            "label",
+            "n_nodes",
+            "intra_edges",
+            "degree_sum",
+            F.expr(f"CAST({contrib} AS BIGINT)").alias("contrib_micro"),
+        )
+    )
+
+
+HLL_REGISTERS = 64
+HLL_ALPHA_MICRO = 709_000  # alpha_64 (Flajolet et al. 2007, m=64)
+
+
+def _hll_rho_sql(w: str) -> str:
+    """Leading-zero rank of a 26-bit suffix: rho = 27 - floor(log2(w))
+    - ... spelled as a generated CASE ladder (no log in either engine;
+    w = 0 -> the max rank 27)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (26 - k)} THEN {k}" for k in range(1, 27)
+    )
+    return f"CASE {branches} ELSE 27 END"
+
+
+def _hll_lc_table() -> list[int]:
+    """Linear-counting estimates m·ln(m/V) for V = 1..m, precomputed in
+    Python and inlined as integer literals in BOTH engines (the
+    Laplace/RBO table convention — no ln executes in either engine)."""
+    import math
+
+    m = HLL_REGISTERS
+    return [round(m * math.log(m / v)) for v in range(1, m + 1)]
+
+
+def q_hll_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog audited against exact distinct counts
+    (Flajolet et al. 2007) — the DETERMINISTIC twin of the rows-only
+    q_approx_distinct (Spark's built-in HLL is seed-opaque; this one
+    is portable md5 hashing end-to-end, so the DuckDB oracle rebuilds
+    the identical sketch and the audit is oracle-CHECKED, completing
+    the sketch-accuracy family: Bloom membership, KMV distinctness,
+    Misra-Gries top-k, Count-Min frequency, AMS F2 — and now HLL
+    cardinality). Per event_type: m=64 registers from a 32-bit md5
+    hash (top 6 bits pick the register, the 26-bit suffix's
+    leading-zero rank is the register value via a generated CASE
+    ladder — no log in either engine); raw estimate
+    α·m²/Σ2^-M_j computed exactly in integers by scaling the harmonic
+    sum by 2²⁷ (dyadic — the freshness-decay move); the small-range
+    regime applies linear counting m·ln(m/V) through a 64-entry
+    Python-precomputed table (the Laplace-table convention). The
+    staged integer divisions are the SAME text in both engines — the
+    estimate is deterministic, not merely close.
+
+    Scale shape: one groupBy(event_type, user) distinct collapse, one
+    64-register aggregate per group, a ≤64-row register rollup —
+    sketch state is O(m) per group, the entire point of HLL at
+    100 TB."""
+    m = HLL_REGISTERS
+    lc = _hll_lc_table()
+    lc_arr = "array(" + ", ".join(
+        f"CAST({v} AS BIGINT)" for v in lc
+    ) + ")"
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("event_type", "user_id").distinct()
+    hashed = users.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).select(
+        "event_type",
+        F.expr(f"CAST(h DIV {1 << 26} AS INT)").alias("j"),
+        F.expr(f"h % {1 << 26}").alias("w"),
+    )
+    regs = hashed.select(
+        "event_type", "j", F.expr(_hll_rho_sql("w")).alias("rho")
+    ).groupBy("event_type", "j").agg(
+        F.max("rho").cast("int").alias("mj")
+    )
+    sums = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 27 - mj)"))
+        .cast("long")
+        .alias("s_present"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_distinct")
+    )
+    est = sums.select(
+        "event_type",
+        "n_present",
+        (F.lit(m) - F.col("n_present")).cast("long").alias("n_zero"),
+        F.expr(
+            f"s_present + ({m} - n_present)"
+            f" * shiftleft(CAST(1 AS BIGINT), 27)"
+        ).alias("s_total"),
+    ).select(
+        "event_type",
+        "n_zero",
+        F.expr(
+            f"CAST({HLL_ALPHA_MICRO} * (CAST({m * m} AS BIGINT)"
+            f" * shiftleft(CAST(1 AS BIGINT), 27) DIV s_total)"
+            f" DIV 1000000 AS BIGINT)"
+        ).alias("est_raw"),
+    ).select(
+        "event_type",
+        "n_zero",
+        "est_raw",
+        F.expr(
+            f"CASE WHEN n_zero > 0 AND est_raw * 2 < {5 * m}"
+            f" THEN element_at({lc_arr}, CAST(n_zero AS INT))"
+            " ELSE est_raw END"
+        )
+        .cast("long")
+        .alias("est"),
+    )
+    return est.join(exact, on="event_type").select(
+        "event_type",
+        "exact_distinct",
+        "n_zero",
+        "est_raw",
+        "est",
+        F.expr(
+            "CAST(abs(est - exact_distinct) * 1000000"
+            " DIV exact_distinct AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+CONFORMAL_TARGET_MICRO = 900_000
+
+
+def q_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal quality-filter calibration (Vovk et al.; the
+    Angelopoulos-Bates recipe applied to data curation): before
+    shipping a score threshold that keeps "90% of good documents", set
+    it from a held-out calibration split with a finite-sample
+    guarantee and AUDIT the achieved coverage on the test split. The
+    split is the portable md5 parity of doc_id (deterministic, both
+    engines); "good" = the independent Gopher gate; the threshold is
+    the k-th smallest calibration score among good docs with
+    k = floor(α·(n+1)), α = 10% — the conformal lower bound that
+    guarantees ≥ 90% of good test docs score at or above it (up to
+    the finite-sample 1/(n+1) slack). Reported: the threshold, the
+    achieved coverage of good test docs, and the rejection rate of bad
+    test docs (the filter's efficiency — a threshold that keeps all
+    the good docs by keeping everything is useless).
+
+    All-integer: scores are the classifier's score_micro, the order
+    statistic is exact (row_number over the bounded calibration good
+    set), rates are micro divisions.
+
+    Scale shape: two map-side scoring passes, one exact order
+    statistic over the calibration good docs (single bounded window —
+    at 100 TB the calibration split is a capped sample by design),
+    three partial-aggregated counts."""
+    from telecom_competitor_analysis_spark.operators.quality import (
+        gopher_rules,
+        hashed_linear_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    scored = (
+        hashed_linear_score(docs, "doc_id", "text")
+        .select("doc_id", "score_micro")
+        .join(
+            gopher_rules(docs, "doc_id", "text").select(
+                "doc_id", "passes"
+            ),
+            on="doc_id",
+        )
+        .withColumn(
+            "is_cal",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 1),"
+                " 16, 10) AS INT) % 2 = 0"
+            ),
+        )
+    )
+    cal_good = scored.filter(F.col("is_cal") & F.col("passes"))
+    n_cal = cal_good.agg(F.count(F.lit(1)).cast("long").alias("n_cal"))
+    w = Window.orderBy(F.col("score_micro").asc(), F.col("doc_id").asc())
+    thr = (
+        cal_good.withColumn("rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(n_cal))
+        .filter(
+            F.col("rn")
+            == F.expr(
+                f"CAST((1000000 - {CONFORMAL_TARGET_MICRO})"
+                " * (n_cal + 1) DIV 1000000 AS BIGINT)"
+            )
+        )
+        .select(
+            F.col("score_micro").alias("threshold_micro"), "n_cal"
+        )
+    )
+    test = scored.filter(~F.col("is_cal"))
+    return (
+        test.crossJoin(F.broadcast(thr))
+        .groupBy("threshold_micro", "n_cal")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(F.col("passes").cast("int"))
+            .cast("long")
+            .alias("n_test_good"),
+            F.expr(
+                "CAST(SUM(CASE WHEN passes AND score_micro >="
+                " threshold_micro THEN 1 ELSE 0 END) * 1000000"
+                " DIV SUM(CASE WHEN passes THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("coverage_micro"),
+            F.expr(
+                "CAST(SUM(CASE WHEN NOT passes AND score_micro <"
+                " threshold_micro THEN 1 ELSE 0 END) * 1000000"
+                " DIV GREATEST(SUM(CASE WHEN NOT passes THEN 1 ELSE 0"
+                " END), 1) AS BIGINT)"
+            ).alias("rejection_micro"),
+        )
+        .withColumn(
+            "target_micro",
+            F.lit(CONFORMAL_TARGET_MICRO).cast("long"),
+        )
+    )
+
+
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based train/test split with a leakage audit — the eval
+    split every forecasting/recsys pipeline needs next to the
+    group-based q_leakage_safe_split: cut the event log at 80% of its
+    day range (integer date arithmetic off a 2-value broadcast
+    aggregate), then measure the classic temporal-leakage hazard —
+    users active on BOTH sides (a user-level feature computed over
+    train silently encodes test-period behavior for them). Per
+    event_type: row counts per side, user counts per side, spanning
+    users, and the spanning rate over test users in micro.
+
+    Scale shape: one 2-value bounds aggregate broadcast to the scan,
+    one (event_type, user, side) partial-aggregated collapse, one
+    per-type rollup — no window, no self-join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    )
+    bounds = ev.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    sided = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "user_id",
+        F.expr(
+            "d < d0 + CAST(datediff(d1, d0) * 4 DIV 5 AS INT)"
+        ).alias("is_train"),
+    )
+    per_user = sided.groupBy("event_type", "user_id").agg(
+        F.max(F.col("is_train").cast("int")).alias("in_train"),
+        F.max((~F.col("is_train")).cast("int")).alias("in_test"),
+        F.sum(F.col("is_train").cast("int"))
+        .cast("long")
+        .alias("n_train_rows"),
+        F.sum((~F.col("is_train")).cast("int"))
+        .cast("long")
+        .alias("n_test_rows"),
+    )
+    return per_user.groupBy("event_type").agg(
+        F.sum("n_train_rows").cast("long").alias("train_rows"),
+        F.sum("n_test_rows").cast("long").alias("test_rows"),
+        F.sum("in_train").cast("long").alias("train_users"),
+        F.sum("in_test").cast("long").alias("test_users"),
+        F.sum(F.col("in_train") * F.col("in_test"))
+        .cast("long")
+        .alias("spanning_users"),
+        F.expr(
+            "CAST(SUM(in_train * in_test) * 1000000"
+            " DIV GREATEST(SUM(in_test), 1) AS BIGINT)"
+        ).alias("leak_micro"),
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -10606,4 +10963,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ams_f2": q_ams_f2,
     "q_readability": q_readability,
     "q_compact_plan": q_compact_plan,
+    "q_graph_modularity": q_graph_modularity,
+    "q_hll_audit": q_hll_audit,
+    "q_conformal_coverage": q_conformal_coverage,
+    "q_temporal_split": q_temporal_split,
 }

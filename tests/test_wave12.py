@@ -329,3 +329,82 @@ def test_compact_plan_conservation(spark, sf_dir):
         assert 0 <= r.packed_fill_micro <= 1_000_000
         if r.n_small:
             assert r.n_packed_groups >= 1
+
+
+def test_graph_modularity_identities(spark, sf_dir):
+    """Newman-Q sanity on the LP communities: every released community
+    has degree, the degree sums over released rows account for BOTH
+    endpoints of every edge (zero-degree singletons contribute
+    nothing), intra-edge counts never exceed the graph size, and the
+    total Q is positive (the LP partition of a near-dup graph beats
+    chance) and bounded by 1."""
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _materialized_lsh_pairs,
+    )
+
+    rows = EXT_QUERIES["q_graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    m = _materialized_lsh_pairs(spark, sf_dir).count()
+    assert sum(r.degree_sum for r in rows) == 2 * m
+    assert sum(r.intra_edges for r in rows) <= m
+    q = sum(r.contrib_micro for r in rows)
+    assert 0 < q <= 1_000_000
+    for r in rows:
+        assert r.degree_sum > 0 and r.n_nodes >= 1
+
+
+def test_hll_audit_regimes_and_error(spark, sf_dir):
+    """HLL audit invariants: positive estimates, err arithmetic
+    consistent, and the linear-counting regime switch is exactly the
+    released rule (n_zero > 0 and est_raw < 2.5m -> table value)."""
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        _hll_lc_table,
+    )
+
+    lc = _hll_lc_table()
+    rows = EXT_QUERIES["q_hll_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_distinct > 0 and r.est > 0
+        assert r.err_micro == abs(r.est - r.exact_distinct) * 1_000_000 // r.exact_distinct
+        if r.n_zero > 0 and r.est_raw * 2 < 5 * 64:
+            assert r.est == lc[r.n_zero - 1]
+        else:
+            assert r.est == r.est_raw
+
+
+def test_conformal_coverage_near_target(spark, sf_dir):
+    """The conformal pin: achieved coverage of good test docs sits
+    near the 90% target (finite-sample binomial noise allowed), and
+    the threshold actually rejects bad docs (a vacuous threshold that
+    keeps everything would show rejection 0)."""
+    [r] = EXT_QUERIES["q_conformal_coverage"](spark, sf_dir).collect()
+    assert 840_000 <= r.coverage_micro <= 1_000_000
+    assert r.rejection_micro > 0
+    assert r.n_cal > 0 and r.n_test_good > 0
+    assert r.target_micro == 900_000
+
+
+def test_temporal_split_conservation(spark, sf_dir):
+    """Split audit identities: every row lands on exactly one side,
+    spanning users bounded by both side counts, leak rate arithmetic
+    recomputable from released integers."""
+    rows = EXT_QUERIES["q_temporal_split"](spark, sf_dir).collect()
+    assert rows
+    from telecom_competitor_analysis_spark.sources.readers import (
+        load_table,
+    )
+
+    totals = {
+        r["event_type"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert r.train_rows + r.test_rows == totals[r.event_type]
+        assert r.spanning_users <= min(r.train_users, r.test_users)
+        assert r.leak_micro == r.spanning_users * 1_000_000 // max(
+            r.test_users, 1
+        )
