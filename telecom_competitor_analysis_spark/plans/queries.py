@@ -1148,86 +1148,54 @@ QUERIES.update(EXT_QUERIES)
 # displaced ones first, per the r10 VERDICT plan); after r11 no
 # oracle's latest driver green is older than r7. The r7 greens lead
 # the r12 window.
+# Round 12's window (3 + 12 + 6 + 29 = 50): the 3 changed entries
+# (q_freshness_decay sdiv rewrite, q_bpe_apply limit-before-fold —
+# both r12 ADVICE — and q_label_propagation's oracle factored into
+# the shared _LP_CTES), the 12 new r12 wave oracles, the 6 parked
+# r11 wave-E/F/G oracles (r11 VERDICT item 1: they lead), and the
+# 29 oldest r7 greens. The 12-strong new tier displaces 21 r7
+# greens — they park first below the boundary and lead the r13
+# window (the r7/r9 precedent: rotation debt is explicit, ordered,
+# and first in line).
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-11 WINDOW (first 50) ============
-    # tier 1 — operator code changed this round: q_chrf (refden leg
-    # rebuilt as a single-pass conditional aggregate, r10 VERDICT item
-    # 3) and q_bradley_terry (btPreagg flag plumbing, item 6 — default
-    # path byte-identical but the function changed)
-    "q_chrf",
-    "q_bradley_terry",
-    # tier 2 — the 14 new round-11 wave oracles (each locally
-    # driver-sim green at sf0.01 AND sf0.1 on declaration)
-    "q_bpe_apply",
-    "q_distinct_ngrams",
-    "q_blocklist_screen",
-    "q_event_runs",
-    "q_rbo",
-    "q_two_stage_rerank",
-    "q_ece",
-    "q_t_closeness",
-    "q_anomaly_mad",
+    # ============ ROUND-12 WINDOW (first 50) ============
+    # tier 1 — code/oracle changed this round: q_freshness_decay
+    # (every division routed through sdiv_expr, r12 ADVICE),
+    # q_bpe_apply (top-20 selected BEFORE the fold via
+    # orderBy().limit(), r12 ADVICE), q_label_propagation (oracle
+    # chain factored into the shared _LP_CTES text for
+    # q_graph_modularity — equivalent SQL, re-verified anyway)
     "q_freshness_decay",
-    "q_feature_hash_collisions",
-    "q_media_sniff",
-    "q_clustering_coeff",
-    "q_power_iteration",
-    # tier 3 — the 11 r6 greens parked when the later r10 waves
-    # displaced them (r10 VERDICT item 1 says they LEAD this window)
-    "q_scd2_history",
-    "q_quality_repetition",
-    "q_decontaminate",
-    "q_tfidf",
-    "q_embedding_outlier",
-    "q_stats_agg",
-    "q_percentile_exact",
-    "q_hopping_window",
-    "q_unpivot",
-    "q_simhash",
-    "q_text_stats",
-    # tier 4 — the remaining 23 r6 greens; after r11 no oracle's
-    # latest driver green is older than r7
-    "q_token_count",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_bm25",
-    "q_range_join",
-    "q_sentiment",
-    "q_integrity_audit",
-    "q_multimodal_meta",
-    "q_stream_join",
-    "q_stratified_sample",
-    "q_sequence_pack",
-    "q_dedup_clusters",
-    "q_dup_graph_stats",
-    "q_canonical_docs",
-    "q_pivot_dynamic",
-    "q_cogroup_asof",
-    "q_pagerank",
-    "q_dedup_incremental",
-    "q_dup_span_stats",
-    "q_recursive_hierarchy",
-    "q_gopher_rules",
-    "q_perplexity_mix",
-    "q_star_join",
-    # 2 changed + 14 new + 11 + 23 = 50
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # Ordered oldest-latest-green first (they LEAD the r12 window):
-    # FIRST the three late-r11 wave-E oracles that landed after the
-    # window filled (never driver-checked; locally driver-sim green at
-    # BOTH SFs on declaration — the r10 wave-4 precedent), then the r7
-    # greens, then r8, then r9, then the round-10 window queries (the
-    # repo's newest greens park last).
+    "q_bpe_apply",
+    "q_label_propagation",
+    # tier 2 — the 12 new round-12 wave oracles (each locally
+    # driver-sim green at sf0.01 AND sf0.1 on declaration)
+    "q_ivfpq_ann",
+    "q_ivfpq_recall",
+    "q_pack_efficiency",
+    "q_dp_histogram",
+    "q_countmin_audit",
+    "q_ams_f2",
+    "q_readability",
+    "q_compact_plan",
+    "q_graph_modularity",
+    "q_hll_audit",
+    "q_conformal_coverage",
+    "q_temporal_split",
+    # tier 3 — the six late-r11 wave E/F/G oracles parked below
+    # the r11 boundary (never in a driver window; r11 VERDICT
+    # item 1 says they lead this window)
     "q_char_entropy_rate",
     "q_burstiness",
     "q_bpe_compression_curve",
     "q_delete_vectors",
     "q_pruning_stats",
     "q_bloom_fpp_audit",
-    # r7 greens (unchanged code since their green)
+    # tier 4 — the 29 oldest r7 greens (round-robin refresh;
+    # 3 + 12 + 6 + 29 = 50)
     "q_ann_index_probe",
     "q_semantic_neighbors",
     "q_token_budget_fill",
@@ -1257,6 +1225,13 @@ VERIFY_PRIORITY = [
     "q_rollup",
     "q_pivot",
     "q_histogram",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # Ordered oldest-latest-green first (they LEAD the r13 window):
+    # the 21 r7 greens displaced by the 12-strong r12 wave tier,
+    # then r8, r9, the r10-window parks, and the r11-window parks
+    # (the repo's newest greens last). After r12's window runs, no
+    # oracle's latest driver green is older than r7, and only
+    # these 21 remain at r7 — they go first next round.
     "q_map_funcs",
     "q_max_by",
     "q_median",
@@ -1340,7 +1315,6 @@ VERIFY_PRIORITY = [
     "q_winrate_ci",
     "q_scaling_fit",
     "q_textrank_keywords",
-    "q_label_propagation",
     "q_bootstrap_ci",
     "q_mmr_select",
     "q_cdc_chunks",
@@ -1376,8 +1350,7 @@ VERIFY_PRIORITY = [
     "q_resample_daily",
     "q_moving_avg",
     "q_simhash64_pairs",
-    # round-10 window queries (newest greens: 2 hardened + r10 wave +
-    # the re-greened r5/r6 parks)
+    # round-10 window parks
     "q_bleu",
     "q_rouge_n",
     "q_semdedup_scaled",
@@ -1427,6 +1400,55 @@ VERIFY_PRIORITY = [
     "q_asof_join",
     "q_salted_join",
     "q_sessionize",
+    # round-11 window parks (newest greens)
+    "q_chrf",
+    "q_bradley_terry",
+    "q_distinct_ngrams",
+    "q_blocklist_screen",
+    "q_event_runs",
+    "q_rbo",
+    "q_two_stage_rerank",
+    "q_ece",
+    "q_t_closeness",
+    "q_anomaly_mad",
+    "q_feature_hash_collisions",
+    "q_media_sniff",
+    "q_clustering_coeff",
+    "q_power_iteration",
+    "q_scd2_history",
+    "q_quality_repetition",
+    "q_decontaminate",
+    "q_tfidf",
+    "q_embedding_outlier",
+    "q_stats_agg",
+    "q_percentile_exact",
+    "q_hopping_window",
+    "q_unpivot",
+    "q_simhash",
+    "q_text_stats",
+    "q_token_count",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_bm25",
+    "q_range_join",
+    "q_sentiment",
+    "q_integrity_audit",
+    "q_multimodal_meta",
+    "q_stream_join",
+    "q_stratified_sample",
+    "q_sequence_pack",
+    "q_dedup_clusters",
+    "q_dup_graph_stats",
+    "q_canonical_docs",
+    "q_pivot_dynamic",
+    "q_cogroup_asof",
+    "q_pagerank",
+    "q_dedup_incremental",
+    "q_dup_span_stats",
+    "q_recursive_hierarchy",
+    "q_gopher_rules",
+    "q_perplexity_mix",
+    "q_star_join",
 ]
 
 _ROWS_ONLY_LAST = [
