@@ -248,6 +248,9 @@ HEADLINE_EXT = [
     "q_hll_audit",
     "q_conformal_coverage",
     "q_temporal_split",
+    "q_lang_confusion",
+    "q_quantile_sketch_audit",
+    "q_aa_calibration",
 ]
 
 

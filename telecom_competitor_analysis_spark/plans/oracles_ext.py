@@ -8056,3 +8056,157 @@ EXT_ORACLES["q_temporal_split"] = """
                 // GREATEST(SUM(in_test), 1) AS BIGINT) AS leak_micro
     FROM per_user GROUP BY event_type
 """
+
+
+# q_lang_confusion (queries_ext.q_lang_confusion): the q_lang_id
+# heuristic scored against the declared lang labels; row-normalized
+# micro over each declared language's total.
+EXT_ORACLES["q_lang_confusion"] = """
+    WITH scored AS (
+        SELECT lang,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('the','and','of','is'))) AS en,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('el','la','de','que'))) AS es,
+               len(list_filter(string_split(lower(text), ' '),
+                   w -> w IN ('der','die','und','das'))) AS de
+        FROM documents
+    ),
+    pred AS (
+        SELECT lang,
+               CASE
+                   WHEN en >= es AND en >= de AND en > 0 THEN 'en'
+                   WHEN es >= de AND es > 0 THEN 'es'
+                   WHEN de > 0 THEN 'de'
+                   ELSE 'unknown'
+               END AS pred_lang
+        FROM scored
+    ),
+    cells AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT lang, pred_lang, n_docs,
+           CAST(n_docs * 1000000 //
+                SUM(n_docs) OVER (PARTITION BY lang) AS BIGINT)
+               AS row_micro,
+           lang = pred_lang AS is_match
+    FROM cells
+"""
+
+# q_quantile_sketch_audit (queries_ext.q_quantile_sketch_audit):
+# 256-bin equi-width histogram; interpolated estimate vs the exact
+# k-th order statistic (k = 1 + p·(n−1) // 100, lower order stat),
+# exact side via the same two-pass bin localization.
+EXT_ORACLES["q_quantile_sketch_audit"] = """
+    WITH o AS MATERIALIZED (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(cents) AS lo, MAX(cents) AS hi,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM o
+    ),
+    binned AS MATERIALIZED (
+        SELECT o.o_orderkey, o.cents,
+               CAST(LEAST(255, (o.cents - b.lo) * 256
+                          // (b.hi - b.lo + 1)) AS INT) AS bin
+        FROM o, bounds b
+    ),
+    hist AS (
+        SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(cents) AS bin_min, MAX(cents) AS bin_max
+        FROM binned GROUP BY bin
+    ),
+    cum AS (
+        SELECT bin, cnt, bin_min, bin_max,
+               SUM(cnt) OVER (ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) - cnt
+                   AS cum_before
+        FROM hist
+    ),
+    targets AS (
+        SELECT p.p, 1 + p.p * (b.n - 1) // 100 AS k,
+               c.bin, c.cnt, c.cum_before, c.bin_min, c.bin_max
+        FROM (SELECT UNNEST([25, 50, 75, 90, 99]) AS p) p,
+             bounds b
+        JOIN cum c
+          ON c.cum_before < 1 + p.p * (b.n - 1) // 100
+         AND c.cum_before + c.cnt >= 1 + p.p * (b.n - 1) // 100
+    ),
+    exact AS (
+        SELECT t.p, r.cents AS exact_cents
+        FROM targets t
+        JOIN (
+            SELECT bin, cents,
+                   row_number() OVER (PARTITION BY bin
+                                      ORDER BY cents, o_orderkey) AS rn
+            FROM binned
+            WHERE bin IN (SELECT bin FROM targets)
+        ) r ON r.bin = t.bin AND r.rn = t.k - t.cum_before
+    ),
+    est AS (
+        SELECT p,
+               CAST(bin_min + (bin_max - bin_min)
+                    * (k - cum_before - 1)
+                    // GREATEST(cnt - 1, 1) AS BIGINT) AS est_cents
+        FROM targets
+    )
+    SELECT CAST(e.p AS INT) AS p, x.exact_cents, e.est_cents,
+           CAST(e.est_cents - x.exact_cents AS BIGINT) AS err_cents,
+           CAST(abs(e.est_cents - x.exact_cents) * 1000000
+                // x.exact_cents AS BIGINT) AS err_micro
+    FROM est e JOIN exact x USING (p)
+"""
+
+# q_aa_calibration (queries_ext.q_aa_calibration): md5-parity A/A
+# split, per-user purchase conversion, 2×2 chi-square with the SAME
+# staged integer divisions (the signed determinant stage through
+# sdiv_expr).
+_AA_DET_R1 = sdiv_expr("(a * d - b * c) * 1000", "a + b", "//")
+_AA_CHI_B = sdiv_expr(f"({_AA_DET_R1}) * (a * d - b * c)", "c + d", "//")
+EXT_ORACLES["q_aa_calibration"] = f"""
+    WITH spend AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS vc
+        FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(vc) AS BIGINT) AS total_vc,
+               CAST(COUNT(*) AS BIGINT) AS n_u
+        FROM spend
+    ),
+    per_user AS (
+        SELECT s.user_id,
+               CASE WHEN s.vc * t.n_u > t.total_vc
+                    THEN 1 ELSE 0 END AS converted,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(s.user_id AS VARCHAR)), 1, 1))
+                 - 1) % 2) = 0 AS arm_a
+        FROM spend s, tot t
+    ),
+    cells AS (
+        SELECT
+            CAST(SUM(CASE WHEN arm_a AND converted = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS a,
+            CAST(SUM(CASE WHEN arm_a AND converted = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS b,
+            CAST(SUM(CASE WHEN NOT arm_a AND converted = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS c,
+            CAST(SUM(CASE WHEN NOT arm_a AND converted = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS d
+        FROM per_user
+    )
+    SELECT a, b, c, d,
+           CAST(a + b + c + d AS BIGINT) AS n_users,
+           CAST(({_AA_CHI_B}) * (a + b + c + d) * 1000
+                // ((a + c) * (b + d)) AS BIGINT) AS chi2_micro,
+           CAST(({_AA_CHI_B}) * (a + b + c + d) * 1000
+                // ((a + c) * (b + d)) AS BIGINT) > 3841000
+               AS significant
+    FROM cells
+"""

@@ -1226,12 +1226,18 @@ VERIFY_PRIORITY = [
     "q_pivot",
     "q_histogram",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # Ordered oldest-latest-green first (they LEAD the r13 window):
+    # FIRST the late-r12 wave-F oracles that landed after the window
+    # filled (never in a driver window; locally driver-sim green at
+    # BOTH SFs on declaration — the r10 wave-4 / r11 wave-E precedent),
+    # then oldest-latest-green first (they LEAD the r13 window):
     # the 21 r7 greens displaced by the 12-strong r12 wave tier,
     # then r8, r9, the r10-window parks, and the r11-window parks
     # (the repo's newest greens last). After r12's window runs, no
     # oracle's latest driver green is older than r7, and only
     # these 21 remain at r7 — they go first next round.
+    "q_lang_confusion",
+    "q_quantile_sketch_audit",
+    "q_aa_calibration",
     "q_map_funcs",
     "q_max_by",
     "q_median",

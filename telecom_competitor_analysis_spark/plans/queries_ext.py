@@ -10752,6 +10752,244 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVAL the detector family was
+    missing: q_lang_id predicts, but nothing graded it against the
+    corpus's declared ``lang`` labels (the standard audit before a
+    lang-filter ships: per (declared, predicted) cell, how much mass
+    moves where, and which declared languages the heuristic loses).
+    Cells carry the count and the row-normalized rate (micro, over the
+    declared language's total) plus the diagonal flag — accuracy is
+    the flagged rows' mass.
+
+    Scale shape: one map-side detection pass, one partial-aggregated
+    groupBy on the (|langs|²-bounded) cell key, one window over the
+    bounded matrix for row totals."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = docs.select(
+        "lang", lang_id_heuristic(F.col("text")).alias("pred_lang")
+    )
+    cells = pred.groupBy("lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.expr(
+            "CAST(n_docs * 1000000 DIV SUM(n_docs)"
+            " OVER (PARTITION BY lang) AS BIGINT)"
+        ).alias("row_micro"),
+        (F.col("lang") == F.col("pred_lang")).alias("is_match"),
+    )
+
+
+QSKETCH_BINS = 256
+QSKETCH_PCTS = (25, 50, 75, 90, 99)
+
+
+def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-quantile sketch audited against EXACT order statistics
+    — the QUANTILE member completing the sketch-accuracy family
+    (membership/distinct/top-k/frequency/F2/cardinality all have
+    audits; quantiles didn't). A 256-bin equi-width histogram over
+    order price cents (bounds from a 2-value broadcast aggregate) is
+    the bounded sketch; its interpolated quantile estimate is audited
+    against the exact k-th order statistic at p25/p50/p75/p90/p99,
+    computed WITHOUT a global sort via the classic two-pass
+    distributed selection: the exact histogram localizes rank k to one
+    bin, and a per-target window ranks only that bin's rows (~n/256 of
+    the data per target). Rank k = 1 + p·(n−1) div 100 — the lower
+    order statistic, integer-exact in both engines (interpolated
+    percentile_cont crosses the FP boundary; this never does).
+
+    Scale shape: one partial-aggregated 256-group histogram, a
+    256-row cumulative window (bounded), a 5-row broadcast of
+    (target, bin, k, cum_before), and per-target in-bin windows over
+    ~n/256 rows each. No global sort anywhere — that is the sketch's
+    point."""
+    B = QSKETCH_BINS
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    bounds = o.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "cents",
+        F.least(
+            F.lit(B - 1),
+            F.expr(f"(cents - lo) * {B} div (hi - lo + 1)"),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("cents").alias("bin_min"),
+        F.max("cents").alias("bin_max"),
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "bin",
+        "cnt",
+        "bin_min",
+        "bin_max",
+        (F.sum("cnt").over(wb) - F.col("cnt")).alias("cum_before"),
+    )
+    pcts = spark.createDataFrame(
+        [(p,) for p in QSKETCH_PCTS], "p int"
+    )
+    targets = (
+        pcts.crossJoin(F.broadcast(bounds))
+        .select(
+            "p", F.expr("1 + p * (n - 1) DIV 100").alias("k"), "n"
+        )
+        .join(
+            cum,
+            (F.col("cum_before") < F.col("k"))
+            & (F.col("cum_before") + F.col("cnt") >= F.col("k")),
+        )
+        .select(
+            "p", "k", "bin", "cnt", "cum_before", "bin_min", "bin_max"
+        )
+    ).localCheckpoint()
+    exact = (
+        binned.join(
+            F.broadcast(
+                targets.select(
+                    "p", F.col("bin").alias("tbin"), "k", "cum_before"
+                )
+            ),
+            F.col("bin") == F.col("tbin"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("p").orderBy(
+                    F.col("cents").asc(), F.col("o_orderkey").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == F.col("k") - F.col("cum_before"))
+        .select("p", F.col("cents").alias("exact_cents"))
+    )
+    est = targets.select(
+        "p",
+        F.expr(
+            "CAST(bin_min + (bin_max - bin_min)"
+            " * (k - cum_before - 1) DIV GREATEST(cnt - 1, 1)"
+            " AS BIGINT)"
+        ).alias("est_cents"),
+    )
+    return est.join(exact, on="p").select(
+        F.col("p").cast("int"),
+        "exact_cents",
+        "est_cents",
+        (F.col("est_cents") - F.col("exact_cents"))
+        .cast("long")
+        .alias("err_cents"),
+        F.expr(
+            "CAST(abs(est_cents - exact_cents) * 1000000"
+            " DIV exact_cents AS BIGINT)"
+        ).alias("err_micro"),
+    )
+
+
+def q_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A-test calibration of the experimentation pipeline — the
+    pre-flight every A/B system runs: split users into two arms by a
+    hash that CANNOT correlate with behavior (md5 parity of user_id,
+    the portable-hash convention), measure a real metric (user
+    converted = above-average purchase spend, decided by integer
+    cross-multiplication so no division runs), and verify the pipeline finds
+    NO effect. The test statistic is the 2×2 chi-square
+    n·(ad−bc)²/(r1·r2·c1·c2), carried entirely in integers by staged
+    division (the determinant's first division is milli-scaled and
+    routed through the shared sign-split sdiv_expr — ad−bc is SIGNED,
+    where Spark DIV truncates and DuckDB // floors; every later stage
+    is non-negative). Intermediates stay under int64 to ×100 by
+    construction (bounds in-line). ``significant`` flags
+    χ² > 3.841 (the 95% critical value) — an A/A run that trips it
+    indicts the split hash or the metric plumbing, not the users.
+
+    Scale shape: one (user, arm) collapse with a partial-aggregated
+    max-flag, one 2×2 aggregate — nothing after the per-user collapse
+    scales with events."""
+    ev = load_table(spark, sf_dir, "events")
+    spend = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("vc")
+    )
+    tot = spend.agg(
+        F.sum("vc").cast("long").alias("total_vc"),
+        F.count(F.lit(1)).cast("long").alias("n_u"),
+    )
+    per_user = spend.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        # above-average purchase spend, decided by integer
+        # cross-multiplication (vc/1 > total/n without any division)
+        F.expr(
+            "CASE WHEN vc * n_u > total_vc THEN 1 ELSE 0 END"
+        ).alias("converted"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2 = 0"
+        ).alias("arm_a"),
+    )
+    cells = per_user.agg(
+        F.sum(F.expr("CASE WHEN arm_a AND converted = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.expr("CASE WHEN arm_a AND converted = 0 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("b"),
+        F.sum(
+            F.expr("CASE WHEN NOT arm_a AND converted = 1 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("c"),
+        F.sum(
+            F.expr("CASE WHEN NOT arm_a AND converted = 0 THEN 1 ELSE 0 END")
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    det_milli_over_r1 = sdiv_expr("(a * d - b * c) * 1000", "a + b", "DIV")
+    chi_b = sdiv_expr(
+        f"({det_milli_over_r1}) * (a * d - b * c)", "c + d", "DIV"
+    )
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        (F.col("a") + F.col("b") + F.col("c") + F.col("d"))
+        .cast("long")
+        .alias("n_users"),
+        F.expr(
+            f"CAST(({chi_b}) * (a + b + c + d) * 1000"
+            " DIV ((a + c) * (b + d)) AS BIGINT)"
+        ).alias("chi2_micro"),
+    ).withColumn(
+        "significant", F.col("chi2_micro") > 3_841_000
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -10967,4 +11205,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_audit": q_hll_audit,
     "q_conformal_coverage": q_conformal_coverage,
     "q_temporal_split": q_temporal_split,
+    "q_lang_confusion": q_lang_confusion,
+    "q_quantile_sketch_audit": q_quantile_sketch_audit,
+    "q_aa_calibration": q_aa_calibration,
 }

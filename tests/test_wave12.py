@@ -408,3 +408,82 @@ def test_temporal_split_conservation(spark, sf_dir):
         assert r.leak_micro == r.spanning_users * 1_000_000 // max(
             r.test_users, 1
         )
+
+
+def test_lang_confusion_mass_conservation(spark, sf_dir):
+    """Confusion-matrix identities: per declared language the cells sum
+    to the language's doc count and row_micro is the released integer
+    rate; the diagonal flag matches the cell key."""
+    rows = EXT_QUERIES["q_lang_confusion"](spark, sf_dir).collect()
+    assert rows
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+        assert r.is_match == (r.lang == r.pred_lang)
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for lang, cells in by_lang.items():
+        tot = sum(c.n_docs for c in cells)
+        assert tot == totals[lang]
+        for c in cells:
+            assert c.row_micro == c.n_docs * 1_000_000 // tot
+
+
+def test_quantile_sketch_exact_is_true_order_stat(spark, sf_dir):
+    """The two-pass selection must return the TRUE k-th order
+    statistic: recompute k = 1 + p(n-1)//100 and the sorted cents
+    value directly and compare; the estimate must stay inside the
+    containing bin's [min, max] by construction."""
+    rows = {
+        r.p: r
+        for r in EXT_QUERIES["q_quantile_sketch_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {25, 50, 75, 90, 99}
+    cents = sorted(
+        r["cents"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("cents")
+        )
+        .collect()
+    )
+    n = len(cents)
+    for p, r in rows.items():
+        k = 1 + p * (n - 1) // 100
+        assert r.exact_cents == cents[k - 1]
+        assert r.err_cents == r.est_cents - r.exact_cents
+        assert (
+            r.err_micro
+            == abs(r.err_cents) * 1_000_000 // r.exact_cents
+        )
+
+
+def test_aa_calibration_no_effect(spark, sf_dir):
+    """A/A invariants: all four cells populated (the above-average
+    spend metric is non-degenerate by construction), chi2 recomputable
+    from the released cells via the same staged division, and — the
+    point of an A/A run — no significant effect on the fixture."""
+    [r] = EXT_QUERIES["q_aa_calibration"](spark, sf_dir).collect()
+    assert min(r.a, r.b, r.c, r.d) > 0
+    assert r.n_users == r.a + r.b + r.c + r.d
+    det = r.a * r.d - r.b * r.c
+
+    def sdiv(x, m):
+        return -((-x) // m) if x < 0 else x // m
+
+    chi_a = sdiv(det * 1000, r.a + r.b)
+    chi_b = sdiv(chi_a * det, r.c + r.d)
+    assert r.chi2_micro == chi_b * r.n_users * 1000 // (
+        (r.a + r.c) * (r.b + r.d)
+    )
+    assert r.significant == (r.chi2_micro > 3_841_000)
+    assert not r.significant
