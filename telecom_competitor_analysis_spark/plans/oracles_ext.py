@@ -5325,7 +5325,7 @@ _LP_CTES = """
         SELECT doc_id AS node, CAST(doc_id AS BIGINT) AS label
         FROM documents
     ),
-    bi AS (
+    bi AS MATERIALIZED (
         SELECT id_a AS u, id_b AS v FROM pairs
         UNION ALL
         SELECT id_b AS u, id_a AS v FROM pairs
@@ -5341,7 +5341,7 @@ _LP_CTES = """
                                    12, '0')) AS new_label
         FROM v1 GROUP BY 1
     ),
-    n1 AS (
+    n1 AS MATERIALIZED (
         SELECT n0.node,
                CAST(COALESCE(w1.new_label, n0.label) AS BIGINT) AS label
         FROM n0 LEFT JOIN w1 USING (node)
@@ -5357,7 +5357,7 @@ _LP_CTES = """
                                    12, '0')) AS new_label
         FROM v2 GROUP BY 1
     ),
-    n2 AS (
+    n2 AS MATERIALIZED (
         SELECT n1.node,
                CAST(COALESCE(w2.new_label, n1.label) AS BIGINT) AS label
         FROM n1 LEFT JOIN w2 USING (node)
