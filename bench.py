@@ -251,6 +251,10 @@ HEADLINE_EXT = [
     "q_lang_confusion",
     "q_quantile_sketch_audit",
     "q_aa_calibration",
+    "q_cluster_chaining",
+    "q_hll_merge",
+    "q_dp_mean",
+    "q_event_trigrams",
 ]
 
 

@@ -8210,3 +8210,168 @@ EXT_ORACLES["q_aa_calibration"] = f"""
                AS significant
     FROM cells
 """
+
+
+# q_cluster_chaining (queries_ext.q_cluster_chaining): per multi-node
+# CC cluster, LSH edge count vs the complete graph — the transitive
+# chaining audit. Reuses the shared CC chain.
+EXT_ORACLES["q_cluster_chaining"] = (
+    _NEARDUP_CC_CTES
+    + """
+    , lab AS MATERIALIZED (
+        SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id
+    ),
+    clus AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM lab GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    edgec AS (
+        SELECT la.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM pairs p JOIN lab la ON p.id_a = la.id
+        GROUP BY 1
+    )
+    SELECT c.cluster_id, c.n_nodes,
+           CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+           CAST(c.n_nodes * (c.n_nodes - 1) // 2 AS BIGINT)
+               AS possible_pairs,
+           CAST(COALESCE(e.n_edges, 0) * 2000000
+                // (c.n_nodes * (c.n_nodes - 1)) AS BIGINT)
+               AS density_micro,
+           COALESCE(e.n_edges, 0) * 2 < c.n_nodes * (c.n_nodes - 1)
+               AS chained
+    FROM clus c LEFT JOIN edgec e USING (cluster_id)
+"""
+)
+
+# q_hll_merge (queries_ext.q_hll_merge): register-wise max merge of
+# two md5-digit-2 halves vs the single-pass registers — identical by
+# the max-merge algebra; same hash/rho chain as q_hll_audit.
+EXT_ORACLES["q_hll_merge"] = f"""
+    WITH users AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ),
+    hashed AS (
+        SELECT event_type,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(user_id AS VARCHAR)), 2, 1))
+                 - 1) % 2) AS half,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                   ::BIGINT AS h
+        FROM users
+    ),
+    split AS (
+        SELECT event_type, half,
+               CAST(h // {1 << 26} AS INT) AS j,
+               h % {1 << 26} AS w
+        FROM hashed
+    ),
+    rho AS MATERIALIZED (
+        SELECT event_type, half, j,
+               {_hll_rho_sql("w")} AS rho
+        FROM split
+    ),
+    whole AS (
+        SELECT event_type, j, CAST(MAX(rho) AS INT) AS mj_whole
+        FROM rho GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT event_type, j, CAST(MAX(mj_half) AS INT) AS mj_merged
+        FROM (SELECT event_type, half, j,
+                     CAST(MAX(rho) AS INT) AS mj_half
+              FROM rho GROUP BY 1, 2, 3)
+        GROUP BY 1, 2
+    )
+    SELECT w.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_registers,
+           CAST(SUM(CASE WHEN w.mj_whole != m.mj_merged
+                    THEN 1 ELSE 0 END) AS BIGINT)
+               AS register_mismatches,
+           SUM(CAST(1 AS BIGINT) << (27 - w.mj_whole))
+               = SUM(CAST(1 AS BIGINT) << (27 - m.mj_merged))
+               AS estimates_equal
+    FROM whole w JOIN merged m USING (event_type, j)
+    GROUP BY w.event_type
+"""
+
+# q_dp_mean (queries_ext.q_dp_mean): symmetric clip at +/-C, Laplace
+# (2C/eps) from the shared table source, released mean through
+# sdiv_expr (balances AND noise are signed).
+from telecom_competitor_analysis_spark.plans.queries_ext import (  # noqa: E402
+    DP_MEAN_CLIP_CENTS,
+)
+
+_DPM_TABLE = "[" + ", ".join(
+    f"CAST({v} AS BIGINT)"
+    for v in _laplace_micro_table(
+        DP_EPSILON_MICRO, DP_NOISE_LEVELS, 2 * DP_MEAN_CLIP_CENTS
+    )
+) + "]"
+_DPM_MEAN = sdiv_expr(
+    "(clipped_sum_cents * 1000000 + noise_microcents)",
+    "n_customers",
+    "//",
+)
+EXT_ORACLES["q_dp_mean"] = f"""
+    WITH agg AS (
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(GREATEST(CAST(-{DP_MEAN_CLIP_CENTS} AS BIGINT),
+                        LEAST(CAST({DP_MEAN_CLIP_CENTS} AS BIGINT),
+                              CAST(round(c_acctbal * 100, 0)
+                                   AS BIGINT)))) AS BIGINT)
+                   AS clipped_sum_cents
+        FROM customer GROUP BY 1
+    ),
+    noised AS (
+        SELECT *,
+               (((strpos('0123456789abcdef',
+                         substr(md5('mean:' || c_mktsegment), 1, 1))
+                  - 1) * 16
+                 + strpos('0123456789abcdef',
+                          substr(md5('mean:' || c_mktsegment), 2, 1))
+                 - 1) // {256 // DP_NOISE_LEVELS}) AS bucket
+        FROM agg
+    ),
+    withn AS (
+        SELECT c_mktsegment, n_customers, clipped_sum_cents,
+               ({_DPM_TABLE})[bucket + 1] AS noise_microcents
+        FROM noised
+    )
+    SELECT c_mktsegment, n_customers, clipped_sum_cents,
+           noise_microcents,
+           CAST(clipped_sum_cents * 1000000 + noise_microcents
+                AS BIGINT) AS released_sum_microcents,
+           CAST({_DPM_MEAN} AS BIGINT) AS released_mean_microcents,
+           CAST({DP_EPSILON_MICRO} AS BIGINT) AS epsilon_micro,
+           CAST({2 * DP_MEAN_CLIP_CENTS} AS BIGINT)
+               AS sensitivity_cents
+    FROM withn
+"""
+
+# q_event_trigrams (queries_ext.q_event_trigrams): two leads over one
+# per-user window, bounded trigram aggregate, top-20 with reach.
+EXT_ORACLES["q_event_trigrams"] = """
+    WITH tri AS (
+        SELECT user_id,
+               event_type || '>' ||
+               lead(event_type, 1) OVER w || '>' ||
+               lead(event_type, 2) OVER w AS trigram,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC, event_id ASC)
+    ),
+    counts AS (
+        SELECT trigram,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM tri WHERE e3 IS NOT NULL
+        GROUP BY trigram
+    )
+    SELECT CAST(row_number() OVER (ORDER BY n_occurrences DESC,
+                                   trigram ASC) AS INT) AS rank,
+           trigram, n_occurrences, n_users
+    FROM counts
+    ORDER BY n_occurrences DESC, trigram ASC
+    LIMIT 20
+"""

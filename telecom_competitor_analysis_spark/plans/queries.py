@@ -1226,7 +1226,7 @@ VERIFY_PRIORITY = [
     "q_pivot",
     "q_histogram",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # FIRST the late-r12 wave-F oracles that landed after the window
+    # FIRST the late-r12 wave-F/G oracles that landed after the window
     # filled (never in a driver window; locally driver-sim green at
     # BOTH SFs on declaration — the r10 wave-4 / r11 wave-E precedent),
     # then oldest-latest-green first (they LEAD the r13 window):
@@ -1238,6 +1238,10 @@ VERIFY_PRIORITY = [
     "q_lang_confusion",
     "q_quantile_sketch_audit",
     "q_aa_calibration",
+    "q_cluster_chaining",
+    "q_hll_merge",
+    "q_dp_mean",
+    "q_event_trigrams",
     "q_map_funcs",
     "q_max_by",
     "q_median",

@@ -10990,6 +10990,251 @@ def q_aa_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cluster_chaining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-chaining audit of connected-component dedup — the
+    known failure mode of CC-based near-dup clustering (a merges b, b
+    merges c, a and c share nothing — the cluster 'chained' through an
+    intermediate; MinHashLSH + CC pipelines ship this hazard silently):
+    for every multi-node cluster of q_dedup_clusters' components, the
+    edge density against the complete graph. density = 1 means every
+    member pair was an actual LSH candidate (tight cluster — safe to
+    keep one member); density < 1 flags clusters glued by transitivity,
+    where keep-one-per-cluster may delete non-duplicates. The decision
+    table a dedup rollout reads before choosing cluster-level vs
+    pair-level action.
+
+    Scale shape: components and the pair graph are the shared
+    materialized inputs; per-cluster stats are one groupBy over the
+    label table and one label-join over the pair list — everything
+    keys on id or cluster_id."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    lab = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    clus = (
+        lab.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .filter(F.col("n_nodes") >= 2)
+    )
+    edges = (
+        pairs.select("id_a")
+        .join(lab, pairs["id_a"] == lab["id"])
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    return (
+        clus.join(edges, on="cluster_id", how="left")
+        .select(
+            "cluster_id",
+            "n_nodes",
+            F.coalesce(F.col("n_edges"), F.lit(0))
+            .cast("long")
+            .alias("n_edges"),
+            F.expr(
+                "CAST(n_nodes * (n_nodes - 1) DIV 2 AS BIGINT)"
+            ).alias("possible_pairs"),
+            F.expr(
+                "CAST(COALESCE(n_edges, 0) * 2000000"
+                " DIV (n_nodes * (n_nodes - 1)) AS BIGINT)"
+            ).alias("density_micro"),
+            F.expr(
+                "COALESCE(n_edges, 0) * 2 < n_nodes * (n_nodes - 1)"
+            ).alias("chained"),
+        )
+    )
+
+
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY pin — the property that makes sketches viable
+    at 100 TB at all: per-executor register sets combine losslessly
+    (register-wise max), so distinct-counting never reshuffles raw
+    keys. Users are split into two halves by an independent hash digit
+    (md5 hex digit 2 — q_aa_calibration's arm uses digit 1), each
+    half builds its own m=64 register set per event_type, the halves
+    merge by MAX per register, and the merged registers are compared
+    against the single-pass whole-corpus registers: they must be
+    IDENTICAL (max over a partitioned set is the set max —
+    register_mismatches pins 0), hence identical estimates. The same
+    audit shape as q_rollup_incremental/q_gram_incremental, applied to
+    the sketch algebra.
+
+    Scale shape: the same bounded-register chain as q_hll_audit run
+    per (half, type) and per type; every comparison is over ≤ 64 rows
+    per group."""
+    m = HLL_REGISTERS
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("event_type", "user_id").distinct()
+    hashed = users.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 2, 1),"
+            " 16, 10) AS INT) % 2"
+        ).alias("half"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT)"
+        ).alias("h"),
+    ).select(
+        "event_type",
+        "half",
+        F.expr(f"CAST(h DIV {1 << 26} AS INT)").alias("j"),
+        F.expr(f"h % {1 << 26}").alias("w"),
+    ).withColumn("rho", F.expr(_hll_rho_sql("w")))
+    whole = hashed.groupBy("event_type", "j").agg(
+        F.max("rho").cast("int").alias("mj_whole")
+    )
+    merged = (
+        hashed.groupBy("event_type", "half", "j")
+        .agg(F.max("rho").cast("int").alias("mj_half"))
+        .groupBy("event_type", "j")
+        .agg(F.max("mj_half").cast("int").alias("mj_merged"))
+    )
+    cmpd = whole.join(merged, on=["event_type", "j"])
+    return cmpd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(
+            (F.col("mj_whole") != F.col("mj_merged")).cast("int")
+        )
+        .cast("long")
+        .alias("register_mismatches"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 27 - mj_whole)")
+        )
+        .cast("long")
+        .alias("s_whole"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), 27 - mj_merged)")
+        )
+        .cast("long")
+        .alias("s_merged"),
+    ).select(
+        "event_type",
+        "n_registers",
+        "register_mismatches",
+        (F.col("s_whole") == F.col("s_merged")).alias("estimates_equal"),
+    )
+
+
+DP_MEAN_CLIP_CENTS = 500_000
+
+
+def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP clipped-mean release per market segment — the second member
+    of the release pair (q_dp_histogram releases COUNTS; real reports
+    need sums/means, where the unbounded account balance makes naive
+    release impossible): balances clip to [−C, C] (C = 5000.00, so
+    one customer moves the sum by at most 2C... the standard
+    symmetric-clip bound; sensitivity 2C), the clipped sum gets
+    Laplace(2C/ε) noise from the SAME quantized inverse-CDF table
+    machinery as q_dp_histogram (sensitivity parameter threaded into
+    _laplace_micro_table — one Python source, both engines), and the
+    released mean divides by the (public) class size through the
+    shared sign-split sdiv_expr — balances and noise are SIGNED, the
+    truncate-vs-floor hazard applies twice here.
+
+    Audit view: the true clipped sum rides along for tests/oracle; a
+    production release projects only the released columns.
+
+    Scale shape: one partial-aggregated groupBy(segment) with the
+    clip applied map-side, then map-side hash + table lookup on the
+    ≤ |segments| rows."""
+    eps = DP_EPSILON_MICRO
+    c = DP_MEAN_CLIP_CENTS
+    table = _laplace_micro_table(eps, DP_NOISE_LEVELS, 2 * c)
+    arr = "array(" + ", ".join(
+        f"CAST({v} AS BIGINT)" for v in table
+    ) + ")"
+    cust = load_table(spark, sf_dir, "customer")
+    agg = cust.select(
+        "c_mktsegment",
+        F.expr(
+            f"GREATEST(CAST(-{c} AS BIGINT), LEAST(CAST({c} AS BIGINT),"
+            " CAST(round(c_acctbal * 100) AS BIGINT)))"
+        ).alias("clipped"),
+    ).groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("clipped").cast("long").alias("clipped_sum_cents"),
+    )
+    noised = agg.withColumn(
+        "__bucket",
+        F.expr(
+            "CAST(conv(substring(md5(concat('mean:', c_mktsegment)),"
+            " 1, 2), 16, 10) AS INT)"
+            f" DIV {256 // DP_NOISE_LEVELS}"
+        ),
+    ).withColumn(
+        "noise_microcents",
+        F.expr(f"element_at({arr}, CAST(__bucket + 1 AS INT))"),
+    )
+    released_sum = "clipped_sum_cents * 1000000 + noise_microcents"
+    mean = sdiv_expr(f"({released_sum})", "n_customers", "DIV")
+    return noised.select(
+        "c_mktsegment",
+        "n_customers",
+        "clipped_sum_cents",
+        "noise_microcents",
+        F.expr(f"CAST({released_sum} AS BIGINT)").alias(
+            "released_sum_microcents"
+        ),
+        F.expr(f"CAST({mean} AS BIGINT)").alias(
+            "released_mean_microcents"
+        ),
+        F.lit(DP_EPSILON_MICRO).cast("long").alias("epsilon_micro"),
+        F.lit(2 * c).cast("long").alias("sensitivity_cents"),
+    )
+
+
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 frequent 3-event sequences per user stream — sequential
+    pattern mining one level up from q_event_transitions' bigram
+    matrix (the funnel-discovery move: 'view→click→purchase beats
+    view→view→purchase' is a 3-gram statement, invisible to the
+    transition matrix). Trigram = three consecutive events in the
+    user's (ts, event_id) order via two leads over ONE window spec;
+    ranked by occurrence count with the user reach riding along
+    (a trigram 10 users repeat differs from one 1 user loops).
+
+    Scale shape: one shuffle on user_id shared by both lead passes,
+    one partial-aggregated groupBy(trigram) (≤ |types|³ = 125 groups),
+    distributed TakeOrderedAndProject for the top-20, ranking window
+    over 20 rows."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    tri = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lead("event_type", 1).over(w).alias("e2"),
+            F.lead("event_type", 2).over(w).alias("e3"),
+        )
+        .filter(F.col("e3").isNotNull())
+        .select(
+            "user_id",
+            F.concat_ws(
+                ">", F.col("event_type"), F.col("e2"), F.col("e3")
+            ).alias("trigram"),
+        )
+    )
+    counts = tri.groupBy("trigram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("trigram").asc()
+    ).limit(20)
+    wr = Window.orderBy(
+        F.col("n_occurrences").desc(), F.col("trigram").asc()
+    )
+    return top.withColumn(
+        "rank", F.row_number().over(wr).cast("int")
+    ).select("rank", "trigram", "n_occurrences", "n_users")
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -11208,4 +11453,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_confusion": q_lang_confusion,
     "q_quantile_sketch_audit": q_quantile_sketch_audit,
     "q_aa_calibration": q_aa_calibration,
+    "q_cluster_chaining": q_cluster_chaining,
+    "q_hll_merge": q_hll_merge,
+    "q_dp_mean": q_dp_mean,
+    "q_event_trigrams": q_event_trigrams,
 }

@@ -487,3 +487,81 @@ def test_aa_calibration_no_effect(spark, sf_dir):
     )
     assert r.significant == (r.chi2_micro > 3_841_000)
     assert not r.significant
+
+
+def test_cluster_chaining_density_bounds(spark, sf_dir):
+    """Chaining-audit identities: every multi-node cluster has at
+    least the spanning-tree edge count (n-1 — CC needs connectivity),
+    at most the complete graph, the chained flag is exactly
+    density < 1, and at least one tight (density = 1) cluster exists
+    on the fixture (pairs themselves form 2-clusters)."""
+    rows = EXT_QUERIES["q_cluster_chaining"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_nodes >= 2
+        assert r.n_nodes - 1 <= r.n_edges <= r.possible_pairs
+        assert r.possible_pairs == r.n_nodes * (r.n_nodes - 1) // 2
+        assert r.density_micro == r.n_edges * 2_000_000 // (
+            r.n_nodes * (r.n_nodes - 1)
+        )
+        assert r.chained == (r.n_edges < r.possible_pairs)
+    assert any(not r.chained for r in rows)
+
+
+def test_hll_merge_is_lossless(spark, sf_dir):
+    """THE mergeability pin: register-wise max merge of the two halves
+    must reproduce the single-pass registers exactly — zero mismatches,
+    equal estimates, for every event_type."""
+    rows = EXT_QUERIES["q_hll_merge"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.register_mismatches == 0
+        assert r.estimates_equal
+        assert 1 <= r.n_registers <= 64
+
+
+def test_dp_mean_mechanism(spark, sf_dir):
+    """Clipped-mean release arithmetic: clipped sum within +/-C*n,
+    noise from the sensitivity-2C table, released columns
+    recomputable, accounting constant."""
+    from telecom_competitor_analysis_spark.plans.queries_ext import (
+        DP_MEAN_CLIP_CENTS,
+        _laplace_micro_table,
+    )
+
+    table = set(
+        _laplace_micro_table(500_000, 64, 2 * DP_MEAN_CLIP_CENTS)
+    )
+    rows = EXT_QUERIES["q_dp_mean"](spark, sf_dir).collect()
+    assert rows
+
+    def sdiv(x, m):
+        return -((-x) // m) if x < 0 else x // m
+
+    for r in rows:
+        assert abs(r.clipped_sum_cents) <= DP_MEAN_CLIP_CENTS * r.n_customers
+        assert r.noise_microcents in table
+        assert (
+            r.released_sum_microcents
+            == r.clipped_sum_cents * 1_000_000 + r.noise_microcents
+        )
+        assert r.released_mean_microcents == sdiv(
+            r.released_sum_microcents, r.n_customers
+        )
+        assert r.sensitivity_cents == 2 * DP_MEAN_CLIP_CENTS
+
+
+def test_event_trigrams_counts(spark, sf_dir):
+    """Trigram mining identities: ranks dense from 1, counts
+    nonincreasing, user reach never exceeds occurrences, and the
+    total trigram slots equal sum over users of max(rows-2, 0)."""
+    rows = sorted(
+        EXT_QUERIES["q_event_trigrams"](spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.n_occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert 1 <= r.n_users <= r.n_occurrences
+        assert r.trigram.count(">") == 2
