@@ -255,6 +255,9 @@ HEADLINE_EXT = [
     "q_hll_merge",
     "q_dp_mean",
     "q_event_trigrams",
+    "q_keeper_policy_diff",
+    "q_salt_plan",
+    "q_coverage_curve",
 ]
 
 

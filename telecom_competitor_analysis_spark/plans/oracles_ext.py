@@ -8375,3 +8375,105 @@ EXT_ORACLES["q_event_trigrams"] = """
     ORDER BY n_occurrences DESC, trigram ASC
     LIMIT 20
 """
+
+
+# q_keeper_policy_diff (queries_ext.q_keeper_policy_diff): per CC
+# cluster, keepers under min-id / longest / best-score; arg_max via
+# the lpad-string composite (the _LP_CTES convention) so the (value
+# desc, id asc) tie order is identical to Spark's max_by(struct).
+EXT_ORACLES["q_keeper_policy_diff"] = (
+    _NEARDUP_CC_CTES
+    + """
+    , lab AS MATERIALIZED (
+        SELECT id, MIN(label) AS cluster_id FROM cc GROUP BY id
+    ),
+    nw AS (
+        SELECT doc_id AS id,
+               len(string_split(trim(text), ' '))::BIGINT AS nw
+        FROM documents
+    ),
+    score AS (
+        SELECT doc_id AS id, score_micro
+        FROM (""" + EXT_ORACLES["q_quality_classifier"] + """)
+    ),
+    j AS (
+        SELECT lab.cluster_id, lab.id, nw.nw, score.score_micro
+        FROM lab JOIN nw USING (id) JOIN score USING (id)
+    ),
+    per AS (
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MIN(id) AS BIGINT) AS keep_minid,
+               CAST(arg_max(id,
+                    lpad(CAST(nw AS VARCHAR), 10, '0') || '|'
+                    || lpad(CAST(999999999999 - id AS VARCHAR), 12,
+                            '0')) AS BIGINT) AS keep_longest,
+               CAST(arg_max(id,
+                    lpad(CAST(score_micro + 100000000 AS VARCHAR), 12,
+                         '0') || '|'
+                    || lpad(CAST(999999999999 - id AS VARCHAR), 12,
+                            '0')) AS BIGINT) AS keep_quality
+        FROM j GROUP BY cluster_id
+    )
+    SELECT cluster_id, n_members, keep_minid, keep_longest,
+           keep_quality,
+           keep_longest != keep_minid AS longest_differs,
+           keep_quality != keep_minid AS quality_differs
+    FROM per WHERE n_members >= 2
+"""
+)
+
+# q_salt_plan (queries_ext.q_salt_plan): hot keys over the 2048-row
+# budget with ceil salt factors and the resulting per-salt bound.
+EXT_ORACLES["q_salt_plan"] = """
+    WITH counts AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY 1
+    )
+    SELECT l_partkey, n_rows,
+           CAST((n_rows + 2047) // 2048 AS BIGINT) AS salt_factor,
+           CAST((n_rows + (n_rows + 2047) // 2048 - 1)
+                // ((n_rows + 2047) // 2048) AS BIGINT)
+               AS max_rows_per_salt,
+           CAST(2048 AS BIGINT) AS target_rows
+    FROM counts WHERE n_rows > 2048
+"""
+
+# q_coverage_curve (queries_ext.q_coverage_curve): held-out bigram
+# coverage at nested train fractions; ONE per-gram min-train-bucket
+# aggregate serves all three points.
+EXT_ORACLES["q_coverage_curve"] = """
+    WITH ws AS (
+        SELECT (((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                 + strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                % 100) AS bucket,
+               string_split(trim(text), ' ') AS arr
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT bucket, arr[i] || ' ' || arr[i + 1] AS gram
+        FROM ws, unnest(generate_series(1, len(arr) - 1)) g(i)
+        WHERE len(arr) >= 2
+    ),
+    train_min AS (
+        SELECT gram, CAST(MIN(bucket) AS INT) AS tmin
+        FROM grams WHERE bucket < 90 GROUP BY gram
+    ),
+    test_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE bucket >= 90
+    ),
+    jt AS (
+        SELECT t.gram, tm.tmin
+        FROM test_grams t LEFT JOIN train_min tm USING (gram)
+    )
+    SELECT CAST(f.f AS INT) AS f,
+           CAST(COUNT(*) AS BIGINT) AS test_grams,
+           CAST(SUM(CASE WHEN jt.tmin < f.f THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           CAST(SUM(CASE WHEN jt.tmin < f.f THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS coverage_micro
+    FROM jt, (SELECT UNNEST([25, 50, 75]) AS f) f
+    GROUP BY f.f
+"""

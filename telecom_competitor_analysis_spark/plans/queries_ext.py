@@ -11235,6 +11235,176 @@ def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("rank", "trigram", "n_occurrences", "n_users")
 
 
+def q_keeper_policy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship POLICY comparison — the decision
+    q_canonical_docs already takes (keep best-quality), laid next to
+    its rivals: per multi-node near-dup cluster, the keeper under
+    min-id (the cheap default), longest-doc, and best-classifier-score
+    policies, with difference flags. The table a curation rollout
+    reads before freezing its survivorship rule: if longest and
+    best-score rarely disagree with min-id, the cheap policy is free;
+    where they disagree is exactly the mass at stake. Ties break to
+    the lowest doc_id everywhere (total order, both engines).
+
+    Scale shape: components from the shared materialized pair graph;
+    features are two map-side passes joined on doc_id; per-cluster
+    keepers are one partial-aggregable max_by/min per policy over one
+    groupBy(cluster_id)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        dedup_clusters,
+    )
+    from telecom_competitor_analysis_spark.operators.quality import (
+        hashed_linear_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _materialized_lsh_pairs(spark, sf_dir)
+    lab = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    feats = docs.select(
+        F.col("doc_id").alias("id"),
+        n_words(F.trim(F.col("text"))).alias("nw"),
+    ).join(
+        hashed_linear_score(docs, "doc_id", "text").select(
+            F.col("doc_id").alias("id"), "score_micro"
+        ),
+        on="id",
+    )
+    j = lab.join(feats, on="id")
+    per = j.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("id").cast("long").alias("keep_minid"),
+        F.max_by("id", F.struct(F.col("nw"), -F.col("id")))
+        .cast("long")
+        .alias("keep_longest"),
+        F.max_by("id", F.struct(F.col("score_micro"), -F.col("id")))
+        .cast("long")
+        .alias("keep_quality"),
+    )
+    return per.filter(F.col("n_members") >= 2).select(
+        "cluster_id",
+        "n_members",
+        "keep_minid",
+        "keep_longest",
+        "keep_quality",
+        (F.col("keep_longest") != F.col("keep_minid")).alias(
+            "longest_differs"
+        ),
+        (F.col("keep_quality") != F.col("keep_minid")).alias(
+            "quality_differs"
+        ),
+    )
+
+
+SALT_TARGET_ROWS = 2048
+
+
+def q_salt_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation PLANNER — q_key_skew measures the hot keys;
+    this emits the actionable salting plan a join rewrite consumes:
+    for every l_partkey whose row count exceeds the 2048-row target
+    partition budget, the salt factor ceil(cnt/target) (how many
+    sub-keys to spray the hot key across) and the resulting expected
+    max rows per salted sub-key — the number that must come back under
+    budget for the plan to be accepted (pinned by test). This is what
+    AQE's skew-join split does at runtime, precomputed as a table for
+    engines/joins where the static rewrite is the only option.
+
+    Scale shape: one partial-aggregated key count, a hot-key filter
+    (output bounded by rows/target), distributed take-ordered for
+    determinism of the report ordering."""
+    T = SALT_TARGET_ROWS
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    hot = counts.filter(F.col("n_rows") > T)
+    return hot.select(
+        "l_partkey",
+        "n_rows",
+        F.expr(f"CAST((n_rows + {T - 1}) DIV {T} AS BIGINT)").alias(
+            "salt_factor"
+        ),
+        F.expr(
+            f"CAST((n_rows + (n_rows + {T - 1}) DIV {T} - 1)"
+            f" DIV ((n_rows + {T - 1}) DIV {T}) AS BIGINT)"
+        ).alias("max_rows_per_salt"),
+        F.lit(T).cast("long").alias("target_rows"),
+    )
+
+
+COVERAGE_FRACTIONS = (25, 50, 75)
+
+
+def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram coverage vs training-set size — the data-
+    scaling readout a corpus-growth decision reads (does doubling the
+    crawl still buy unseen bigrams, or has coverage saturated?): docs
+    hash into 100 md5 buckets; buckets >= 90 are the FROZEN held-out
+    set, and the training prefixes are buckets < 25 / < 50 / < 75
+    (nested by construction, so the curve is monotone — pinned by
+    test). Coverage at f = fraction of the held-out set's DISTINCT
+    bigrams that appear in train_f.
+
+    ONE pass for all three points: per held-out bigram, the MINIMUM
+    train bucket among the docs containing it (tmin); covered at f
+    iff tmin < f — three conditional sums over the joined gram table,
+    never three corpus scans (the q_bpe_compression_curve snapshot
+    discipline).
+
+    Scale shape: one distinct (bucket-class, gram) collapse of the
+    bigram stream, one grams-keyed join of the bounded per-gram
+    aggregates, a 3-row output."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 2),"
+            " 16, 10) AS INT) % 100"
+        ).alias("bucket"),
+        words(F.trim(F.col("text"))).alias("ws"),
+    ).filter(F.size("ws") >= 2)
+    grams = ws.select(
+        "bucket",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1), i ->"
+                " concat(element_at(ws, i), ' ',"
+                " element_at(ws, i + 1)))"
+            )
+        ).alias("gram"),
+    )
+    train_min = (
+        grams.filter(F.col("bucket") < 90)
+        .groupBy("gram")
+        .agg(F.min("bucket").cast("int").alias("tmin"))
+    )
+    test_grams = (
+        grams.filter(F.col("bucket") >= 90).select("gram").distinct()
+    )
+    jt = test_grams.join(train_min, on="gram", how="left")
+    fr = spark.createDataFrame(
+        [(f,) for f in COVERAGE_FRACTIONS], "f int"
+    )
+    return (
+        jt.crossJoin(F.broadcast(fr))
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("test_grams"),
+            F.sum(
+                F.when(
+                    F.col("tmin") < F.col("f"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("covered"),
+            F.expr(
+                "CAST(SUM(CASE WHEN tmin < f THEN 1 ELSE 0 END)"
+                " * 1000000 DIV COUNT(1) AS BIGINT)"
+            ).alias("coverage_micro"),
+        )
+        .select(F.col("f").cast("int"), "test_grams", "covered", "coverage_micro")
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -11457,4 +11627,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_hll_merge": q_hll_merge,
     "q_dp_mean": q_dp_mean,
     "q_event_trigrams": q_event_trigrams,
+    "q_keeper_policy_diff": q_keeper_policy_diff,
+    "q_salt_plan": q_salt_plan,
+    "q_coverage_curve": q_coverage_curve,
 }

@@ -565,3 +565,54 @@ def test_event_trigrams_counts(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_users <= r.n_occurrences
         assert r.trigram.count(">") == 2
+
+
+def test_keeper_policy_diff_membership(spark, sf_dir):
+    """Survivorship comparison: every keeper is a cluster member, the
+    min-id keeper IS the cluster id floor, flags match keeper
+    inequality, and the longest keeper never has fewer words than the
+    min-id keeper (it maximizes words by construction)."""
+    rows = EXT_QUERIES["q_keeper_policy_diff"](spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r["doc_id"]: len(r["text"].strip().split())
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.longest_differs == (r.keep_longest != r.keep_minid)
+        assert r.quality_differs == (r.keep_quality != r.keep_minid)
+        assert docs[r.keep_longest] >= docs[r.keep_minid]
+
+
+def test_salt_plan_restores_budget(spark, sf_dir):
+    """The planner's contract: every emitted salt factor brings the
+    hot key's max rows per salted sub-key back under the target (the
+    whole point of the plan), with exact ceil arithmetic."""
+    rows = EXT_QUERIES["q_salt_plan"](spark, sf_dir).collect()
+    for r in rows:
+        assert r.n_rows > r.target_rows == 2048
+        assert r.salt_factor == (r.n_rows + 2047) // 2048
+        assert r.max_rows_per_salt == (
+            r.n_rows + r.salt_factor - 1
+        ) // r.salt_factor
+        assert r.max_rows_per_salt <= r.target_rows
+
+
+def test_coverage_curve_monotone(spark, sf_dir):
+    """Nested train prefixes force a monotone coverage curve; all
+    three points share the same held-out gram denominator and the
+    micro rates are the released integer divisions."""
+    rows = {
+        r.f: r
+        for r in EXT_QUERIES["q_coverage_curve"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {25, 50, 75}
+    denom = {r.test_grams for r in rows.values()}
+    assert len(denom) == 1
+    assert rows[25].covered <= rows[50].covered <= rows[75].covered
+    for r in rows.values():
+        assert r.coverage_micro == r.covered * 1_000_000 // r.test_grams
+        assert 0 < r.covered <= r.test_grams
