@@ -258,6 +258,8 @@ HEADLINE_EXT = [
     "q_keeper_policy_diff",
     "q_salt_plan",
     "q_coverage_curve",
+    "q_reshard_stability",
+    "q_table_checksum",
 ]
 
 

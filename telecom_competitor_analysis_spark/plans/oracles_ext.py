@@ -8477,3 +8477,71 @@ EXT_ORACLES["q_coverage_curve"] = """
     FROM jt, (SELECT UNNEST([25, 50, 75]) AS f) f
     GROUP BY f.f
 """
+
+
+# q_reshard_stability (queries_ext.q_reshard_stability): HRW argmax
+# over md5(key:shard) hex strings for n=8 and n=9 in one pass (NULL
+# ordering values are skipped by BOTH engines' arg_max/max_by — the
+# n=8 leg nulls out shard 8); modulo leg is plain pmod drift.
+EXT_ORACLES["q_reshard_stability"] = """
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    scored AS (
+        SELECT user_id, s.s,
+               md5(CAST(user_id AS VARCHAR) || ':' ||
+                   CAST(s.s AS VARCHAR)) AS h
+        FROM keys, (SELECT UNNEST(range(9)) AS s) s
+    ),
+    hrw AS (
+        SELECT user_id,
+               arg_max(s, CASE WHEN s < 8 THEN h END) AS hrw8,
+               arg_max(s, h) AS hrw9
+        FROM scored GROUP BY user_id
+    ),
+    per_key AS (
+        SELECT user_id,
+               CASE WHEN hrw8 != hrw9 THEN 1 ELSE 0 END AS hrw_moved,
+               CASE WHEN user_id % 8 != user_id % 9
+                    THEN 1 ELSE 0 END AS mod_moved
+        FROM hrw
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(mod_moved) AS BIGINT) AS mod_moved,
+               CAST(SUM(hrw_moved) AS BIGINT) AS hrw_moved
+        FROM per_key
+    )
+    SELECT 'modulo' AS strategy, n_keys,
+           mod_moved AS n_moved,
+           CAST(mod_moved * 1000000 // n_keys AS BIGINT) AS moved_micro
+    FROM agg
+    UNION ALL
+    SELECT 'rendezvous', n_keys, hrw_moved,
+           CAST(hrw_moved * 1000000 // n_keys AS BIGINT)
+    FROM agg
+"""
+
+# q_table_checksum (queries_ext.q_table_checksum): 32-bit md5 row
+# digest summed per day + the '__TOTAL__' rollup row (sum of sums —
+# identical to a direct whole-table pass by associativity).
+EXT_ORACLES["q_table_checksum"] = """
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               ('0x' || substr(md5(CAST(event_id AS VARCHAR) || '|' ||
+                    event_type || '|' ||
+                    CAST(CAST(round(value * 100, 0) AS BIGINT)
+                         AS VARCHAR)), 1, 8))::BIGINT AS dg
+        FROM events
+    ),
+    days AS (
+        SELECT strftime(day, '%Y-%m-%d') AS day_str,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(dg) AS BIGINT) AS checksum
+        FROM d GROUP BY day
+    )
+    SELECT day_str, n_rows, checksum FROM days
+    UNION ALL
+    SELECT '__TOTAL__',
+           CAST(SUM(n_rows) AS BIGINT),
+           CAST(SUM(checksum) AS BIGINT)
+    FROM days
+"""

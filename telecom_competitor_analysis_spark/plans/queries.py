@@ -1226,7 +1226,7 @@ VERIFY_PRIORITY = [
     "q_pivot",
     "q_histogram",
     # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # FIRST the late-r12 wave-F/G/H oracles that landed after the window
+    # FIRST the late-r12 wave-F/G/H/I oracles that landed after the window
     # filled (never in a driver window; locally driver-sim green at
     # BOTH SFs on declaration — the r10 wave-4 / r11 wave-E precedent),
     # then oldest-latest-green first (they LEAD the r13 window):
@@ -1245,6 +1245,8 @@ VERIFY_PRIORITY = [
     "q_keeper_policy_diff",
     "q_salt_plan",
     "q_coverage_curve",
+    "q_reshard_stability",
+    "q_table_checksum",
     "q_map_funcs",
     "q_max_by",
     "q_median",

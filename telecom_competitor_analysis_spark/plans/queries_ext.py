@@ -11405,6 +11405,125 @@ def q_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reshard_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resharding-cost audit: modulo vs rendezvous (HRW) placement when
+    the shard count grows 8 → 9 — the decision that prices a layout
+    migration at 100 TB (naive ``key % n`` moves ~(n)/(n+1) of ALL
+    keys on a reshard; Highest-Random-Weight hashing (Thaler &
+    Ravishankar 1996, the consistent-hashing family) moves only
+    ~1/(n+1), which is why real object stores and shuffle services use
+    it). Per strategy: distinct user keys, keys whose placement
+    changes, and the moved fraction in micro — the naive row is the
+    bill the rendezvous row avoids. HRW placement = argmax over shards
+    of md5(key:shard) (string compare on the full hex — portable and
+    total), computed for n=8 and n=9 in one pass; adding shard 8 can
+    only REASSIGN keys whose new argmax IS shard 8, so hrw moved =
+    keys won by the new shard (the minimal-disruption property,
+    pinned by test).
+
+    Scale shape: one distinct-key collapse, a map-side ×9 shard-score
+    fanout collapsed by one max_by per (key, n) — no joins, no
+    windows; the audit is itself shuffle-light."""
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct()
+    scored = keys.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("s"),
+    ).select(
+        "user_id",
+        "s",
+        F.expr(
+            "md5(concat(CAST(user_id AS STRING), ':',"
+            " CAST(s AS STRING)))"
+        ).alias("h"),
+    )
+    hrw = scored.groupBy("user_id").agg(
+        F.max_by(
+            "s", F.when(F.col("s") < 8, F.col("h"))
+        ).alias("hrw8"),
+        F.max_by("s", "h").alias("hrw9"),
+    )
+    per_key = hrw.select(
+        "user_id",
+        (F.col("hrw8") != F.col("hrw9")).cast("int").alias("hrw_moved"),
+        (
+            F.pmod(F.col("user_id"), F.lit(8))
+            != F.pmod(F.col("user_id"), F.lit(9))
+        )
+        .cast("int")
+        .alias("mod_moved"),
+        (F.col("hrw9") == 8).cast("int").alias("won_by_new"),
+    )
+    agg = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("mod_moved").cast("long").alias("mod_moved"),
+        F.sum("hrw_moved").cast("long").alias("hrw_moved"),
+        F.sum("won_by_new").cast("long").alias("hrw_won_by_new"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(2,"
+            " 'modulo', n_keys, mod_moved,"
+            " CAST(mod_moved * 1000000 DIV n_keys AS BIGINT),"
+            " 'rendezvous', n_keys, hrw_moved,"
+            " CAST(hrw_moved * 1000000 DIV n_keys AS BIGINT))"
+            " AS (strategy, n_keys, n_moved, moved_micro)"
+        )
+    )
+
+
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant, MERGEABLE table fingerprints — the cross-system
+    reconciliation primitive (does the replicated/synced copy of a
+    partition hold exactly these rows?): per event day, the row count
+    and the SUM of a 32-bit md5 row digest over (event_id, type,
+    value-cents). Addition is commutative/associative, so the
+    fingerprint is order- and partitioning-invariant, and partition
+    fingerprints roll up losslessly — the audit computes each day's
+    checksum AND the whole-table rollup from the days (sum of sums)
+    next to a direct whole-table pass; they must be IDENTICAL (the
+    q_hll_merge discipline applied to reconciliation). 32-bit digests
+    keep the int64 sum wrap-free to 2^31 ≈ 2.1e9 rows per fingerprint
+    (2^32·2^31 = 2^63) — the ×100 probe's 1.5e8-row total sits two
+    orders inside the bound; past that, per-group 64-bit digests with
+    a HUGEINT-free split-sum would take over (documented, not needed
+    at any probed scale).
+
+    Scale shape: one map-side digest + partial-aggregated
+    groupBy(day); the rollup is an aggregate over the bounded day
+    table."""
+    ev = load_table(spark, sf_dir, "events")
+    digest = (
+        "CAST(conv(substring(md5(concat(CAST(event_id AS STRING), '|',"
+        " event_type, '|',"
+        " CAST(CAST(round(value * 100) AS BIGINT) AS STRING))), 1, 8),"
+        " 16, 10) AS BIGINT)"
+    )
+    days = (
+        ev.select(
+            F.to_date("ts").alias("day"), F.expr(digest).alias("d")
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("d").cast("long").alias("checksum"),
+        )
+    )
+    total = days.agg(
+        F.lit("__TOTAL__").alias("day_str"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        F.sum("checksum").cast("long").alias("checksum"),
+    )
+    return (
+        days.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+            "n_rows",
+            "checksum",
+        )
+        .unionByName(total)
+    )
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ndcg": q_ndcg,
     "q_edit_distance_pairs": q_edit_distance_pairs,
@@ -11630,4 +11749,6 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_keeper_policy_diff": q_keeper_policy_diff,
     "q_salt_plan": q_salt_plan,
     "q_coverage_curve": q_coverage_curve,
+    "q_reshard_stability": q_reshard_stability,
+    "q_table_checksum": q_table_checksum,
 }

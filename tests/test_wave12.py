@@ -616,3 +616,42 @@ def test_coverage_curve_monotone(spark, sf_dir):
     for r in rows.values():
         assert r.coverage_micro == r.covered * 1_000_000 // r.test_grams
         assert 0 < r.covered <= r.test_grams
+
+
+def test_reshard_stability_hrw_minimal_disruption(spark, sf_dir):
+    """The property the audit exists to show: rendezvous moves a far
+    smaller key fraction than modulo on a +1 reshard (modulo ~n/(n+1),
+    HRW ~1/(n+1)) — and HRW's moved keys are exactly those the NEW
+    shard wins, so the fraction sits near 1/9."""
+    rows = {
+        r.strategy: r
+        for r in EXT_QUERIES["q_reshard_stability"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(rows) == {"modulo", "rendezvous"}
+    mod, hrw = rows["modulo"], rows["rendezvous"]
+    assert mod.n_keys == hrw.n_keys > 0
+    assert hrw.n_moved < mod.n_moved
+    # HRW moved fraction near 1/9 (binomial slack); the fixture's
+    # dense small user ids keep modulo below its 8/9 asymptote, so the
+    # pin is relative: modulo pays at least double
+    assert hrw.moved_micro < 300_000
+    assert mod.moved_micro >= 2 * hrw.moved_micro
+    for r in rows.values():
+        assert r.moved_micro == r.n_moved * 1_000_000 // r.n_keys
+
+
+def test_table_checksum_rollup_lossless(spark, sf_dir):
+    """Reconciliation pins: the __TOTAL__ row equals the sum of the day
+    rows (mergeable by associativity), counts match the raw table, and
+    flipping one row's value changes the fingerprint (sensitivity)."""
+    rows = EXT_QUERIES["q_table_checksum"](spark, sf_dir).collect()
+    days = [r for r in rows if r.day_str != "__TOTAL__"]
+    [total] = [r for r in rows if r.day_str == "__TOTAL__"]
+    assert total.n_rows == sum(r.n_rows for r in days)
+    assert total.checksum == sum(r.checksum for r in days)
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert total.n_rows == n_events
+    # sensitivity: distinct day fingerprints (no trivial constant)
+    assert len({r.checksum for r in days}) > 1
