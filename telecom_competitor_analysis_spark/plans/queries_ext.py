@@ -5938,7 +5938,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sig = minhash_signature(docs, "doc_id", "text", n_hashes=4)
-    edges = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2)
+    # r12 optimization (guide §5): triangle_stats references its edge
+    # list FOUR times (degree build, orientation join, closure join,
+    # edge count) and the edge lineage here is the full MinHash+LSH
+    # pair pipeline — the before plan re-derived signatures per
+    # reference. persist() the bounded candidate-pair list so the LSH
+    # stage runs once per action.
+    edges = lsh_candidate_pairs(sig, "doc_id", n_hashes=4, bands=2).persist()
     return triangle_stats(edges)
 
 
