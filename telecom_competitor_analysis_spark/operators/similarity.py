@@ -735,6 +735,7 @@ def ivf_probe(
     anchors: DataFrame,
     nprobe: int,
     probe_id_col: str,
+    keep_rank_col: str | None = None,
 ) -> DataFrame:
     """The SINGLE IVF probe-selection stage (shared by
     ``ann_against_index`` and the index-backed MaxSim): rank the
@@ -743,18 +744,29 @@ def ivf_probe(
     carry ``probe_id_col`` and every payload column to ride along
     (``q_vec`` etc. — all non-anchor columns are preserved). One
     definition so the probe tie-break can never drift between the
-    probe consumers."""
+    probe consumers.
+
+    ``keep_rank_col``: also emit the probe rank (1 = nearest anchor)
+    under this name. A probe at width P with the rank kept is the
+    UNION of the probes at every width p ≤ P (filter rank ≤ p) — what
+    lets an nprobe sweep scan the index once instead of once per
+    width (r12 optimization, guide §2.4)."""
     scored = queries.crossJoin(F.broadcast(anchors)).withColumn(
         "__score", _dot(F.col("q_vec"), F.col("anchor_vec"))
     )
     w = Window.partitionBy(probe_id_col).orderBy(
         F.col("__score").desc(), F.col("anchor_id").asc()
     )
+    extra = (
+        [F.col("__rn").cast("int").alias(keep_rank_col)]
+        if keep_rank_col
+        else []
+    )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= nprobe)
         .select(
-            *queries.columns, F.col("anchor_id").alias("bucket")
+            *queries.columns, F.col("anchor_id").alias("bucket"), *extra
         )
     )
 
@@ -1153,23 +1165,26 @@ def pq_encode(sub: DataFrame, codebook: DataFrame) -> DataFrame:
     )
 
 
-def pq_adc_topk(
+def pq_scored_pairs(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    k: int = 10,
 ) -> DataFrame:
-    """Asymmetric-distance top-k: encode the corpus once, build each
-    query's m×k lookup table (tiny, broadcast), score every vector by
-    m integer table lookups, partial-top-k per query. Returns
-    (query_id, vec_id, rank, approx_dist, exact_dist) — exact squared-L2
-    rides along as the accuracy mirror (micro² units both)."""
+    """Every (qid, id) pair with BOTH the ADC approximate distance and
+    the exact squared-L2 (micro² units, qid ≠ id) — the shared scoring
+    stage of ``pq_adc_topk`` and the PQ recall audit: the recall twin
+    needs the exact top-k over exactly these pairs, and before r12 it
+    re-derived a second corpus-wide exact leg for them (guide §2.4 —
+    one pass, two rankings)."""
     from telecom_competitor_analysis_spark.operators.dedup import (
         ensure_parallelism,
     )
 
-    cb = pq_codebook(corpus, id_col, vec_col)
+    # the 32-row codebook is consumed twice (corpus encode + ADC
+    # table build) and its lineage is a corpus limit-k scan — cut it
+    # once (the MMR-pool bounded-frame discipline)
+    cb = pq_codebook(corpus, id_col, vec_col).localCheckpoint()
     corpus = ensure_parallelism(corpus)
     sub = pq_subvectors(corpus, id_col, vec_col)
     codes = pq_encode(sub, cb)
@@ -1206,10 +1221,26 @@ def pq_adc_topk(
             "qid", "id", l2sq_micro(F.col("mv"), F.col("qmv")).alias("exact_dist")
         )
     )
+    return approx.join(exact, ["qid", "id"]).where(
+        F.col("id") != F.col("qid")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Asymmetric-distance top-k: encode the corpus once, build each
+    query's m×k lookup table (tiny, broadcast), score every vector by
+    m integer table lookups, partial-top-k per query. Returns
+    (query_id, vec_id, rank, approx_dist, exact_dist) — exact squared-L2
+    rides along as the accuracy mirror (micro² units both)."""
     w = Window.partitionBy("qid").orderBy("approx_dist", "id")
     return (
-        approx.join(exact, ["qid", "id"])
-        .where(F.col("id") != F.col("qid"))
+        pq_scored_pairs(corpus, queries, id_col, vec_col)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select(

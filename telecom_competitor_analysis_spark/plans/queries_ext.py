@@ -1390,7 +1390,12 @@ def q_perplexity_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    scores = bigram_lm_scores(docs, "doc_id", "text")
+    # r12 optimization (guide §5): `scores` feeds TWO consumers (the
+    # quartile-cutoff aggregate and the bucketed rollup) and its
+    # lineage is the whole bigram-LM scoring pipeline — persist the
+    # narrow per-doc score frame so the LM pass runs once per action
+    # (the q_quality_calibration shape).
+    scores = bigram_lm_scores(docs, "doc_id", "text").persist()
     cuts = scores.agg(
         F.percentile(F.col("avg_logp"), F.lit(0.25)).alias("q1"),
         F.percentile(F.col("avg_logp"), F.lit(0.5)).alias("q2"),
@@ -3633,7 +3638,13 @@ def q_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_rows(docs, "doc_id", "text", w=3).select(
         (F.col("doc_id") % 2).alias("side"), F.col("word").alias("sh")
     )
-    vocab = sh.distinct()
+    # r12 optimization (guide §5): the distinct shingle universe feeds
+    # SIX consumers (each side's sketch, the exact-intersection join's
+    # two legs, and the two size counts) — the before plan re-derived
+    # the shingle explode + distinct per consumer (16 parquet scans).
+    # Persist the narrow (side, sh) frame; at 100 TB this is the
+    # materialized distinct-shingle table the KMV build reads anyway.
+    vocab = sh.distinct().persist()
     va = vocab.where(F.col("side") == 0).select("sh")
     vb = vocab.where(F.col("side") == 1).select("sh")
     ha = va.select(F.md5("sh").alias("h")).orderBy("h").limit(64)
@@ -3791,9 +3802,14 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = _materialized_lsh_pairs(spark, sf_dir)
+    # r12 optimization (guide §5): the component labels feed TWO
+    # consumers (the corpus-side join and the 5-query broadcast side)
+    # and their lineage is the whole iterative CC chain — without
+    # persist the label propagation runs twice per action. The frame
+    # is two ints per doc; persist it so CC runs once.
     clusters = dedup_clusters(pairs, docs.select("doc_id"), "doc_id").select(
         F.col("id").alias("vec_id"), "cluster_id"
-    )
+    ).persist()
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = ensure_parallelism(
         emb.select("vec_id", micro_vec(F.col("embedding")).alias("mv"))
@@ -3980,46 +3996,40 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size. recall_micro = hits · 100000 (k=10) — all integers;
     the join/count itself is the shared ``_recall_join`` (micro mode),
     so one recall convention exists for every ANN path."""
-    from telecom_competitor_analysis_spark.operators.dedup import (
-        ensure_parallelism,
-    )
     from telecom_competitor_analysis_spark.operators.similarity import (
-        l2sq_micro,
-        micro_vec,
-        pq_adc_topk,
+        pq_scored_pairs,
     )
 
+    # r12 optimization (guide §2.4 one-pass-two-rankings): pq_adc_topk
+    # already computes the EXACT squared-L2 for every (query, vector)
+    # pair (the accuracy mirror riding along its output), yet the old
+    # recall leg re-derived a second corpus-wide exact brute-force
+    # scan for the exact top-10. Score the pairs ONCE
+    # (pq_scored_pairs — approx AND exact per pair), persist the
+    # narrow pair frame, and rank it twice: by approx (the PQ leg,
+    # identical window to pq_adc_topk) and by exact (the truth leg,
+    # identical pair set / distance / (dist, id) tie-break as the old
+    # brute-force scan).
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 5)
-    pq10 = pq_adc_topk(emb, queries, k=10).select("query_id", "vec_id")
-
-    corpus = ensure_parallelism(
-        emb.select("vec_id", micro_vec(F.col("embedding")).alias("mv"))
-    )
-    qv = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            micro_vec(F.col("embedding")).alias("qmv"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy("exact_dist", "vec_id")
-    ex10 = (
-        corpus.join(qv, F.col("vec_id") != F.col("query_id"))
+    pairs = pq_scored_pairs(emb, queries).persist()
+    wa = Window.partitionBy("qid").orderBy("approx_dist", "id")
+    pq10 = (
+        pairs.withColumn("arn", F.row_number().over(wa))
+        .where(F.col("arn") <= 10)
         .select(
-            "query_id",
-            "vec_id",
-            l2sq_micro(F.col("mv"), F.col("qmv")).alias("exact_dist"),
+            F.col("qid").alias("query_id"), F.col("id").alias("neighbor_id")
         )
-        .withColumn("ern", F.row_number().over(w))
+    )
+    we = Window.partitionBy("qid").orderBy("exact_dist", "id")
+    ex10 = (
+        pairs.withColumn("ern", F.row_number().over(we))
         .where(F.col("ern") <= 10)
-        .select("query_id", "vec_id")
+        .select(
+            F.col("qid").alias("query_id"), F.col("id").alias("neighbor_id")
+        )
     )
-    return _recall_join(
-        ex10.withColumnRenamed("vec_id", "neighbor_id"),
-        pq10.withColumnRenamed("vec_id", "neighbor_id"),
-        k=10,
-        micro=True,
-    )
+    return _recall_join(ex10, pq10, k=10, micro=True)
 
 
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5095,7 +5105,13 @@ def q_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "score_micro"
     )
     gopher = gopher_rules(docs, "doc_id", "text").select("doc_id", "passes")
-    j = model.join(gopher, on="doc_id")
+    # r12 optimization (guide §5): `j` feeds TWO consumers (the decile
+    # cutoff aggregate and the bucketed rollup) and its lineage holds
+    # BOTH text-scoring passes (hashed linear score + Gopher gate, each
+    # a full tokenize) — the before plan re-derived them per consumer
+    # (18 parquet scans). The frame is three narrow columns; persist it
+    # so the scoring join runs once (the q_conformal_coverage shape).
+    j = model.join(gopher, on="doc_id").persist()
     cuts = j.agg(
         F.percentile(
             F.col("score_micro"),
@@ -5339,10 +5355,19 @@ def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min("pc").alias("pc"))
     )
-    chosen = quotes.groupBy("l_partkey").agg(
-        F.min(F.struct("pc", "l_suppkey")).alias("c")
-    )
-    j = quotes.join(chosen, on="l_partkey").where(
+    # r12 optimization (guide §2.4): the chosen side was a second
+    # groupBy(l_partkey) + join back, which re-derived the quotes
+    # aggregate (two lineitem scans) and paid extra exchanges. The
+    # same min(struct) over a part-partitioned window computes it
+    # in-place (per-part groups are bounded by suppliers-per-part),
+    # and the rank window below reuses the SAME partitioning — one
+    # quotes derivation, one part-keyed exchange for both windows.
+    j = quotes.withColumn(
+        "c",
+        F.min(F.struct("pc", "l_suppkey")).over(
+            Window.partitionBy("l_partkey")
+        ),
+    ).where(
         (F.col("l_suppkey") != F.col("c.l_suppkey"))
         & (F.col("pc") * 2 >= F.col("c.pc") * 3)
     )
@@ -5852,39 +5877,46 @@ def q_mutation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max((F.col("side") == 0).cast("int")).alias("ha"),
         F.max((F.col("side") == 1).cast("int")).alias("hb"),
     )
-    jac = gram.groupBy("doc_id").agg(
+    # r12 optimization (guide §2.4/§1.2 algorithm-first): the before
+    # plan re-derived the whole shingle pipeline for the signature
+    # branch (keyed consumed by gram AND by a second groupBy(doc, side)
+    # signature agg) and joined the two per-doc rollups back. Both
+    # rollups are folds over the SAME (doc, gram, side-presence) frame:
+    # the per-side MinHash min over side-s shingles is exactly
+    # min(when(h<s> = 1, md5(sh||'#k'))), so ONE groupBy(doc_id)
+    # computes the Jaccard counts AND both sides' signatures — one
+    # shingle pass, no join, NULL-for-empty-side semantics unchanged
+    # (no side-s rows → min over empty = NULL, as the absent
+    # (doc, side) group was before).
+    def _h(k):
+        return F.md5(F.concat(F.col("sh"), F.lit(f"#{k}")))
+
+    wide = gram.groupBy("doc_id").agg(
         F.sum(F.col("ha") * F.col("hb")).alias("inter"),
         F.sum("ha").alias("sz_a"),
         F.sum("hb").alias("sz_b"),
-    )
-    # production banding per side (groupBy-min of the md5 family —
-    # codegen), then both sides pivoted onto one row per doc: no join
-    # between the signature rows, just a second partial agg
-    sig = keyed.groupBy("doc_id", "side").agg(
         *[
-            F.min(F.md5(F.concat(F.col("sh"), F.lit(f"#{k}")))).alias(f"h{k}")
+            F.min(F.when(F.col("ha") == 1, _h(k))).alias(f"ah{k}")
             for k in range(4)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        "side",
-        F.md5(F.concat("h0", F.lit("|"), "h1")).alias("b0"),
-        F.md5(F.concat("h2", F.lit("|"), "h3")).alias("b1"),
-    )
-    wide = bands.groupBy("doc_id").agg(
-        F.max(F.when(F.col("side") == 0, F.col("b0"))).alias("a0"),
-        F.max(F.when(F.col("side") == 0, F.col("b1"))).alias("a1"),
-        F.max(F.when(F.col("side") == 1, F.col("b0"))).alias("t0"),
-        F.max(F.when(F.col("side") == 1, F.col("b1"))).alias("t1"),
+        ],
+        *[
+            F.min(F.when(F.col("hb") == 1, _h(k))).alias(f"th{k}")
+            for k in range(4)
+        ],
     )
     pairs = (
-        jac.join(wide, "doc_id")
-        .select(
+        wide.select(
             F.col("inter"),
             (F.col("sz_a") + F.col("sz_b") - F.col("inter")).alias("uni"),
             (
-                (F.col("a0") == F.col("t0")) | (F.col("a1") == F.col("t1"))
+                (
+                    F.md5(F.concat("ah0", F.lit("|"), "ah1"))
+                    == F.md5(F.concat("th0", F.lit("|"), "th1"))
+                )
+                | (
+                    F.md5(F.concat("ah2", F.lit("|"), "ah3"))
+                    == F.md5(F.concat("th2", F.lit("|"), "th3"))
+                )
             ).alias("caught"),
         )
         .filter(F.col("uni") > 0)
@@ -6518,20 +6550,25 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("word").alias("gram"),
         )
     )
-    ref = grams.filter("is_ref").groupBy("pair_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    cand = grams.filter(~F.col("is_ref")).groupBy("pair_id", "n", "gram").agg(
-        F.count(F.lit(1)).alias("cc"),
-        F.min("doc_id").alias("cand_id"),
+    # r12 optimization (guide §2.4, the q_chrf single-pass rebuild
+    # pattern): the before plan filtered `grams` twice (ref leg, cand
+    # leg — each re-deriving BOTH shingle passes) and joined the two
+    # count tables back on (pair, n, gram). ONE conditional aggregate
+    # over the same key produces rc and cc side by side; groups with
+    # no candidate occurrence (cc = 0) are exactly the rows the old
+    # left join never saw, so they are filtered — identical clip sums.
+    pg = grams.groupBy("pair_id", "n", "gram").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("rc"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cc"),
+        F.min(F.when(~F.col("is_ref"), F.col("doc_id"))).alias("cand_id"),
     )
     per_n = (
-        cand.join(ref, ["pair_id", "n", "gram"], "left")
+        pg.filter(F.col("cc") > 0)
         .groupBy("pair_id", "n")
         .agg(
             F.min("cand_id").alias("cand_id"),
             F.sum("cc").cast("long").alias("den"),
-            F.sum(F.least(F.col("cc"), F.coalesce(F.col("rc"), F.lit(0))))
+            F.sum(F.least(F.col("cc"), F.col("rc")))
             .cast("long")
             .alias("num"),
         )
@@ -6554,16 +6591,25 @@ def q_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(words(F.trim(F.col("text")))).cast("long").alias("wlen"),
     )
-    ref_lens = lens.filter("is_ref").select(
-        "pair_id",
-        F.col("doc_id").alias("ref_id"),
-        F.col("wlen").alias("ref_len"),
-    )
-    cand_lens = lens.filter(~F.col("is_ref")).select(
-        "pair_id", F.col("wlen").alias("cand_len")
+    # same one-pass fold for the length legs: the before plan filtered
+    # `lens` twice and inner-joined the halves; presence flags keep the
+    # both-sides-exist semantics of that inner join exactly.
+    lens_agg = (
+        lens.groupBy("pair_id")
+        .agg(
+            F.min(F.when(F.col("is_ref"), F.col("doc_id"))).alias("ref_id"),
+            F.min(F.when(F.col("is_ref"), F.col("wlen"))).alias("ref_len"),
+            F.min(F.when(~F.col("is_ref"), F.col("wlen"))).alias(
+                "cand_len"
+            ),
+            F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("__nr"),
+            F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("__nc"),
+        )
+        .filter((F.col("__nr") > 0) & (F.col("__nc") > 0))
+        .drop("__nr", "__nc")
     )
     return (
-        ref_lens.join(cand_lens, "pair_id")
+        lens_agg
         .join(flat, "pair_id")
         .select(
             "pair_id",
@@ -7174,11 +7220,16 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    # r12 optimization (guide §5/§3.3): the exact leg feeds TWO
+    # consumers (the metric join and the query universe qs) and its
+    # lineage is the corpus-wide brute-force top-k — localCheckpoint
+    # at the 5×10-row boundary so it computes once per run (the
+    # q_nprobe_sweep exact-leg convention).
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
         "query_id",
         "neighbor_id",
         F.col("rank").alias("exact_rank"),
-    )
+    ).localCheckpoint()
     approx = lsh_bucketed_topk(
         emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
     ).select(
@@ -7840,13 +7891,25 @@ def q_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The exact leg is computed ONCE and localCheckpointed at its
     5×10-row boundary (the q_mmr_select lineage law: three recall legs
-    would otherwise re-derive the corpus-sized brute-force scan each);
-    each probe leg reads the fingerprint-cached index with dynamic
-    partition pruning on its probed buckets — nprobe=4 scans 4 of 8
-    bucket partitions, never the corpus."""
+    would otherwise re-derive the corpus-sized brute-force scan each).
+
+    r12 optimization (guide §2.4 remove-shuffles / §1.2 algorithm
+    first): the index is scanned ONCE at the widest width, not once
+    per width. A probe at nprobe=4 with the anchor rank kept is the
+    union of the probes at every p ≤ 4 (each corpus vector lives in
+    exactly ONE bucket, so filter proberank ≤ p reproduces the
+    nprobe=p candidate set exactly — same cos expression, same
+    (cos desc, neighbor_id) top-k tie-break as ann_against_index).
+    Before: 3 ann_against_index legs = 3 index scans (1+2+4 = 7
+    pruned bucket-partition reads), 3 probe stages, 30 parquet scans
+    / 12 BNLJ in the plan. After: one 4-of-8-partition pruned scan,
+    one probe stage, one scored frame persisted (≤ 5 queries × 4
+    buckets × capped bucket size) and three window+filter legs over
+    it."""
     from telecom_competitor_analysis_spark.operators.similarity import (
-        ann_against_index,
+        cosine,
         cosine_topk,
+        ivf_probe,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -7857,9 +7920,40 @@ def q_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
+    anchors = spark.read.parquet(f"{idx}/anchors")
+    cand = spark.read.parquet(f"{idx}/assignments")
+    probes = ivf_probe(
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+        ),
+        anchors,
+        nprobe=4,
+        probe_id_col="query_id",
+        keep_rank_col="__proberank",
+    )
+    scored = (
+        cand.join(F.broadcast(probes), on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "__proberank",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+        .persist()
+    )
     legs = []
     for p in (1, 2, 4):
-        approx = ann_against_index(queries, spark, idx, k=10, nprobe=p)
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        approx = (
+            scored.filter(F.col("__proberank") <= p)
+            .withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= 10)
+            .select("query_id", "neighbor_id", "rank")
+        )
         legs.append(
             _recall_join(exact, approx, k=10, micro=True).select(
                 F.lit(p).cast("int").alias("nprobe"),
@@ -8688,9 +8782,13 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
+    # r12 optimization (guide §5/§3.3): the exact leg feeds TWO
+    # consumers (the metric join and the query universe) and its
+    # lineage is the corpus-wide brute-force top-k — localCheckpoint at
+    # the 5×10-row boundary (the q_ndcg / q_nprobe_sweep convention).
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
         "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
-    )
+    ).localCheckpoint()
     approx = lsh_bucketed_topk(
         emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
     ).select("query_id", "neighbor_id", F.col("rank").alias("approx_rank"))
@@ -8794,7 +8892,12 @@ def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "score_micro"
     )
     gopher = gopher_rules(docs, "doc_id", "text").select("doc_id", "passes")
-    j = model.join(gopher, on="doc_id")
+    # r12 optimization (guide §5): `j` feeds TWO consumers (the min/max
+    # bounds aggregate and the binned rollup), and each re-derivation
+    # pays both full-tokenize scoring passes (18 parquet scans in the
+    # before plan). Persist the 3-column frame — the
+    # q_quality_calibration / q_conformal_coverage shape.
+    j = model.join(gopher, on="doc_id").persist()
     bounds = j.agg(
         F.min("score_micro").alias("min_s"),
         F.max("score_micro").alias("max_s"),
@@ -8936,10 +9039,16 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("pc"),
     )
+    # r12 optimization (guide §5/§3.3): med and mad are 3-row frames
+    # consumed by BOTH a broadcast leg and the final report join; the
+    # before plan re-derived each consumer's whole lineage through the
+    # nested broadcasts (14 parquet scans). localCheckpoint each at its
+    # 3-row boundary: the deviation scan runs once per percentile
+    # level, the report join reads the checkpoints (3 scans total).
     med = orders.groupBy("o_orderstatus").agg(
         F.percentile(F.col("pc"), F.lit(0.5)).alias("med"),
         F.count(F.lit(1)).cast("long").alias("n_orders"),
-    )
+    ).localCheckpoint()
     dev = orders.join(F.broadcast(med), on="o_orderstatus").select(
         "o_orderstatus",
         "pc",
@@ -8947,7 +9056,7 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mad = dev.groupBy("o_orderstatus").agg(
         F.percentile(F.col("dev"), F.lit(0.5)).alias("mad")
-    )
+    ).localCheckpoint()
     flagged = dev.join(F.broadcast(mad), on="o_orderstatus").select(
         "o_orderstatus",
         F.expr(MAD_RULE).cast("int").alias("is_out"),
@@ -10452,7 +10561,12 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("node"),
         F.col("doc_id").cast("long").alias("label"),
     )
-    labels = label_propagation(nodes, edges, rounds=2)
+    # r12 optimization (guide §5): the label table feeds THREE
+    # consumers (node_stats, the id_a leg, the id_b leg) and its
+    # lineage is the 2-round LP join chain — the before plan
+    # re-derived it per reference (68 parquet scans). Two ints per
+    # node; persist so LP runs once per action.
+    labels = label_propagation(nodes, edges, rounds=2).persist()
 
     m_df = edges.agg(F.count(F.lit(1)).cast("long").alias("m"))
     both = edges.unionByName(
@@ -10854,6 +10968,11 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("cents").alias("hi"),
         F.count(F.lit(1)).cast("long").alias("n"),
     )
+    # r12 optimization (guide §5): `binned` feeds TWO consumers (the
+    # 256-bin histogram and the in-bin exact selection) — without
+    # persist the orders scan + bounds broadcast re-derives per
+    # consumer. Three ints per row; persist so the binning pass runs
+    # once per action.
     binned = o.crossJoin(F.broadcast(bounds)).select(
         "o_orderkey",
         "cents",
@@ -10863,7 +10982,7 @@ def q_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("int")
         .alias("bin"),
-    )
+    ).persist()
     hist = binned.groupBy("bin").agg(
         F.count(F.lit(1)).cast("long").alias("cnt"),
         F.min("cents").alias("bin_min"),
@@ -11047,7 +11166,12 @@ def q_cluster_chaining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = _materialized_lsh_pairs(spark, sf_dir)
-    lab = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
+    # r12 optimization (guide §5): the component labels feed TWO
+    # consumers (the cluster-size rollup and the per-cluster edge
+    # count) and their lineage is the iterative CC chain — persist the
+    # 2-int label frame so CC runs once per action (the
+    # q_hard_negatives shape).
+    lab = dedup_clusters(pairs, docs.select("doc_id"), "doc_id").persist()
     clus = (
         lab.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
@@ -11294,14 +11418,15 @@ def q_keeper_policy_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = _materialized_lsh_pairs(spark, sf_dir)
     lab = dedup_clusters(pairs, docs.select("doc_id"), "doc_id")
-    feats = docs.select(
+    # r12 optimization (guide §2.4): hashed_linear_score already emits
+    # n_words from the SAME tokenization (size(words(trim(text)))), so
+    # the separate word-count pass and the doc_id self-join the before
+    # plan paid are free — one map-side projection supplies both
+    # features.
+    feats = hashed_linear_score(docs, "doc_id", "text").select(
         F.col("doc_id").alias("id"),
-        n_words(F.trim(F.col("text"))).alias("nw"),
-    ).join(
-        hashed_linear_score(docs, "doc_id", "text").select(
-            F.col("doc_id").alias("id"), "score_micro"
-        ),
-        on="id",
+        F.col("n_words").alias("nw"),
+        "score_micro",
     )
     j = lab.join(feats, on="id")
     per = j.groupBy("cluster_id").agg(

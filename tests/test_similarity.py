@@ -19,7 +19,14 @@ from telecom_competitor_analysis_spark.sources.readers import load_table
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    # unpersist at module teardown: a cached bare-scan plan left in the
+    # CacheManager substitutes an InMemoryTableScan into EVERY later
+    # embeddings query in the session, silently changing other test
+    # files' plan assertions under non-alphabetical orderings (found
+    # in r12 while bisecting a test-order-dependent failure).
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    df.unpersist()
 
 
 def _topk_sets(df):
