@@ -38,15 +38,20 @@ def pagerank_micro(
     (id, pr_micro BIGINT) after ``iters`` rounds from the uniform
     init round(1e6/N)."""
     edges = edges.select("src", "dst")
+    # r12 optimization (guide §5): nodes (a distinct shuffle) and deg
+    # are re-derived once per iteration through the unrolled rounds —
+    # persist the two narrow |V|-bounded frames so each computes once
+    # per action.
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
+        .persist()
     )
     stats = F.broadcast(
         nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     p = nodes.crossJoin(stats).select(
         "id",
         F.round(F.lit(1_000_000.0) / F.col("n"), 0)
@@ -216,6 +221,12 @@ def textrank_scores(
                 .cast("long")
                 .alias("s"),
             )
+            # r12 optimization (guide §5/§3.3): the next round references
+            # state TWICE (contrib source + join-back base), so without
+            # truncation the lineage doubles per round and the caller's
+            # edge pipeline re-derives multiplicatively (the
+            # dedup_clusters per-iteration discipline).
+            .localCheckpoint(eager=False)
         )
     return state
 
@@ -261,7 +272,9 @@ def label_propagation(
             F.coalesce(F.col("new_label"), F.col("label"))
             .cast("long")
             .alias("label"),
-        )
+            # r12: same per-round lineage truncation as textrank_scores —
+            # each round references state twice (votes + join-back).
+        ).localCheckpoint(eager=False)
     return state
 
 

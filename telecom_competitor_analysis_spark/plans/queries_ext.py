@@ -619,9 +619,14 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffles the 2.6M-row posting frame twice, where the array
     # collect is ONE groupBy and the pair joins broadcast the
     # doc-count-sized array table.)
+    # r12 optimization (guide §5): `arrays` is consumed by BOTH verify
+    # join sides — without persist the collect_list groupBy over the
+    # checkpointed posting frame runs twice per action. One row per
+    # doc; at 100 TB this is the doc→sorted-shingle-array side table
+    # the verify stage materializes anyway.
     arrays = ranked.groupBy("id").agg(
         F.array_sort(F.collect_list("word")).alias("arr")
-    )
+    ).persist()
     cont = F.greatest(
         F.col("n_shared").cast("double") / F.col("n_a"),
         F.col("n_shared").cast("double") / F.col("n_b"),
@@ -6448,11 +6453,17 @@ def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = toks.select(
         F.col("w").alias("a"), F.lead("w").over(win).alias("b")
     ).filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    # r12 optimization (guide §5): textrank_scores references the edge
+    # list three times (both union legs + the degree build) and its
+    # lineage here is the token explode + lead window + distinct —
+    # persist the narrow (u, v) frame so the co-occurrence extraction
+    # runs once per action (the q_triangle_count shape).
     edges = (
         adj.select(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
         )
         .distinct()
+        .persist()
     )
     final = textrank_scores(edges, iters=2)
     return (

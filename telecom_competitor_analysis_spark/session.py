@@ -47,6 +47,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 optimization (guide §3.1/§9): let the planner pick a
+        # shuffled-hash join when its size conditions hold instead of
+        # always sort-merge — the mid-size equi-joins (comparison
+        # pairs, shingle postings) skip both sorts. Interleaved
+        # same-session A/B at sf0.1: q_bradley_terry 0.73×,
+        # q_corpus_curate 0.65×, 10-query join set total −17%, no
+        # query worse than +14% (tools/probe_conf_ab.py). Env-
+        # overridable for clusters whose build sides overflow a
+        # partition (SHJ cannot spill its hash table): set
+        # SPARK_GRAFT_PREFER_SMJ=true to restore the default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet carries TIMESTAMP(NANOS) — read as long,
         # converted back in sources/readers.load_table
