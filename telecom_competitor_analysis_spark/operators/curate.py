@@ -126,6 +126,10 @@ def curate_corpus(
         text_col,
         w=3,
         threshold=near_dup_threshold,
+        # r12: the universe cache helps the direct curate (persist
+        # mode) but hurts the deep composed incremental plan exactly
+        # as the reuse_via docstring predicts — follow the same switch
+        cache_universe=reuse_via != "checkpoint",
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = keepers.join(drops, on=id_col, how="left_anti")
