@@ -6171,36 +6171,36 @@ def q_rouge_n(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id"),
         F.col("word").alias("gram"),
     )
-    ref = (
-        grams.filter("is_ref")
-        .groupBy("pair_id", "gram")
-        .agg(
-            F.count(F.lit(1)).alias("rc"),
-            F.min("doc_id").alias("ref_id"),
-        )
-    )
-    cand = grams.filter(~F.col("is_ref")).groupBy("pair_id", "gram").agg(
-        F.count(F.lit(1)).alias("cc")
-    )
-    # pairs need both sides to exist; an unpaired trailing even doc
-    # drops via the inner join on the candidate side's pair ids
-    cand_ids = (
-        grams.filter(~F.col("is_ref"))
-        .groupBy("pair_id")
-        .agg(F.min("doc_id").alias("cand_id"))
+    # r12 optimization (guide §2.4, the q_bleu/q_chrf conditional-
+    # aggregate fold): the before plan filtered `grams` THREE times
+    # (ref counts, cand counts, cand ids — each a full bigram pass)
+    # and joined the rollups back. ONE (pair, gram) aggregate emits
+    # rc/cc/both ids side by side; ref-gram groups have rc > 0 and
+    # cand-only groups contribute least(0, cc) = 0 to the clip sum, so
+    # the pair rollup over the UNFILTERED frame reproduces the old
+    # ref-leg sums exactly, and the both-sides-exist inner join becomes
+    # the two NULL-presence filters.
+    pg = grams.groupBy("pair_id", "gram").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("rc"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("cc"),
+        F.min(F.when(F.col("is_ref"), F.col("doc_id"))).alias("ref_gid"),
+        F.min(F.when(~F.col("is_ref"), F.col("doc_id"))).alias("cand_gid"),
     )
     clipped = (
-        ref.join(cand, ["pair_id", "gram"], "left")
-        .groupBy("pair_id")
+        pg.groupBy("pair_id")
         .agg(
-            F.min("ref_id").alias("ref_id"),
+            F.min("ref_gid").alias("ref_id"),
+            F.min("cand_gid").alias("cand_id"),
             F.sum("rc").cast("long").alias("n_ref_bigrams"),
-            F.sum(F.least(F.col("rc"), F.coalesce(F.col("cc"), F.lit(0))))
+            F.sum(F.least(F.col("rc"), F.col("cc")))
             .cast("long")
             .alias("n_overlap_clipped"),
         )
+        .filter(
+            F.col("ref_id").isNotNull() & F.col("cand_id").isNotNull()
+        )
     )
-    return clipped.join(cand_ids, "pair_id").select(
+    return clipped.select(
         "pair_id",
         "ref_id",
         "cand_id",
