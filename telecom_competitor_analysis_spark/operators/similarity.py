@@ -415,9 +415,15 @@ def kmeans_assign(
         ensure_parallelism,
     )
 
+    # r12 optimization (guide §5): the narrow (vec_id, v) frame feeds
+    # every Lloyd round twice (scoring cross-join + centroid-update
+    # join) plus the final assignment join-back — 2·iters scans of the
+    # vector table and a re-run of the under-split repartition per
+    # consumer. persist() it so the scan + repartition happen once per
+    # action; the frame is exactly the working set (id + dim floats).
     c = ensure_parallelism(
         corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    )
+    ).persist()
     cents = _pick_anchors(corpus, id_col, vec_col, k).select(
         F.col("anchor_id").alias("cid"),
         F.col("anchor_vec").alias("cvec"),

