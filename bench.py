@@ -1,10 +1,18 @@
 """Benchmark harness (driver contract): run the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS], print ONE JSON line
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+local[$SPARK_GRAFT_CPUS], print the JSON line
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+— first the full line (per-query ext dict, spreads metadata), then a compact
+tail-sized twin LAST so the driver's bounded stdout tail always archives one
+complete parseable line (r12 judge item 2; BENCH_r11's single ~15 KB line was
+head-truncated in the driver archive and unparseable).
 
 Each query is fully materialized through the noop sink (forces the whole
 plan — scan, shuffles, windows — without driver-side collect overhead).
+spark.catalog.clearCache() runs before every timed run so each timed run
+pays one full materialization of any persist() inside the query (cold-action
+cost — r12 judge item 3; pre-r13 artifacts are cache-warm for
+persist-carrying queries).
 """
 
 from __future__ import annotations
@@ -325,9 +333,22 @@ def main() -> None:
             if fn is None:
                 continue
             try:
+                # r13 measurement fix (judge's r12 item 3): the warm-up run
+                # below materializes any persist() inside the query, and the
+                # CacheManager matches the rebuilt logical plan on the timed
+                # runs — so before r13 the best-of-3 EXCLUDED the persisted
+                # subtree's compute (a steady-state number). clearCache()
+                # before every timed run makes each timed run pay one full
+                # materialization (cold-action cost) and stops caches
+                # leaking across queries within the session. Warm-up still
+                # absorbs per-plan codegen compilation. Pre-r13 artifacts
+                # carry the old (cache-warm) numbers; OPTIMIZATION_r13.md
+                # records both for the re-baselined queries.
+                spark.catalog.clearCache()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 runs: list[float] = []
                 for _ in range(3):
+                    spark.catalog.clearCache()
                     t0 = time.perf_counter()
                     fn(spark, sf_dir).write.format("noop").mode(
                         "overwrite"
@@ -343,6 +364,9 @@ def main() -> None:
 
     timings = run_list(HEADLINE)
     timings_ext = run_list(HEADLINE_EXT)
+    # cache-lifecycle hygiene (judge's r12 item 10): leave the session with
+    # no catalog-cached frames pinned.
+    spark.catalog.clearCache()
     load_end = list(os.getloadavg())
 
     # Key order is survival order: the driver archives a BOUNDED TAIL of
@@ -355,8 +379,12 @@ def main() -> None:
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "methodology": (
-            "steady-state: warm-up then best-of-3 runs per query (best "
-            "reported; [min, median, max] spread + machine loadavg in "
+            "cold-action: warm-up (codegen) then best-of-3 runs per query "
+            "with spark.catalog.clearCache() before every timed run, so "
+            "each timed run pays one full materialization of any persist() "
+            "inside the query — r13 measurement fix; pre-r13 artifacts are "
+            "cache-warm for persist-carrying queries (best reported; "
+            "[min, median, max] spread + machine loadavg in "
             "BENCH_LOCAL for noise adjudication — judge a >2x per-query "
             "delta against the spread and load, not the point value). "
             "Full materialization via noop sink. TWO lists, both frozen "
@@ -368,6 +396,7 @@ def main() -> None:
             "list TOTALS only within an era, per-query timings across "
             "all rounds via BENCH_r{N}.json / BENCH_LOCAL_r{N}.json)"
         ),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
         "loadavg_start": load_start,
         "loadavg_end": load_end,
         "queries": timings,
@@ -380,6 +409,29 @@ def main() -> None:
     out["value"] = round(sum(timings.values()), 3)
     out["value_ext"] = round(sum(timings_ext.values()), 3)
     print(json.dumps(out))
+    # Driver-contract restoration (judge's r12 item 2): the full line above
+    # is ~15 KB and the driver archives only a BOUNDED TAIL of stdout, so in
+    # r11 the archived line was head-truncated and unparseable
+    # (BENCH_r11.json parsed=null -> PERF_r12 prev_bench_ok=false). Emit a
+    # SECOND, compact line LAST — headline per-query dict + totals only,
+    # no methodology/ext-dict/spreads (~1.2 KB, comfortably inside the
+    # 2000-char tail) — so the tail always ends with one complete,
+    # contract-shaped JSON line. Entries are the same 26 headline queries
+    # (nothing removed or renamed); per-query ext history stays in the full
+    # line and in BENCH_LOCAL_r{N}.json.
+    compact = {
+        "metric": out["metric"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "cpus": out["cpus"],
+        "queries": timings,
+        "n_queries": len(timings),
+        "n_queries_ext": len(timings_ext),
+        "n_errors": len(errors),
+        "value_ext": out["value_ext"],
+        "value": out["value"],
+    }
+    print(json.dumps(compact))
     # The spread dict doubles the artifact size, so it rides only in the
     # BENCH_LOCAL file (the driver's stdout tail keeps the totals).
     out["queries_spread"] = spreads
@@ -396,16 +448,24 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is None:
-        import re
-
-        recorded = [
-            int(m.group(1))
-            for f in os.listdir(here)
-            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-        ]
-        rnd = str(max(recorded, default=0) + 1)
+        # r13 fix (judge's r12 item 4): the old max(recorded)+1 inference
+        # let a driver re-run (8-CPU scaling pass, SPARK_GRAFT_ROUND unset,
+        # contended box) write a file that masqueraded as the NEXT round's
+        # idle local baseline (the stray BENCH_LOCAL_r13.json). Only the
+        # builder sets SPARK_GRAFT_ROUND; without it, stdout already
+        # carries both JSON lines — skip the repo-root artifact.
+        print(
+            "bench: SPARK_GRAFT_ROUND unset; skipping BENCH_LOCAL artifact",
+            file=sys.stderr,
+        )
+        return
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    # CPU-tag non-32-core runs so a scaling pass can never clobber or pose
+    # as the canonical 32-core local baseline.
+    tag = f"_c{cpus}" if cpus not in (None, "32") else ""
     local_path = resolve_artifact_path(
-        os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json"), load_start[0]
+        os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}{tag}.json"),
+        load_start[0],
     )
     try:
         with open(local_path, "w") as fh:

@@ -28,8 +28,8 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
 
     bench.main()
 
-    out = capsys.readouterr().out.strip().splitlines()[-1]
-    parsed = json.loads(out)
+    lines = capsys.readouterr().out.strip().splitlines()
+    parsed = json.loads(lines[-2])  # full line (first of the two)
     assert "q_topk" in parsed["queries"]
     assert parsed["queries"]["q_topk"] > 0
     assert "q_broken_test_only" not in parsed["queries"]
@@ -37,6 +37,17 @@ def test_broken_query_yields_partial_bench(spark, monkeypatch, capsys):
     assert parsed["queries_ext"]["q_key_skew"] > 0
     assert parsed["queries_ext"]["q_pivot_dynamic"] > 0
     assert parsed["value_ext"] > 0
+    # r13 driver-contract fix: the LAST stdout line is the compact
+    # tail-sized twin — same headline queries dict and totals, no
+    # methodology/ext dict, and small enough for the driver's bounded
+    # stdout tail (BENCH_r11's full line was head-truncated there).
+    compact = json.loads(lines[-1])
+    assert compact["queries"] == parsed["queries"]
+    assert compact["value"] == parsed["value"]
+    assert compact["value_ext"] == parsed["value_ext"]
+    assert compact["metric"] == parsed["metric"]
+    assert compact["n_errors"] == 1
+    assert "queries_ext" not in compact and "methodology" not in compact
 
 
 def test_resolve_artifact_path_guards_idle_artifact(tmp_path):

@@ -1,12 +1,12 @@
-"""Round-12 optimization probe: per-query isolated timing + plan capture.
+"""Round-13 optimization probe: per-query isolated timing + plan capture.
 
 Usage: python tools/probe_opt.py [--plans-tag before|after] q_name [q_name ...]
 
 For each named query at $SPARK_GRAFT_SF_DIR (default sf0.1), on
 local[$SPARK_GRAFT_CPUS] (default 32): one warm-up + best-of-3 through the
 noop sink (the bench methodology), and — when --plans-tag is given — the
-``explain("formatted")`` output written to plans/r12/<name>_<tag>.txt so
-plan claims in OPTIMIZATION_r12.md are checkable without running Spark.
+``explain("formatted")`` output written to plans/r13/<name>_<tag>.txt so
+plan claims in OPTIMIZATION_r13.md are checkable without running Spark.
 """
 import io
 import os
@@ -37,13 +37,17 @@ for n in names:
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        os.makedirs("/root/repo/plans/r12", exist_ok=True)
-        with open(f"/root/repo/plans/r12/{n}_{tag}.txt", "w") as fh:
+        os.makedirs("/root/repo/plans/r13", exist_ok=True)
+        with open(f"/root/repo/plans/r13/{n}_{tag}.txt", "w") as fh:
             fh.write(buf.getvalue())
     spark.sparkContext.setJobDescription(f"probe_opt:{n}")
+    # r13: match bench.py's cold-action methodology — clearCache before
+    # every timed run so persist-carrying queries pay materialization
+    spark.catalog.clearCache()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     runs = []
     for _ in range(3):
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         runs.append(time.perf_counter() - t0)
