@@ -588,18 +588,28 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = (
-        shingle_rows(_ensure_parallelism(docs), "doc_id", "text", 3)
-        .select(F.col("doc_id").alias("id"), "word")
-        .distinct()
+    # r13 (guide §2.4 — remove shuffles outright): the old form was
+    # distinct() on (id, word) [exchange 1] then a df window over word
+    # [exchange 2]; ONE groupBy(word).collect_set(id) computes the
+    # distinct AND the document frequency in a single exchange on the
+    # shingle (collect_set dedupes ids per word by construction, and
+    # partial aggregation combines map-side), then the capped posting
+    # lists explode back to rows. Verified row-identical to the
+    # window form at sf0.1 (260,388 rows both ways); shingles with
+    # df > 1000 leave the universe BEFORE sizes are counted, exactly
+    # as the oracle defines it. A hot shingle's posting list lands in
+    # one aggregate row — the identical distribution the window
+    # partition had — and is dropped before any pairing.
+    raw = shingle_rows(_ensure_parallelism(docs), "doc_id", "text", 3).select(
+        F.col("doc_id").alias("id"), "word"
     )
-    # df-cap as a window count over the shingle — one shuffle on the
-    # same key the candidate join hashes on (shingle_jaccard_pairs'
-    # measured pattern); shingles with df > 1000 leave the universe
-    # BEFORE sizes are counted, exactly as the oracle defines it
-    w_sh = Window.partitionBy("word")
-    toks = toks.withColumn("df", F.count(F.lit(1)).over(w_sh)).filter(
-        F.col("df") <= F.lit(1000)
+    toks = (
+        raw.groupBy("word")
+        .agg(F.collect_set("id").alias("__ids"))
+        .withColumn("df", F.size("__ids"))
+        .filter(F.col("df") <= F.lit(1000))
+        .select("word", "df", F.explode("__ids").alias("id"))
+        .select("id", "word", "df")
     )
     # localCheckpoint the RANKED universe once: the candidate join
     # consumes it on both sides and the verify legs twice more, and
@@ -8130,16 +8140,26 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("cn"),
         "bucket",
     )
+    # r13 (guide §2.3 — project before the exchange): score each candidate
+    # pair map-side right after the bucket join, so the window's
+    # hashpartitioning(query_id) exchange carries (query_id, neighbor_id,
+    # score) instead of two full embedding vectors per pair — at ~128·n
+    # candidate rows the r12 plan shuffled every vector ~256×. Same score
+    # expression, same ordering, same top-10.
     w = Window.partitionBy("query_id").orderBy(
-        (
-            dot_product(F.col("qv"), F.col("cv"))
-            / (F.col("qn") * F.col("cn"))
-        ).desc(),
-        F.col("neighbor_id").asc(),
+        F.col("__score").desc(), F.col("neighbor_id").asc()
     )
     topk = (
         a.join(b, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot_product(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("__score"),
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= 10)
         .select("neighbor_id")

@@ -141,8 +141,15 @@ def test_power_iteration_checkpoints_bound_iterates(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
     plan = df._jdf.queryExecution().executedPlan().toString()
     # lineage truncated: the final plan reads checkpointed RDDs, not a
-    # re-derived Gram subtree per consumer
-    assert "Scan ExistingRDD" in plan
+    # re-derived Gram subtree per consumer. r13 (ADVICE): the
+    # pre-existing Gram localCheckpoint alone yields ONE ExistingRDD
+    # scan, so assert the v1/v2 iterate checkpoints too (>= 3 scans) and
+    # pin the docstring's "no parquet scans beyond the boundary /
+    # handful of Exchanges" claims, so reverting the wave-5 truncation
+    # fails this test instead of passing silently.
+    assert plan.count("Scan ExistingRDD") >= 3
+    assert "Scan parquet" not in plan
+    assert plan.count("Exchange") <= 8
 
 
 def test_pq_adc_topk_contract_unchanged(spark, vecs):
