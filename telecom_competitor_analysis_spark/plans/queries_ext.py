@@ -2409,8 +2409,20 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per group to get exact percentiles, but only the (key, price) pairs
     ride that shuffle — the clip itself is a map-side broadcast join.
     Prices in integer cents, clip arithmetic in double with an explicit
-    round so both engines emit identical values."""
-    li = load_table(spark, sf_dir, "lineitem")
+    round so both engines emit identical values.
+
+    r13 (guide §6/§2.6 — scan parallelism): the testdata parquet is one
+    row group, so the percentile's partial aggregation ran on the single
+    scan split (one core buffering all 600k rows). The shared
+    under-split guard repartitions first; interleaved A/B best-of-3:
+    3.65 s -> 2.42 s, rows identical. On a well-split cluster scan the
+    guard is a no-op (spark.graft.ensureParallelism=false skips the
+    probe entirely)."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        _ensure_parallelism,
+    )
+
+    li = _ensure_parallelism(load_table(spark, sf_dir, "lineitem"))
     cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint")
     d = li.select(
         "l_orderkey",
@@ -4861,7 +4873,16 @@ def q_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         li = li.groupBy("l_partkey", "l_suppkey", "pc").agg(
             F.count(F.lit(1)).cast("long").alias("m")
         )
-    a, b = li.alias("a"), li.alias("b")
+    # r13 (guide §3.1 — pick the join strategy deliberately): the planner
+    # broadcast the whole 600k-row comparison side (its size estimate
+    # sits under the 10 MB auto-broadcast threshold), which (a) builds a
+    # 600k-row hash relation single-threaded and (b) leaves the 9M-pair
+    # probe stage at the parquet scan's split parallelism. Forcing the
+    # shuffled-hash join repartitions both sides on l_partkey first, so
+    # the pair generation runs at full core count: the pairs subtree
+    # measured 8.0-10.3 s broadcast vs 1.2-2.5 s shuffle_hash
+    # (interleaved A/B, sf0.1, cold). Plan-only change — same rows.
+    a, b = li.alias("a"), li.hint("shuffle_hash").alias("b")
     raw = a.join(
         b,
         (F.col("a.l_partkey") == F.col("b.l_partkey"))

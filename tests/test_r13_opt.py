@@ -42,11 +42,24 @@ def test_shj_default_and_smj_escape_hatch_agree(spark):
         .alias("k"),
         (F.col("id") * 3).alias("attr"),
     )
-    # defeat auto-broadcast so the planner actually chooses SHJ vs SMJ
+    # A threshold BETWEEN the build side's size estimate and
+    # size*shuffle_partitions: too small to broadcast, but inside SHJ's
+    # canBuildLocalHashMap window (sizeInBytes < threshold * partitions).
+    # -1 would disable BOTH broadcast and the SHJ size condition, so
+    # derive it from the planner's own estimate (exactly size/2).
+    build_size = int(
+        build._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
     prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     prev_pref = spark.conf.get("spark.sql.join.preferSortMergeJoin")
     try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(max(build_size // 2, 1))
+        )
+        # keep AQE from demoting the shuffle join back to broadcast off
+        # the (much smaller) runtime shuffle-byte statistics — the test
+        # pins strategy choice, not AQE's late conversion
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
         spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
         shj_df = big.join(build, on="k").groupBy("k").agg(
@@ -64,6 +77,7 @@ def test_shj_default_and_smj_escape_hatch_agree(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.join.preferSortMergeJoin", prev_pref)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
 
     assert shj_rows == smj_rows
     assert "ShuffledHashJoin" in shj_plan
@@ -87,11 +101,13 @@ def test_pagerank_micro_truncates_lineage(spark):
     df = pagerank_micro(edges, iters=3)
     rows = sorted(map(tuple, df.collect()))
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # nodes + deg + two mid iterates are checkpoint boundaries visible
-    # from the final plan (the last iterate's own checkpoint sits on
-    # top and hides nothing below it)
-    assert plan.count("Scan ExistingRDD") >= 2
-    assert "InMemoryTableScan" not in plan  # the r12 persists are gone
+    # the LAST iterate is itself checkpointed, so the final plan is a
+    # projection over ONE checkpointed RDD — every nodes/deg/iterate
+    # boundary below it is hidden behind that scan. What must hold:
+    # at least one checkpoint boundary, and no InMemoryTableScan (the
+    # r12 persists are gone — nothing stays warm across bench runs).
+    assert plan.count("Scan ExistingRDD") >= 1
+    assert "InMemoryTableScan" not in plan
     again = sorted(map(tuple, pagerank_micro(edges, iters=3).collect()))
     assert rows == again
 
@@ -134,3 +150,31 @@ def test_knn_hubness_window_shuffle_is_narrow(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__score" in plan
     spark.catalog.clearCache()
+
+
+def test_bradley_terry_comparison_join_not_broadcast(spark, sf_dir):
+    """r13 (guide §3.1): the 600k-row comparison side must not be
+    broadcast — the BHJ build was single-threaded and the 9M-pair probe
+    ran at the one-row-group scan's parallelism (8.0-10.3 s vs
+    1.2-2.5 s for the pairs subtree at sf0.1). The shuffle_hash hint
+    pins a ShuffledHashJoin for the part-blocked self-join."""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_bradley_terry"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    spark.catalog.clearCache()
+
+
+def test_winsorize_percentile_input_is_repartitioned(spark, sf_dir):
+    """r13 (guide §6/§2.6): the exact-percentile partial aggregation must
+    not run on the single one-row-group scan split — the under-split
+    guard's round-robin repartition shows up as a RoundRobinPartitioning
+    exchange below the aggregate."""
+    from telecom_competitor_analysis_spark.plans.queries import QUERIES
+
+    df = QUERIES["q_winsorize"](spark, sf_dir)
+    assert df.count() > 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "roundrobin" in plan.lower() or "RoundRobinPartitioning" in plan
