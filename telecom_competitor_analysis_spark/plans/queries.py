@@ -1157,22 +1157,99 @@ QUERIES.update(EXT_QUERIES)
 # greens — they park first below the boundary and lead the r13
 # window (the r7/r9 precedent: rotation debt is explicit, ordered,
 # and first in line).
+# Round 13's window (34 + 16 = 50): ALL 34 plan-changed stale greens —
+# the r12 optimization waves changed 35 query plans AFTER the r12
+# window froze (r12 VERDICT item 1: only 4 of them got a post-change
+# driver green), so the 31 still-stale ones lead, joined by the 3
+# queries r13's own optimization waves touched that were not already
+# in that set (q_kcenter_select, q_knn_hubness, q_winsorize; the other
+# r13 touches — q_pagerank, q_triangle_count, q_containment_pairs,
+# q_bradley_terry — are inside the 31) — then 16 of the 18 distinct
+# parked r7 greens (3 of the 21 are themselves plan-changed and sit in
+# tier 1). The 2 displaced r7 greens (q_simhash64, q_word_freq) park
+# first below the boundary and lead the r14 window.
 # The first 50 entries below ARE the window — count them when editing.
 # ---------------------------------------------------------------------------
 
 VERIFY_PRIORITY = [
-    # ============ ROUND-12 WINDOW (first 50) ============
-    # tier 1 — code/oracle changed this round: q_freshness_decay
-    # (every division routed through sdiv_expr, r12 ADVICE),
-    # q_bpe_apply (top-20 selected BEFORE the fold via
-    # orderBy().limit(), r12 ADVICE), q_label_propagation (oracle
-    # chain factored into the shared _LP_CTES text for
-    # q_graph_modularity — equivalent SQL, re-verified anyway)
+    # ============ ROUND-13 WINDOW (first 50) ============
+    # tier 1 — the 34 queries whose plan/operator code changed since
+    # their last driver green (rule #1: a stale green is not a green):
+    # the 31 r12-optimization plan-changed queries left stale when the
+    # r12 window was frozen pre-optimization (r12 VERDICT item 1 — the
+    # 35 plans/r12 dump pairs minus the 4 already driver-green:
+    # q_kmeans_assign, q_conformal_coverage, q_graph_modularity,
+    # q_label_propagation), plus the 3 queries newly plan-changed in
+    # r13 and not already in that set (q_kcenter_select corpus
+    # checkpoint, q_knn_hubness narrow-window projection + scan guard,
+    # q_winsorize percentile-input guard). The r13-touched overlap
+    # (q_pagerank, q_triangle_count, q_containment_pairs,
+    # q_bradley_terry) is already inside the 31.
+    "q_anomaly_mad",
+    "q_band_tuning",
+    "q_bleu",
+    "q_bradley_terry",
+    "q_candidate_precision",
+    "q_cluster_chaining",
+    "q_containment_pairs",
+    "q_corpus_curate",
+    "q_corpus_overlap",
+    "q_ece",
+    "q_hard_negatives",
+    "q_keeper_policy_diff",
+    "q_lsh_recall",
+    "q_mutation_recall",
+    "q_ndcg",
+    "q_ngram_jaccard",
+    "q_nprobe_sweep",
+    "q_pagerank",
+    "q_perplexity_mix",
+    "q_power_iteration",
+    "q_pq_ann",
+    "q_pq_recall",
+    "q_preference_pairs",
+    "q_quality_calibration",
+    "q_quantile_sketch_audit",
+    "q_rbo",
+    "q_rouge_n",
+    "q_silhouette",
+    "q_textrank_keywords",
+    "q_triangle_count",
+    "q_two_stage_rerank",
+    "q_kcenter_select",
+    "q_knn_hubness",
+    "q_winsorize",
+    # tier 2 — 16 of the 18 distinct parked r7 greens (the r12 window
+    # displaced 21; 3 of them are plan-changed and sit in tier 1):
+    # oldest-latest-green in the repo, per the r12 boundary note
+    "q_lang_confusion",
+    "q_aa_calibration",
+    "q_hll_merge",
+    "q_dp_mean",
+    "q_event_trigrams",
+    "q_salt_plan",
+    "q_coverage_curve",
+    "q_reshard_stability",
+    "q_table_checksum",
+    "q_map_funcs",
+    "q_max_by",
+    "q_median",
+    "q_string_agg",
+    "q_udaf_weighted",
+    "q_embedding_lsh_topk",
+    "q_embedding_ivf_topk",
+    # --- window boundary: entries below are OUTSIDE the first 50. ---
+    # FIRST the 2 r7 greens the 34-strong tier 1 displaced — they
+    # LEAD the r14 window (rotation debt explicit, ordered, first in
+    # line — the r12/r13 precedent):
+    "q_simhash64",
+    "q_word_freq",
+    # then every other oracle-checked query in its prior relative
+    # order (r12-window greens are the newest; r8-r11 greens follow
+    # their existing round-tagged ordering below)
     "q_freshness_decay",
     "q_bpe_apply",
     "q_label_propagation",
-    # tier 2 — the 12 new round-12 wave oracles (each locally
-    # driver-sim green at sf0.01 AND sf0.1 on declaration)
     "q_ivfpq_ann",
     "q_ivfpq_recall",
     "q_pack_efficiency",
@@ -1185,17 +1262,12 @@ VERIFY_PRIORITY = [
     "q_hll_audit",
     "q_conformal_coverage",
     "q_temporal_split",
-    # tier 3 — the six late-r11 wave E/F/G oracles parked below
-    # the r11 boundary (never in a driver window; r11 VERDICT
-    # item 1 says they lead this window)
     "q_char_entropy_rate",
     "q_burstiness",
     "q_bpe_compression_curve",
     "q_delete_vectors",
     "q_pruning_stats",
     "q_bloom_fpp_audit",
-    # tier 4 — the 29 oldest r7 greens (round-robin refresh;
-    # 3 + 12 + 6 + 29 = 50)
     "q_ann_index_probe",
     "q_semantic_neighbors",
     "q_token_budget_fill",
@@ -1225,37 +1297,6 @@ VERIFY_PRIORITY = [
     "q_rollup",
     "q_pivot",
     "q_histogram",
-    # --- window boundary: entries below are OUTSIDE the first 50. ---
-    # FIRST the late-r12 wave-F/G/H/I oracles that landed after the window
-    # filled (never in a driver window; locally driver-sim green at
-    # BOTH SFs on declaration — the r10 wave-4 / r11 wave-E precedent),
-    # then oldest-latest-green first (they LEAD the r13 window):
-    # the 21 r7 greens displaced by the 12-strong r12 wave tier,
-    # then r8, r9, the r10-window parks, and the r11-window parks
-    # (the repo's newest greens last). After r12's window runs, no
-    # oracle's latest driver green is older than r7, and only
-    # these 21 remain at r7 — they go first next round.
-    "q_lang_confusion",
-    "q_quantile_sketch_audit",
-    "q_aa_calibration",
-    "q_cluster_chaining",
-    "q_hll_merge",
-    "q_dp_mean",
-    "q_event_trigrams",
-    "q_keeper_policy_diff",
-    "q_salt_plan",
-    "q_coverage_curve",
-    "q_reshard_stability",
-    "q_table_checksum",
-    "q_map_funcs",
-    "q_max_by",
-    "q_median",
-    "q_string_agg",
-    "q_udaf_weighted",
-    "q_embedding_lsh_topk",
-    "q_embedding_ivf_topk",
-    "q_simhash64",
-    "q_word_freq",
     "q_common_ngrams",
     "q_pii_scrub",
     "q_sample_exact_n",
@@ -1268,25 +1309,17 @@ VERIFY_PRIORITY = [
     "q_corpus_diff",
     "q_session_window",
     "q_key_skew",
-    # r8 greens
     "q_interval_overlap",
     "q_setsim_join",
     "q_heavy_hitters",
-    "q_pq_recall",
-    "q_kcenter_select",
     "q_minhash_lsh_pairs",
     "q_semantic_decontaminate",
-    "q_lsh_recall",
     "q_sizing_report",
     "q_shard_balance",
-    "q_quality_calibration",
     "q_lsh_band_stats",
     "q_url_dedup",
     "q_line_filter",
     "q_ngram_novelty",
-    "q_preference_pairs",
-    "q_mutation_recall",
-    "q_triangle_count",
     "q_annotator_agreement",
     "q_doremi_step",
     "q_span_corruption",
@@ -1302,11 +1335,8 @@ VERIFY_PRIORITY = [
     "q_rrf_fusion",
     "q_rollup_incremental",
     "q_leakage_safe_split",
-    "q_corpus_overlap",
     "q_zorder_layout",
-    "q_pq_ann",
     "q_knn_label_audit",
-    "q_hard_negatives",
     "q_embedding_drift",
     "q_bloom_prefilter_join",
     "q_profile_table",
@@ -1317,8 +1347,6 @@ VERIFY_PRIORITY = [
     "q_vocab_coverage",
     "q_gram_matrix",
     "q_ivf_bucket_stats",
-    # r9 greens
-    "q_containment_pairs",
     "q_gram_incremental",
     "q_char_entropy",
     "q_ann_recall_filtered",
@@ -1329,14 +1357,11 @@ VERIFY_PRIORITY = [
     "q_pass_at_k",
     "q_winrate_ci",
     "q_scaling_fit",
-    "q_textrank_keywords",
     "q_bootstrap_ci",
     "q_mmr_select",
     "q_cdc_chunks",
     "q_rank_correlation",
-    "q_silhouette",
     "q_zipf_fit",
-    "q_ndcg",
     "q_agg_latest_price",
     "q_cube",
     "q_semi_join",
@@ -1351,44 +1376,34 @@ VERIFY_PRIORITY = [
     "q_array_funcs",
     "q_udtf_tokenize",
     "q_revenue_topk",
-    "q_corpus_curate",
     "q_train_test_split",
     "q_ntile",
     "q_except_all",
     "q_curate_incremental",
     "q_dedup_exact",
     "q_minhash",
-    "q_ngram_jaccard",
     "q_simhash_pairs",
     "q_embedding_topk",
     "q_embedding_dup",
     "q_resample_daily",
     "q_moving_avg",
     "q_simhash64_pairs",
-    # round-10 window parks
-    "q_bleu",
-    "q_rouge_n",
     "q_semdedup_scaled",
     "q_edit_distance_pairs",
     "q_kcore",
     "q_l_diversity",
-    "q_band_tuning",
     "q_length_buckets",
     "q_frame_dedup",
-    "q_candidate_precision",
     "q_group_kfold",
     "q_assortativity",
-    "q_nprobe_sweep",
     "q_mi_lang_source",
     "q_event_transitions",
-    "q_knn_hubness",
     "q_cluster_purity",
     "q_heaps_fit",
     "q_js_divergence",
     "q_gini_concentration",
     "q_minhash_jaccard_est",
     "q_mix_rebalance",
-    "q_winsorize",
     "q_frame_sample",
     "q_incremental_topk",
     "q_bm25_search",
@@ -1415,21 +1430,14 @@ VERIFY_PRIORITY = [
     "q_asof_join",
     "q_salted_join",
     "q_sessionize",
-    # round-11 window parks (newest greens)
     "q_chrf",
-    "q_bradley_terry",
     "q_distinct_ngrams",
     "q_blocklist_screen",
     "q_event_runs",
-    "q_rbo",
-    "q_two_stage_rerank",
-    "q_ece",
     "q_t_closeness",
-    "q_anomaly_mad",
     "q_feature_hash_collisions",
     "q_media_sniff",
     "q_clustering_coeff",
-    "q_power_iteration",
     "q_scd2_history",
     "q_quality_repetition",
     "q_decontaminate",
@@ -1457,12 +1465,10 @@ VERIFY_PRIORITY = [
     "q_canonical_docs",
     "q_pivot_dynamic",
     "q_cogroup_asof",
-    "q_pagerank",
     "q_dedup_incremental",
     "q_dup_span_stats",
     "q_recursive_hierarchy",
     "q_gopher_rules",
-    "q_perplexity_mix",
     "q_star_join",
 ]
 

@@ -8120,6 +8120,9 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Returns (k_occurrence, n_vectors) including the 0 row (antihubs),
     via a left join from the corpus onto the in-degree table."""
+    from telecom_competitor_analysis_spark.operators.dedup import (
+        ensure_parallelism,
+    )
     from telecom_competitor_analysis_spark.operators.similarity import (
         dot_product,
         hyperplane_sign_bucket,
@@ -8128,6 +8131,12 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n1 = emb.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    # r13 (guide §2.6 — idle capacity): the 16 hyperplane projections per
+    # vector ran on the single one-row-group parquet split — the x10
+    # core-scaling probe measured the query FLAT across 8 vs 32 cores
+    # (17.3 vs 17.8 s), i.e. serial. Route the signature build through
+    # the shared under-split guard; no-op on well-split cluster scans.
+    emb = ensure_parallelism(emb)
     sigs = (
         emb.crossJoin(F.broadcast(n1))
         .select(
