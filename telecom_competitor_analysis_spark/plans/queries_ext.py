@@ -588,18 +588,22 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # r13 (guide §2.4 — remove shuffles outright): the old form was
-    # distinct() on (id, word) [exchange 1] then a df window over word
-    # [exchange 2]; ONE groupBy(word).collect_set(id) computes the
-    # distinct AND the document frequency in a single exchange on the
-    # shingle (collect_set dedupes ids per word by construction, and
-    # partial aggregation combines map-side), then the capped posting
-    # lists explode back to rows. Verified row-identical to the
-    # window form at sf0.1 (260,388 rows both ways); shingles with
-    # df > 1000 leave the universe BEFORE sizes are counted, exactly
-    # as the oracle defines it. A hot shingle's posting list lands in
-    # one aggregate row — the identical distribution the window
-    # partition had — and is dropped before any pairing.
+    # r13 (guide §2.4 — fewer passes over one exchange): ONE
+    # groupBy(word).collect_set(id) computes the distinct AND the
+    # document frequency (collect_set dedupes ids per word by
+    # construction). The Exchange count is UNCHANGED at 4 — Spark
+    # already shared the word exchange between the old distinct and
+    # the df window (hashpartitioning on a subset key satisfies the
+    # grouping distribution) — the win is collapsing the two-phase
+    # distinct aggregate + the windowed count pass into one aggregate
+    # over that exchange: ranked-stage A/B 2.03/1.57 -> 1.68/1.43 s
+    # (two interleaved rounds), row-identical at sf0.1 (260,388 rows
+    # both ways; plans/r13/q_containment_pairs_universe_{before,after}
+    # .txt). Shingles with df > 1000 leave the universe BEFORE sizes
+    # are counted, exactly as the oracle defines it; a hot shingle's
+    # posting list lands in one aggregate row — the identical
+    # distribution the window partition had — and is dropped before
+    # any pairing.
     raw = shingle_rows(_ensure_parallelism(docs), "doc_id", "text", 3).select(
         F.col("doc_id").alias("id"), "word"
     )
